@@ -1,0 +1,131 @@
+"""Conformer encoder, TPU-first.
+
+Parity target: reference espnet2/asr/encoder/conformer_encoder.py:47-368 and
+its building blocks (conformer/encoder_layer.py, conformer/convolution.py,
+transformer/attention.py RelPositionMultiHeadedAttention). Macaron FF halves,
+rel-pos MHSA, depthwise conv module with GLU + (batch->group)norm + swish,
+conv2d x4 subsampling, optional interCTC taps.
+
+TPU notes: depthwise conv uses feature_group_count so XLA maps it to the VPU;
+everything keeps [B, T, D] layout with D a multiple of 128; masks are additive
+biases computed once per forward.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.masks import attention_bias, length_mask
+from .attention import RelPosMultiHeadAttention
+from .embedding import Conv2dSubsampling, rel_positional_embedding
+
+
+class FeedForward(nn.Module):
+    d_model: int
+    d_ff: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        h = nn.Dense(self.d_ff, dtype=self.dtype, name="w1")(x)
+        h = nn.swish(h)
+        if self.dropout_rate > 0.0 and not deterministic:
+            h = nn.Dropout(self.dropout_rate)(h, deterministic=False)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="w2")(h)
+        return h
+
+
+class ConvModule(nn.Module):
+    """Pointwise(2D)+GLU -> depthwise(k) -> norm -> swish -> pointwise(D).
+
+    Matches conformer/convolution.py:12-79. Uses LayerNorm over channels in
+    place of BatchNorm (batch-stat-free → no cross-device sync, no train/eval
+    divergence; standard practice for TPU conformers).
+    """
+    d_model: int
+    kernel_size: int = 31
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pad_mask=None):
+        h = nn.Dense(2 * self.d_model, dtype=self.dtype, name="pointwise1")(x)
+        a, b = jnp.split(h, 2, axis=-1)
+        h = a * nn.sigmoid(b)  # GLU
+        if pad_mask is not None:
+            h = jnp.where(pad_mask[..., None], h, 0.0)
+        h = nn.Conv(
+            self.d_model, (self.kernel_size,), padding="SAME",
+            feature_group_count=self.d_model, dtype=self.dtype,
+            name="depthwise")(h)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm")(h)
+        h = nn.swish(h)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="pointwise2")(h)
+
+
+class ConformerBlock(nn.Module):
+    d_model: int
+    n_head: int
+    d_ff: int
+    kernel_size: int = 31
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos_emb, mask_bias, pad_mask, deterministic=True):
+        # Macaron FF half 1 (encoder_layer.py:70-90).
+        h = nn.LayerNorm(dtype=self.dtype, name="norm_ff1")(x)
+        x = x + 0.5 * FeedForward(self.d_model, self.d_ff, self.dropout_rate,
+                                  self.dtype, name="ff1")(h, deterministic)
+        # Self-attention.
+        h = nn.LayerNorm(dtype=self.dtype, name="norm_mha")(x)
+        x = x + RelPosMultiHeadAttention(
+            self.n_head, self.d_model, self.dropout_rate, self.dtype,
+            name="self_attn")(h, pos_emb, mask_bias, deterministic)
+        # Convolution module.
+        h = nn.LayerNorm(dtype=self.dtype, name="norm_conv")(x)
+        x = x + ConvModule(self.d_model, self.kernel_size, self.dtype,
+                           name="conv")(h, pad_mask)
+        # Macaron FF half 2.
+        h = nn.LayerNorm(dtype=self.dtype, name="norm_ff2")(x)
+        x = x + 0.5 * FeedForward(self.d_model, self.d_ff, self.dropout_rate,
+                                  self.dtype, name="ff2")(h, deterministic)
+        return nn.LayerNorm(dtype=self.dtype, name="norm_final")(x)
+
+
+class ConformerEncoder(nn.Module):
+    """Conv2d x4 subsampling + N Conformer blocks.
+
+    __call__: (feats [B,T,F], feat_lengths [B]) -> (hs [B,T',D], h_lengths,
+    intermediate list for interCTC).
+    """
+    d_model: int = 256
+    n_head: int = 4
+    d_ff: int = 2048
+    num_blocks: int = 12
+    kernel_size: int = 31
+    dropout_rate: float = 0.0
+    interctc_layers: Sequence[int] = ()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, feat_lengths, deterministic=True):
+        x = Conv2dSubsampling(self.d_model, self.dtype, name="embed")(feats)
+        olens = Conv2dSubsampling.out_length(feat_lengths)
+        t = x.shape[1]
+        x = x * jnp.sqrt(jnp.asarray(self.d_model, x.dtype))  # xscale
+        pos_emb = rel_positional_embedding(t, self.d_model, self.dtype)
+        pad = length_mask(olens, t)  # (B, T')
+        bias = attention_bias(pad[:, None, None, :])  # (B,1,1,T')
+        inter = []
+        for i in range(self.num_blocks):
+            x = ConformerBlock(
+                self.d_model, self.n_head, self.d_ff, self.kernel_size,
+                self.dropout_rate, self.dtype, name=f"block_{i}")(
+                    x, pos_emb, bias, pad, deterministic)
+            if (i + 1) in self.interctc_layers:
+                inter.append((i + 1, x))
+        x = jnp.where(pad[..., None], x, 0.0)
+        return x, olens, inter

@@ -1,0 +1,73 @@
+"""Positional encodings and convolutional subsampling.
+
+Parity targets: reference espnet/nets/pytorch_backend/transformer/embedding.py
+(PositionalEncoding, RelPositionalEncoding with xscale=sqrt(d)) and
+subsampling.py (Conv2dSubsampling x4: two conv(3,3,stride2)+ReLU then linear).
+"""
+from __future__ import annotations
+
+import numpy as np
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def sinusoid_table(length: int, d_model: int, offset: int = 0) -> np.ndarray:
+    """Standard sinusoidal table for positions [offset, offset+length)."""
+    pos = np.arange(offset, offset + length, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float64)
+                 * -(np.log(10000.0) / d_model))
+    tbl = np.zeros((length, d_model))
+    tbl[:, 0::2] = np.sin(pos * div)
+    tbl[:, 1::2] = np.cos(pos * div)
+    return tbl.astype(np.float32)
+
+
+def abs_positional_encoding(x: jnp.ndarray, scale: bool = True) -> jnp.ndarray:
+    """Add absolute sinusoidal PE; x: [B, T, D] (embedding.py:24-108)."""
+    t, d = x.shape[-2], x.shape[-1]
+    pe = jnp.asarray(sinusoid_table(t, d))
+    if scale:
+        x = x * jnp.sqrt(jnp.asarray(d, x.dtype))
+    return x + pe.astype(x.dtype)
+
+
+def rel_positional_embedding(t: int, d: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[1, 2T-1, D] relative positions T-1 ... -(T-1) (embedding.py:176-233)."""
+    pos = np.arange(t - 1, -t, -1, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, d, 2, dtype=np.float64) * -(np.log(10000.0) / d))
+    tbl = np.zeros((2 * t - 1, d))
+    tbl[:, 0::2] = np.sin(pos * div)
+    tbl[:, 1::2] = np.cos(pos * div)
+    return jnp.asarray(tbl.astype(np.float32), dtype=dtype)[None]
+
+
+class Conv2dSubsampling(nn.Module):
+    """x4 time subsampling: conv(3x3, s2) -> ReLU -> conv(3x3, s2) -> ReLU -> Dense.
+
+    Matches transformer/subsampling.py Conv2dSubsampling (odim channels over
+    the freq axis, valid padding). Output length: ((T-1)//2 - 1)//2.
+    """
+    odim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        # x: (B, T, F) -> (B, T, F, 1) NHWC
+        h = x[..., None].astype(self.dtype)
+        h = nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID",
+                    dtype=self.dtype, name="conv1")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID",
+                    dtype=self.dtype, name="conv2")(h)
+        h = nn.relu(h)
+        b, t, f, c = h.shape
+        h = h.reshape(b, t, f * c)
+        return nn.Dense(self.odim, dtype=self.dtype, name="out")(h)
+
+    @staticmethod
+    def out_length(ilens: jnp.ndarray) -> jnp.ndarray:
+        return (((ilens - 1) // 2) - 1) // 2
+
+    @staticmethod
+    def out_length_static(t: int) -> int:
+        return (((t - 1) // 2) - 1) // 2

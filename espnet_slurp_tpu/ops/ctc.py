@@ -1,0 +1,121 @@
+"""CTC loss and helpers, TPU-native.
+
+Parity target: reference espnet2/asr/ctc.py:6-127 (projection +
+torch.nn.CTCLoss with zero_infinity, softmax/log_softmax/argmax helpers).
+The loss itself is the standard log-space forward recursion over the
+blank-interleaved label sequence, implemented as a lax.scan over time so the
+whole thing lives inside the jitted train step (the reference calls an
+external cuDNN kernel; SURVEY.md §2.9 maps it to an in-framework kernel).
+
+The scan body is pure VPU work on a [B, 2U+1] lattice — small compared to the
+encoder matmuls — so a lax.scan is already near the roofline; a Pallas
+forward-backward kernel with custom vjp is layered on in ``ops/pallas/ctc.py``
+for the large-vocab case.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+NEG_INF = -1e30
+
+
+def _interleave_blanks(labels: jnp.ndarray, blank_id: int) -> jnp.ndarray:
+    """[B, U] -> [B, 2U+1] blank-interleaved extended label sequence."""
+    b, u = labels.shape
+    ext = jnp.full((b, 2 * u + 1), blank_id, dtype=labels.dtype)
+    return ext.at[:, 1::2].set(labels)
+
+
+def ctc_loss(
+    log_probs: jnp.ndarray,
+    logit_lengths: jnp.ndarray,
+    labels: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    blank_id: int = 0,
+) -> jnp.ndarray:
+    """Per-example negative log likelihood.
+
+    Args:
+      log_probs: [B, T, V] log-softmax outputs.
+      logit_lengths: [B] valid frame counts.
+      labels: [B, U] padded label ids (padding value irrelevant).
+      label_lengths: [B] valid label counts.
+    Returns: [B] loss (0 for examples where U > T, mirroring zero_infinity).
+    """
+    b, t, v = log_probs.shape
+    u = labels.shape[1]
+    s = 2 * u + 1
+    ext = _interleave_blanks(labels, blank_id)  # (B, S)
+    # Transition mask: alpha[s] may come from s, s-1, and s-2 when
+    # ext[s] != blank and ext[s] != ext[s-2].
+    ext_prev2 = jnp.pad(ext, ((0, 0), (2, 0)), constant_values=blank_id)[:, :s]
+    allow_skip = (ext != blank_id) & (ext != ext_prev2)  # (B, S)
+
+    emit = jnp.take_along_axis(
+        log_probs, ext[:, None, :].astype(jnp.int32), axis=2
+    )  # (B, T, S) — gathered once, outside the scan
+    emit = jnp.swapaxes(emit, 0, 1)  # (T, B, S)
+
+    alpha0 = jnp.full((b, s), NEG_INF)
+    alpha0 = alpha0.at[:, 0].set(emit[0, :, 0])
+    alpha0 = alpha0.at[:, 1].set(jnp.where(label_lengths > 0, emit[0, :, 1], NEG_INF))
+
+    def step(alpha, inp):
+        emit_t, tpos = inp
+        a1 = jnp.pad(alpha, ((0, 0), (1, 0)), constant_values=NEG_INF)[:, :s]
+        a2 = jnp.pad(alpha, ((0, 0), (2, 0)), constant_values=NEG_INF)[:, :s]
+        a2 = jnp.where(allow_skip, a2, NEG_INF)
+        m = jnp.maximum(alpha, jnp.maximum(a1, a2))
+        new = m + jnp.log(
+            jnp.exp(alpha - m) + jnp.exp(a1 - m) + jnp.exp(a2 - m)
+        ) + emit_t
+        new = jnp.maximum(new, NEG_INF)  # keep -inf finite
+        # Frozen past each example's last frame: carry alpha unchanged.
+        new = jnp.where((tpos < logit_lengths)[:, None], new, alpha)
+        return new, None
+
+    alpha, _ = lax.scan(step, alpha0, (emit[1:], jnp.arange(1, t)))
+    # Final states: S-1 (trailing blank) and S-2 (last label), per example.
+    last = 2 * label_lengths  # index of trailing blank in ext
+    a_last = jnp.take_along_axis(alpha, last[:, None], axis=1)[:, 0]
+    a_prev = jnp.take_along_axis(
+        alpha, jnp.maximum(last - 1, 0)[:, None], axis=1)[:, 0]
+    a_prev = jnp.where(label_lengths > 0, a_prev, NEG_INF)
+    m = jnp.maximum(a_last, a_prev)
+    ll = m + jnp.log(jnp.exp(a_last - m) + jnp.exp(a_prev - m))
+    loss = -ll
+    # zero_infinity semantics (ctc.py:41 zero_infinity=True): infeasible
+    # alignments (U > T) contribute 0.
+    feasible = label_lengths <= logit_lengths
+    return jnp.where(feasible, loss, 0.0)
+
+
+def ctc_loss_mean(log_probs, logit_lengths, labels, label_lengths,
+                  blank_id: int = 0) -> jnp.ndarray:
+    """Batch-size-normalized CTC loss (reduction='sum' / B, ctc.py:95-99)."""
+    per = ctc_loss(log_probs, logit_lengths, labels, label_lengths, blank_id)
+    return jnp.sum(per) / per.shape[0]
+
+
+def greedy_decode(log_probs: jnp.ndarray, logit_lengths: jnp.ndarray,
+                  blank_id: int = 0) -> jnp.ndarray:
+    """Best-path decode: argmax, returned as [B, T] ids with repeats/blanks
+    still present; use ``collapse_repeats`` host-side to get label sequences.
+    """
+    ids = jnp.argmax(log_probs, axis=-1)
+    from .masks import length_mask
+    return jnp.where(length_mask(logit_lengths, ids.shape[1]), ids, blank_id)
+
+
+def collapse_repeats(ids, blank_id: int = 0):
+    """Host-side best-path collapse (numpy/python; not jitted)."""
+    out = []
+    prev = None
+    for i in ids:
+        i = int(i)
+        if i != blank_id and i != prev:
+            out.append(i)
+        prev = i
+    return out

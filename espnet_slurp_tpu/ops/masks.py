@@ -1,0 +1,37 @@
+"""Length/attention mask utilities (jit-friendly, static shapes).
+
+TPU-native replacement for the reference's pad-mask helpers
+(espnet/nets/pytorch_backend/nets_utils.py make_pad_mask / make_non_pad_mask).
+All functions take static maximum lengths and dynamic per-example lengths, and
+return boolean masks usable inside jit without shape dynamism.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def length_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """[B] lengths -> [B, max_len] bool mask, True at valid positions."""
+    pos = lax.broadcasted_iota(jnp.int32, (1, max_len), 1)
+    return pos < lengths[:, None].astype(jnp.int32)
+
+
+def causal_mask(size: int) -> jnp.ndarray:
+    """[size, size] bool, True where attention is allowed (lower triangular).
+
+    Mirrors subsequent_mask (reference espnet/nets/pytorch_backend/transformer/
+    mask.py:1-30) but built with iota for TPU friendliness.
+    """
+    row = lax.broadcasted_iota(jnp.int32, (size, size), 0)
+    col = lax.broadcasted_iota(jnp.int32, (size, size), 1)
+    return col <= row
+
+
+def attention_bias(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Boolean mask -> additive bias (0 where allowed, large-negative where not).
+
+    Uses a finite large-negative instead of -inf so fully-masked rows produce
+    uniform attention rather than NaN (matters for padded batch rows).
+    """
+    return jnp.where(mask, jnp.zeros((), dtype), jnp.full((), -1e9, dtype))

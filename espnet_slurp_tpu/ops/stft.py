@@ -1,0 +1,104 @@
+"""STFT as framed matmul against a windowed DFT basis — MXU-native.
+
+Behavioral parity target: reference espnet2/layers/stft.py:20-110 (torch.stft,
+n_fft=512, hop=128, hann window, center=True reflect padding, onesided) — but
+implemented the TPU way: frame extraction via gather, then ONE batched matmul
+of frames against the precomputed (win, 2*n_bins) real/imag cosine-sine basis.
+XLA tiles that matmul straight onto the systolic array and fuses the subsequent
+power/mel stages; there is no FFT butterfly with its awkward strides.
+
+For n_fft=512 the basis matmul is 512x514 — tiny, bandwidth-bound, and fused.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_basis(n_fft: int, win_length: int, window: str | None) -> np.ndarray:
+    """Windowed real-DFT basis, shape (win_length, 2 * (n_fft//2+1)).
+
+    Columns [0:n_bins] give the real part, [n_bins:] the imaginary part of the
+    onesided DFT of the windowed frame. The window is centered within n_fft
+    (matching torch.stft's win_length < n_fft padding behavior).
+    """
+    n_bins = n_fft // 2 + 1
+    if window == "hann":
+        # periodic hann == torch.hann_window(win_length)
+        w = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(win_length) / win_length)
+    elif window is None:
+        w = np.ones(win_length)
+    else:
+        raise ValueError(f"unsupported window: {window}")
+    # Position of window samples within the n_fft frame (centered).
+    offset = (n_fft - win_length) // 2
+    n = offset + np.arange(win_length)  # sample positions in DFT sum
+    k = np.arange(n_bins)
+    ang = -2.0 * np.pi * np.outer(n, k) / n_fft  # (win, n_bins)
+    basis = np.concatenate([np.cos(ang), np.sin(ang)], axis=1)  # (win, 2*bins)
+    return (w[:, None] * basis).astype(np.float32)
+
+
+def frame_signal(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
+    """[B, N] -> [B, T, frame_length] frames at stride ``hop``.
+
+    N must satisfy N >= frame_length; T = 1 + (N - frame_length) // hop.
+    Implemented as a single gather, which XLA lowers to efficient dynamic
+    slices on TPU.
+    """
+    n = x.shape[-1]
+    t = 1 + (n - frame_length) // hop
+    starts = jnp.arange(t) * hop
+    idx = starts[:, None] + jnp.arange(frame_length)[None, :]  # (T, L)
+    return x[..., idx]
+
+
+def stft(
+    x: jnp.ndarray,
+    n_fft: int = 512,
+    win_length: int | None = None,
+    hop_length: int = 128,
+    window: str | None = "hann",
+    center: bool = True,
+) -> jnp.ndarray:
+    """[B, N] float -> [B, T, n_bins, 2] (real, imag), onesided.
+
+    Matches torch.stft(center=True, pad_mode='reflect') framing: T =
+    1 + N // hop when centered.
+    """
+    if win_length is None:
+        win_length = n_fft
+    if center:
+        pad = n_fft // 2
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+    # Frames cover n_fft samples; the basis handles win_length centering.
+    off = (n_fft - win_length) // 2
+    frames = frame_signal(x, n_fft, hop_length)  # (B, T, n_fft)
+    frames = lax.dynamic_slice_in_dim(frames, off, win_length, axis=-1)
+    basis = jnp.asarray(_dft_basis(n_fft, win_length, window))
+    spec = jnp.einsum(
+        "...tl,lf->...tf", frames.astype(jnp.float32), basis,
+        precision=lax.Precision.HIGHEST,
+    )  # (B, T, 2*bins)
+    n_bins = n_fft // 2 + 1
+    return jnp.stack([spec[..., :n_bins], spec[..., n_bins:]], axis=-1)
+
+
+def stft_frames_count(n_samples: int, n_fft: int = 512, hop: int = 128,
+                      center: bool = True) -> int:
+    """Number of STFT frames for a signal of length n_samples (static)."""
+    if center:
+        return 1 + n_samples // hop
+    return 1 + (n_samples - n_fft) // hop
+
+
+def stft_out_lengths(ilens: jnp.ndarray, n_fft: int = 512, hop: int = 128,
+                     center: bool = True) -> jnp.ndarray:
+    """Per-example valid frame counts given sample lengths (dynamic)."""
+    if center:
+        return 1 + ilens // hop
+    return 1 + (ilens - n_fft) // hop
