@@ -1,0 +1,123 @@
+"""Kaldi-style data-dir file I/O.
+
+Parity target: reference espnet2/fileio/ (read_2column_text, SoundScpReader,
+NpyScpReader, DatadirWriter — SURVEY.md §2.2). Audio goes through
+scipy.io.wavfile / stdlib wave (soundfile is not available in this image);
+features can also be .npy files.
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def read_2column_text(path: str | Path) -> Dict[str, str]:
+    """'uttid value...' per line -> {uttid: value} (text.py:read_2column_text)."""
+    out: Dict[str, str] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            parts = line.split(maxsplit=1)
+            out[parts[0]] = parts[1] if len(parts) == 2 else ""
+    return out
+
+
+def load_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Read a wav file -> (float32 waveform in [-1, 1], sample rate)."""
+    from scipy.io import wavfile
+    sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
+    if data.ndim == 2:  # multi-channel: keep channel 0 (reference selects ch)
+        data = data[:, 0]
+    return data, sr
+
+
+def write_wav(path: str, wav: np.ndarray, sr: int = 16000) -> None:
+    from scipy.io import wavfile
+    wav16 = np.clip(wav * 32768.0, -32768, 32767).astype(np.int16)
+    wavfile.write(path, sr, wav16)
+
+
+class SoundScpReader(Mapping):
+    """wav.scp reader: {uttid: path} -> waveform arrays on demand."""
+
+    def __init__(self, path: str, dtype=np.float32):
+        self._map = read_2column_text(path)
+        self.dtype = dtype
+
+    def __getitem__(self, key) -> np.ndarray:
+        wav, _sr = load_wav(self._map[key])
+        return wav.astype(self.dtype)
+
+    def __len__(self):
+        return len(self._map)
+
+    def __iter__(self):
+        return iter(self._map)
+
+
+class NpyScpReader(Mapping):
+    """feats.scp of .npy paths (espnet2/fileio/npy_scp.py)."""
+
+    def __init__(self, path: str):
+        self._map = read_2column_text(path)
+
+    def __getitem__(self, key) -> np.ndarray:
+        return np.load(self._map[key])
+
+    def __len__(self):
+        return len(self._map)
+
+    def __iter__(self):
+        return iter(self._map)
+
+
+class DatadirWriter:
+    """Nested writer for Kaldi-style output dirs (espnet2/fileio/datadir_writer.py).
+
+    writer["text"][uttid] = "..." buffers lines; close() flushes sorted files.
+    """
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self._files: Dict[str, Dict[str, str]] = {}
+
+    def __getitem__(self, name: str) -> "_FileProxy":
+        if name not in self._files:
+            self._files[name] = {}
+        return _FileProxy(self._files[name])
+
+    def close(self):
+        for name, rows in self._files.items():
+            p = self.root / name
+            p.parent.mkdir(parents=True, exist_ok=True)
+            with open(p, "w", encoding="utf-8") as f:
+                for k in sorted(rows):
+                    f.write(f"{k} {rows[k]}\n")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class _FileProxy:
+    def __init__(self, store: Dict[str, str]):
+        self._store = store
+
+    def __setitem__(self, key: str, value: str):
+        self._store[key] = value

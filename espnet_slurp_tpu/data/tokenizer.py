@@ -1,0 +1,148 @@
+"""Tokenizers + token<->id conversion.
+
+Parity targets: reference espnet2/text/ (build_tokenizer, CharTokenizer,
+WordTokenizer, SentencepiecesTokenizer, TokenIDConverter — SURVEY.md §2.2).
+BPE is backed by HuggingFace `tokenizers` (sentencepiece is not in this
+image); char/word are native. The token list file format matches the
+reference: one token per line, line number = id, with <blank> at 0 and
+<sos/eos> last by convention (asr.sh stage 5).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterable, List, Sequence
+
+
+class AbsTokenizer:
+    def text2tokens(self, line: str) -> List[str]:
+        raise NotImplementedError
+
+    def tokens2text(self, tokens: Iterable[str]) -> str:
+        raise NotImplementedError
+
+
+class CharTokenizer(AbsTokenizer):
+    """Character tokenizer with <space> symbol (espnet2/text/char_tokenizer.py)."""
+
+    def __init__(self, space_symbol: str = "<space>",
+                 non_linguistic_symbols: Sequence[str] = ()):
+        self.space_symbol = space_symbol
+        self.nls = sorted(non_linguistic_symbols, key=len, reverse=True)
+
+    def text2tokens(self, line: str) -> List[str]:
+        tokens = []
+        while line:
+            for s in self.nls:
+                if line.startswith(s):
+                    tokens.append(s)
+                    line = line[len(s):]
+                    break
+            else:
+                c = line[0]
+                tokens.append(self.space_symbol if c == " " else c)
+                line = line[1:]
+        return tokens
+
+    def tokens2text(self, tokens: Iterable[str]) -> str:
+        return "".join(" " if t == self.space_symbol else t for t in tokens)
+
+
+class WordTokenizer(AbsTokenizer):
+    def __init__(self, delimiter: str | None = None):
+        self.delimiter = delimiter
+
+    def text2tokens(self, line: str) -> List[str]:
+        return line.split(self.delimiter)
+
+    def tokens2text(self, tokens: Iterable[str]) -> str:
+        return (self.delimiter or " ").join(tokens)
+
+
+class BpeTokenizer(AbsTokenizer):
+    """BPE via HuggingFace tokenizers, sentencepiece-style ▁ word boundary."""
+
+    def __init__(self, model_path: str):
+        from tokenizers import Tokenizer
+        self.tok = Tokenizer.from_file(str(model_path))
+
+    def text2tokens(self, line: str) -> List[str]:
+        return self.tok.encode(line).tokens
+
+    def tokens2text(self, tokens: Iterable[str]) -> str:
+        return "".join(tokens).replace("▁", " ").strip()
+
+    @staticmethod
+    def train(texts: Iterable[str], vocab_size: int, out_path: str,
+              character_coverage: float = 1.0) -> "BpeTokenizer":
+        """Train a BPE model over an iterator of raw text lines."""
+        from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+        tok = Tokenizer(models.BPE(unk_token=None))
+        tok.pre_tokenizer = pre_tokenizers.Metaspace(replacement="▁")
+        trainer = trainers.BpeTrainer(vocab_size=vocab_size,
+                                      special_tokens=[], show_progress=False)
+        tok.train_from_iterator(texts, trainer)
+        Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+        tok.save(str(out_path))
+        return BpeTokenizer(out_path)
+
+
+def build_tokenizer(token_type: str, bpemodel: str | None = None,
+                    non_linguistic_symbols: Sequence[str] = (),
+                    delimiter: str | None = None) -> AbsTokenizer:
+    """espnet2/text/build_tokenizer.py analogue."""
+    if token_type == "char":
+        return CharTokenizer(non_linguistic_symbols=non_linguistic_symbols)
+    if token_type == "word":
+        return WordTokenizer(delimiter=delimiter)
+    if token_type == "bpe":
+        assert bpemodel is not None
+        return BpeTokenizer(bpemodel)
+    raise ValueError(f"unknown token_type {token_type}")
+
+
+class TokenIDConverter:
+    """token list (file or list) <-> ids (espnet2/text/token_id_converter.py)."""
+
+    def __init__(self, token_list: str | Path | Sequence[str],
+                 unk_symbol: str = "<unk>"):
+        if isinstance(token_list, (str, Path)):
+            with open(token_list, encoding="utf-8") as f:
+                token_list = [line.rstrip("\n") for line in f if line.rstrip("\n")]
+        self.token_list: List[str] = list(token_list)
+        self.token2id = {t: i for i, t in enumerate(self.token_list)}
+        if len(self.token2id) != len(self.token_list):
+            raise ValueError("duplicated tokens in token list")
+        self.unk_symbol = unk_symbol
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.token_list)
+
+    def tokens2ids(self, tokens: Iterable[str]) -> List[int]:
+        unk = self.token2id.get(self.unk_symbol)
+        out = []
+        for t in tokens:
+            i = self.token2id.get(t, unk)
+            if i is None:
+                raise KeyError(f"token {t!r} not in vocab and no <unk>")
+            out.append(i)
+        return out
+
+    def ids2tokens(self, ids: Iterable[int]) -> List[str]:
+        return [self.token_list[int(i)] for i in ids]
+
+
+def build_token_list(texts: Iterable[str], tokenizer: AbsTokenizer,
+                     blank: str = "<blank>", unk: str = "<unk>",
+                     sos_eos: str = "<sos/eos>",
+                     extra_symbols: Sequence[str] = ()) -> List[str]:
+    """Collect vocabulary: <blank>, <unk>, [extra], tokens..., <sos/eos>.
+
+    Matches asr.sh stage-5 token list layout (blank first, sos/eos last).
+    """
+    seen = {}
+    for line in texts:
+        for t in tokenizer.text2tokens(line):
+            seen[t] = seen.get(t, 0) + 1
+    toks = sorted(seen)
+    return [blank, unk, *extra_symbols, *toks, sos_eos]

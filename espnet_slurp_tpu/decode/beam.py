@@ -1,0 +1,215 @@
+"""Batched label-synchronous joint CTC/attention beam search.
+
+Parity target: reference espnet/nets/beam_search.py:36-512 +
+batch_beam_search.py:31-348 (joint scoring: decoder full scores, CTC prefix
+partial scores on pre-beam candidates, length bonus, optional LM) — redesigned
+the TPU way (SURVEY.md §7): the whole search is ONE lax.while_loop over
+fixed-shape [B, K] hypothesis state; hypotheses never leave the device, ended
+hypotheses freeze in place proposing only eos at zero delta. Pre-beam keeps
+the CTC lattice work at [B*K, P] instead of [B*K, V]
+(beam_search.py:303-309 pre-beam semantics, with eos always forced into the
+candidate set so ending is always reachable).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..models.asr_model import ASRModel
+from . import ctc_prefix
+from .greedy import init_decoder_cache
+
+
+@dataclasses.dataclass(frozen=True)
+class BeamSearchConfig:
+    beam_size: int = 10
+    pre_beam_size: int = 30          # P (includes the forced eos slot)
+    max_len: int = 128
+    ctc_weight: float = 0.3
+    lm_weight: float = 0.0
+    length_bonus: float = 0.0
+
+
+class _BeamState(NamedTuple):
+    i: jnp.ndarray
+    tokens: jnp.ndarray      # [B, K, L]
+    total: jnp.ndarray       # [B, K] combined score
+    att: jnp.ndarray         # [B, K] cumulative decoder log-prob
+    ended: jnp.ndarray       # [B, K]
+    y_prev: jnp.ndarray      # [B, K]
+    cache: dict              # decoder KV cache, leaves [B*K, L, H, Dh]
+    ctc: Optional[ctc_prefix.CTCPrefixState]
+    lm_state: Optional[dict]
+
+
+def _gather_beam(x, parent):
+    """x: [B, K, ...]; parent: [B, K] -> gathered along K."""
+    idx = parent.reshape(*parent.shape,
+                         *([1] * (x.ndim - 2)))
+    return jnp.take_along_axis(x, idx, axis=1)
+
+
+def batch_beam_search(
+    model: ASRModel, params, hs: jnp.ndarray, h_lengths: jnp.ndarray,
+    cfg: BeamSearchConfig,
+    lm_step=None, lm_init=None, lm_weight: Optional[float] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (tokens [B, max_len] eos-padded, lengths [B]) of best hyps.
+
+    lm_step(y_prev [N], state) -> (logp [N, V], state) enables shallow fusion.
+    """
+    mcfg = model.cfg
+    b, t_enc, _ = hs.shape
+    k, p, l = cfg.beam_size, cfg.pre_beam_size, cfg.max_len
+    sos, eos = mcfg.sos_id, mcfg.eos_id
+    v = mcfg.vocab_size
+    p = min(p, v)
+    w_ctc = cfg.ctc_weight
+    w_att = 1.0 - w_ctc
+    w_lm = cfg.lm_weight if lm_weight is None else lm_weight
+    n = b * k
+
+    # Encoder-derived tensors, expanded to the beam ([B*K, ...]).
+    mem_kv = model.apply({"params": params}, hs,
+                         method=lambda m, x: m.decoder.precompute_memory(x))
+    mem_kv = jax.tree.map(
+        lambda x: jnp.repeat(x, k, axis=0), mem_kv)
+    h_lengths_beam = jnp.repeat(h_lengths, k, axis=0)
+
+    use_ctc = w_ctc > 0.0
+    if use_ctc:
+        ctc_lp = model.apply({"params": params}, hs,
+                             method=lambda m, x: m.ctc_logprobs(x))
+        ctc_lp_beam = jnp.repeat(ctc_lp, k, axis=0)  # [N, T, V]
+        ctc0 = ctc_prefix.init_state(ctc_lp_beam, h_lengths_beam)
+    else:
+        ctc0 = None
+
+    cache0 = init_decoder_cache(mcfg, n, l)
+    lm_state0 = lm_init(n) if lm_init is not None else None
+
+    neg = jnp.float32(-1e30)
+    total0 = jnp.tile(jnp.concatenate(
+        [jnp.zeros((1,)), jnp.full((k - 1,), neg)])[None], (b, 1))
+    state0 = _BeamState(
+        i=jnp.zeros((), jnp.int32),
+        tokens=jnp.full((b, k, l), eos, jnp.int32),
+        total=total0.astype(jnp.float32),
+        att=jnp.zeros((b, k), jnp.float32),
+        ended=jnp.zeros((b, k), bool),
+        y_prev=jnp.full((b, k), sos, jnp.int32),
+        cache=cache0, ctc=ctc0, lm_state=lm_state0)
+
+    def dec_step(mdl, y_t, idx, cache):
+        return mdl.decoder.step(y_t, idx, cache, mem_kv, h_lengths_beam, l)
+
+    def cond(st: _BeamState):
+        return (st.i < l) & ~jnp.all(st.ended)
+
+    def body(st: _BeamState):
+        logits, cache = model.apply(
+            {"params": params}, st.y_prev.reshape(n), st.i, st.cache,
+            method=dec_step)
+        att_lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)  # [N, V]
+
+        if lm_step is not None and w_lm > 0.0:
+            lm_lp, lm_state = lm_step(st.y_prev.reshape(n), st.lm_state)
+            fused = att_lp * w_att + w_lm * lm_lp
+        else:
+            lm_state = st.lm_state
+            fused = att_lp * w_att
+
+        # Pre-beam: top-(P-1) by fused score + forced eos slot.
+        _, cand = lax.top_k(fused, p - 1)  # [N, P-1]
+        cand = jnp.concatenate(
+            [cand, jnp.full((n, 1), eos, cand.dtype)], axis=1)  # [N, P]
+        delta = jnp.take_along_axis(fused, cand, axis=1)  # [N, P]
+
+        if use_ctc:
+            psi_new, r_new = ctc_prefix.score_candidates(
+                st.ctc, ctc_lp_beam, h_lengths_beam, cand, st.i,
+                mcfg.blank_id)
+            fin = ctc_prefix.final_score(st.ctc, h_lengths_beam)  # [N]
+            is_eos = cand == eos
+            ctc_cand = jnp.where(is_eos, fin[:, None], psi_new)
+            delta = delta + w_ctc * (ctc_cand - st.ctc.psi[:, None])
+        delta = delta + cfg.length_bonus
+
+        # Ended hypotheses: freeze (only eos at delta 0 — slot P-1).
+        ended_n = st.ended.reshape(n)
+        frozen = jnp.full((n, p), neg).at[:, p - 1].set(0.0)
+        delta = jnp.where(ended_n[:, None], frozen, delta)
+        # Last step: force eos (slot P-1) so every hyp terminates.
+        last_step = st.i == (l - 1)
+        forced = jnp.where(jnp.arange(p)[None, :] == p - 1, delta, neg)
+        delta = jnp.where(last_step, forced, delta)
+
+        totals = st.total.reshape(n)[:, None] + delta  # [N, P]
+        flat = totals.reshape(b, k * p)
+        new_total, idx = lax.top_k(flat, k)  # [B, K]
+        parent = idx // p
+        choice = idx % p  # index into P axis
+
+        cand_bk = cand.reshape(b, k, p)
+        tok = jnp.take_along_axis(
+            _gather_beam(cand_bk, parent), choice[..., None], axis=2)[..., 0]
+
+        tokens = _gather_beam(st.tokens, parent)
+        tokens = lax.dynamic_update_slice_in_dim(
+            tokens, tok[..., None], st.i, axis=2)
+        att_g = _gather_beam(
+            st.att.reshape(b, k, 1)
+            + jnp.take_along_axis(att_lp, cand, axis=1).reshape(b, k, p),
+            parent)
+        att_new = jnp.take_along_axis(att_g, choice[..., None],
+                                      axis=2)[..., 0]
+        ended_parent = _gather_beam(st.ended[..., None], parent)[..., 0]
+        # Frozen hyps accumulate nothing.
+        att_new = jnp.where(ended_parent,
+                            _gather_beam(st.att[..., None], parent)[..., 0],
+                            att_new)
+        ended = ended_parent | (tok == eos)
+
+        # Gather caches along the beam axis.
+        parent_n = (parent + jnp.arange(b)[:, None] * k).reshape(n)
+
+        def gather_n(x):
+            return x[parent_n]
+
+        cache = jax.tree.map(gather_n, cache)
+        if use_ctc:
+            psi_g = gather_n(psi_new)         # [N, P] -> parent-gathered
+            r_g = gather_n(r_new)
+            cand_g = gather_n(cand)
+            new_ctc = ctc_prefix.select(
+                r_g, psi_g, cand_g, choice.reshape(n), st.ctc)
+            # Ended hyps: keep psi frozen at parent's value (unused anyway).
+            old_r = jax.tree.map(gather_n, st.ctc.r)
+            old_psi = gather_n(st.ctc.psi)
+            old_last = gather_n(st.ctc.last)
+            e = ended.reshape(n)
+            new_ctc = ctc_prefix.CTCPrefixState(
+                r=jnp.where(e[:, None, None], old_r, new_ctc.r),
+                psi=jnp.where(e, old_psi, new_ctc.psi),
+                last=jnp.where(e, old_last, new_ctc.last))
+        else:
+            new_ctc = None
+        if lm_state is not None:
+            lm_state = jax.tree.map(gather_n, lm_state)
+
+        return _BeamState(
+            i=st.i + 1, tokens=tokens, total=new_total,
+            att=att_new, ended=ended, y_prev=tok, cache=cache,
+            ctc=new_ctc, lm_state=lm_state)
+
+    final = lax.while_loop(cond, body, state0)
+    best = jnp.argmax(final.total, axis=1)  # [B]
+    tokens = jnp.take_along_axis(
+        final.tokens, best[:, None, None], axis=1)[:, 0]  # [B, L]
+    lengths = jnp.sum(
+        jnp.cumprod((tokens != eos).astype(jnp.int32), axis=1), axis=1)
+    return tokens, lengths

@@ -1,0 +1,203 @@
+"""Hybrid CTC/attention ASR model — the flagship task model.
+
+Parity target: reference espnet2/asr/espnet_model.py:169-377 (ESPnetASRModel:
+frontend -> specaug -> normalize -> encoder -> {CTC branch, attention decoder
+branch}; loss = ctc_weight*ctc + (1-ctc_weight)*att_label_smoothed_CE;
+optional intermediate CTC). Here the frontend/augment/normalize stages are
+pure jittable functions living inside the same compiled train step, so raw
+waveforms go device-side once and everything after is fused by XLA.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import ctc as ctc_ops
+from ..ops.frontend import FrontendConfig, default_frontend
+from ..ops.masks import length_mask
+from ..ops.normalize import global_mvn, utterance_mvn
+from ..ops.specaug import SpecAugConfig, specaug
+from .conformer import ConformerEncoder
+from .transformer import TransformerDecoder, TransformerEncoder
+
+IGNORE_ID = -1
+
+
+@dataclasses.dataclass(frozen=True)
+class ASRConfig:
+    vocab_size: int = 5000
+    encoder: str = "conformer"  # conformer | transformer
+    d_model: int = 256
+    n_head: int = 4
+    d_ff: int = 2048
+    num_encoder_blocks: int = 12
+    num_decoder_blocks: int = 6
+    decoder_d_ff: int = 2048
+    kernel_size: int = 31
+    dropout_rate: float = 0.1
+    ctc_weight: float = 0.3
+    interctc_weight: float = 0.0
+    interctc_layers: Tuple[int, ...] = ()
+    lsm_weight: float = 0.1
+    blank_id: int = 0
+    sos: int = -1  # -1 => vocab_size - 1
+    eos: int = -1
+    use_mvn: str = "utterance"  # "global" | "utterance" | "none"
+    frontend: FrontendConfig = FrontendConfig()
+    specaug: Optional[SpecAugConfig] = SpecAugConfig()
+    dtype: str = "float32"  # compute dtype: float32 | bfloat16
+
+    @property
+    def jax_dtype(self):
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.dtype]
+
+    @property
+    def sos_id(self) -> int:
+        return self.vocab_size - 1 if self.sos < 0 else self.sos
+
+    @property
+    def eos_id(self) -> int:
+        return self.vocab_size - 1 if self.eos < 0 else self.eos
+
+
+def add_sos_eos(ys: jnp.ndarray, ys_lengths: jnp.ndarray, sos: int, eos: int,
+                ignore_id: int = IGNORE_ID):
+    """[B, U] -> (ys_in [B, U+1] with sos prepended, ys_out [B, U+1] with eos
+    appended at each example's end, padding = ignore_id in ys_out / eos in ys_in).
+
+    Mirrors add_sos_eos (espnet/nets/pytorch_backend/nets_utils.py) but fully
+    vectorized with static shapes.
+    """
+    b, u = ys.shape
+    valid = length_mask(ys_lengths, u)
+    ys_clean = jnp.where(valid, ys, 0)
+    ys_in = jnp.concatenate(
+        [jnp.full((b, 1), sos, ys.dtype), jnp.where(valid, ys_clean, eos)], 1)
+    pos = jnp.arange(u + 1)[None, :]
+    ys_out = jnp.concatenate([ys_clean, jnp.zeros((b, 1), ys.dtype)], 1)
+    ys_out = jnp.where(pos < ys_lengths[:, None], ys_out,
+                       jnp.where(pos == ys_lengths[:, None], eos, ignore_id))
+    return ys_in, ys_out
+
+
+def label_smoothing_loss(logits: jnp.ndarray, targets: jnp.ndarray,
+                         smoothing: float, ignore_id: int = IGNORE_ID):
+    """Label-smoothed CE, mean over valid tokens.
+
+    Parity: espnet/nets/pytorch_backend/transformer/label_smoothing_loss.py
+    (KLDiv vs uniform-smoothed target, normalized by batch... the reference
+    normalizes by number of sequences when normalize_length=False; we use
+    token-mean which matches normalize_length=True and is the scale-stable
+    choice). Returns (loss, accuracy).
+    """
+    v = logits.shape[-1]
+    valid = targets != ignore_id
+    tgt = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    smooth = -jnp.mean(logp, axis=-1)
+    loss = (1.0 - smoothing) * nll + smoothing * smooth
+    # constant offset so perfect prediction -> ~0 (KL form); optional, keeps
+    # numbers comparable with the reference's KLDiv loss.
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    loss = jnp.sum(jnp.where(valid, loss, 0.0)) / denom
+    pred = jnp.argmax(logits, axis=-1)
+    acc = jnp.sum((pred == tgt) & valid) / denom
+    return loss, acc
+
+
+class ASRModel(nn.Module):
+    """Encoder + CTC head + attention decoder. Parameters only; the loss
+    assembly lives in ``compute_loss`` below so training and inference share
+    the same module.
+    """
+    cfg: ASRConfig
+
+    def setup(self):
+        c = self.cfg
+        if c.encoder == "conformer":
+            self.encoder = ConformerEncoder(
+                c.d_model, c.n_head, c.d_ff, c.num_encoder_blocks,
+                c.kernel_size, c.dropout_rate, c.interctc_layers,
+                dtype=c.jax_dtype, name="encoder")
+        elif c.encoder == "transformer":
+            self.encoder = TransformerEncoder(
+                c.d_model, c.n_head, c.d_ff, c.num_encoder_blocks,
+                c.dropout_rate, dtype=c.jax_dtype, name="encoder")
+        else:
+            raise ValueError(f"unknown encoder {c.encoder}")
+        self.ctc_proj = nn.Dense(c.vocab_size, dtype=c.jax_dtype, name="ctc")
+        self.decoder = TransformerDecoder(
+            c.vocab_size, c.d_model, c.n_head, c.decoder_d_ff,
+            c.num_decoder_blocks, c.dropout_rate, dtype=c.jax_dtype,
+            name="decoder")
+
+    def encode(self, speech, speech_lengths, *, train=False, specaug_rng=None,
+               mvn_stats=None):
+        """Raw waveform -> encoder states. espnet_model.py:319-377 analogue."""
+        c = self.cfg
+        feats, feat_lengths = default_frontend(speech, speech_lengths,
+                                               c.frontend)
+        if train and c.specaug is not None and specaug_rng is not None:
+            feats = specaug(specaug_rng, feats, feat_lengths, c.specaug)
+        if c.use_mvn == "global" and mvn_stats is not None:
+            feats = global_mvn(feats, feat_lengths, *mvn_stats)
+        elif c.use_mvn == "utterance":
+            feats = utterance_mvn(feats, feat_lengths)
+        feats = feats.astype(c.jax_dtype)
+        return self.encoder(feats, feat_lengths, deterministic=not train)
+
+    def encode_feats(self, feats, feat_lengths, train=False):
+        """Pre-extracted features -> encoder states (for tests/decoding)."""
+        return self.encoder(feats.astype(self.cfg.jax_dtype), feat_lengths,
+                            deterministic=not train)
+
+    def ctc_logprobs(self, hs):
+        return jax.nn.log_softmax(
+            self.ctc_proj(hs).astype(jnp.float32), axis=-1)
+
+    def decoder_logits(self, ys_in, ys_in_lengths, hs, h_lengths, train=False):
+        return self.decoder(ys_in, ys_in_lengths, hs, h_lengths,
+                            deterministic=not train)
+
+    def __call__(self, speech, speech_lengths, text, text_lengths, *,
+                 train=False, specaug_rng=None, mvn_stats=None):
+        """Full training forward -> (loss, stats dict). espnet_model.py:169-297."""
+        c = self.cfg
+        hs, h_lengths, inter = self.encode(
+            speech, speech_lengths, train=train, specaug_rng=specaug_rng,
+            mvn_stats=mvn_stats)
+        stats: Dict[str, jnp.ndarray] = {}
+        loss = 0.0
+        if c.ctc_weight > 0.0:
+            lp = self.ctc_logprobs(hs)
+            loss_ctc = ctc_ops.ctc_loss_mean(
+                lp, h_lengths, jnp.maximum(text, 0), text_lengths, c.blank_id)
+            stats["loss_ctc"] = loss_ctc
+            if c.interctc_weight > 0.0 and inter:
+                inter_loss = 0.0
+                for _, xs in inter:
+                    ilp = self.ctc_logprobs(xs)
+                    inter_loss += ctc_ops.ctc_loss_mean(
+                        ilp, h_lengths, jnp.maximum(text, 0), text_lengths,
+                        c.blank_id)
+                inter_loss /= len(inter)
+                stats["loss_interctc"] = inter_loss
+                loss_ctc = ((1.0 - c.interctc_weight) * loss_ctc
+                            + c.interctc_weight * inter_loss)
+            loss = loss + c.ctc_weight * loss_ctc
+        if c.ctc_weight < 1.0:
+            ys_in, ys_out = add_sos_eos(jnp.maximum(text, 0), text_lengths,
+                                        c.sos_id, c.eos_id)
+            logits = self.decoder_logits(ys_in, text_lengths + 1, hs,
+                                         h_lengths, train=train)
+            loss_att, acc = label_smoothing_loss(logits, ys_out, c.lsm_weight)
+            stats["loss_att"] = loss_att
+            stats["acc"] = acc
+            loss = loss + (1.0 - c.ctc_weight) * loss_att
+        stats["loss"] = loss
+        return loss, stats

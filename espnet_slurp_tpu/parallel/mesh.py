@@ -1,0 +1,65 @@
+"""Device mesh construction and sharding helpers.
+
+TPU-native replacement for the reference's DDP/NCCL layer
+(espnet2/train/distributed_utils.py, SURVEY.md §2.10): one global
+`jax.sharding.Mesh` with named axes, NamedSharding annotations, and XLA
+collectives inserted by GSPMD. Multi-host initialization goes through
+`jax.distributed.initialize` (one process per host on a pod slice).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, model) mesh over all (or given) devices.
+
+    n_data defaults to len(devices) // n_model. On a pod slice, call
+    `jax.distributed.initialize()` first so jax.devices() spans all hosts;
+    axis order puts `model` innermost so tensor-parallel collectives ride the
+    fastest ICI links.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model == len(devices), (
+        f"mesh {n_data}x{n_model} != {len(devices)} devices")
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Place a host batch dict onto the mesh, sharded along axis 0."""
+    s = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (replaces init_process_group / NCCL rendezvous,
+    distributed_utils.py:86-101). On TPU pods all arguments are discovered
+    from the environment; on CPU test rigs pass them explicitly.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)

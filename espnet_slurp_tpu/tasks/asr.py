@@ -1,0 +1,274 @@
+"""ASR task: config-driven wiring of data + model + trainer + inference.
+
+Parity target: reference espnet2/tasks/asr.py (ASRTask: ClassChoices wiring,
+build_model, build_collate_fn, build_iter_factory) + espnet2/bin/
+asr_inference.py Speech2Text. The YAML layout:
+
+    model:   {ASRConfig fields}
+    optim:   {OptimConfig fields}
+    trainer: {TrainerOptions fields}
+    data:
+      train_dir: ...   # dir with wav.scp + text
+      valid_dir: ...
+      token_type: char|word|bpe
+      bpemodel: path (for bpe)
+      batch_bins: int
+      ...
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..data.collate import asr_batch, common_collate
+from ..data.dataset import CommonPreprocessor, SpeechDataset
+from ..data.fileio import read_2column_text
+from ..data.sampler import build_batches, epoch_shuffle, shard_batches
+from ..data.tokenizer import (BpeTokenizer, TokenIDConverter,
+                              build_token_list, build_tokenizer)
+from ..models.asr_model import ASRConfig, ASRModel
+from ..train.checkpoint import CheckpointManager
+from ..train.optim import OptimConfig, build_optimizer
+from ..train.state import TrainState, make_eval_step, make_train_step
+from ..train.trainer import Trainer, TrainerOptions
+from ..utils.config import from_dict, load_yaml, merge_dicts, save_yaml
+
+log = logging.getLogger("espnet_slurp_tpu")
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    train_dir: str = ""
+    valid_dir: str = ""
+    token_type: str = "char"  # char | word | bpe
+    bpemodel: Optional[str] = None
+    bpe_vocab_size: int = 300
+    batch_type: str = "numel"
+    batch_size: int = 16
+    batch_bins: int = 2_000_000
+    speech_bucket_multiple: int = 4096
+    text_bucket_multiple: int = 8
+    num_iters_per_epoch: Optional[int] = None
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class ASRTaskConfig:
+    exp_dir: str = "exp/asr"
+    model: ASRConfig = ASRConfig()
+    optim: OptimConfig = OptimConfig()
+    data: DataConfig = DataConfig()
+    max_epoch: int = 40
+    patience: Optional[int] = None
+    keep_nbest: int = 10
+    nbest_average: int = 5
+    log_interval: int = 50
+    resume: bool = True
+
+
+def load_task_config(path: str | None = None, overrides: Dict | None = None
+                     ) -> ASRTaskConfig:
+    d = load_yaml(path) if path else {}
+    if overrides:
+        d = merge_dicts(d, overrides)
+    return from_dict(ASRTaskConfig, d)
+
+
+class ASRTask:
+    """Builds every component from an ASRTaskConfig and runs train/decode."""
+
+    # ---------- vocabulary ----------
+
+    @staticmethod
+    def prepare_vocab(cfg: ASRTaskConfig):
+        """Build tokenizer + token list from the training text. Returns
+        (tokenizer, converter, resolved ASRConfig with true vocab_size)."""
+        data = cfg.data
+        texts = read_2column_text(Path(data.train_dir) / "text")
+        if data.token_type == "bpe":
+            bpe_path = data.bpemodel or str(Path(cfg.exp_dir) / "bpe.json")
+            if not Path(bpe_path).exists():
+                BpeTokenizer.train(texts.values(), data.bpe_vocab_size,
+                                   bpe_path)
+            tokenizer = build_tokenizer("bpe", bpemodel=bpe_path)
+        else:
+            tokenizer = build_tokenizer(data.token_type)
+        token_list_path = Path(cfg.exp_dir) / "tokens.txt"
+        if token_list_path.exists():
+            converter = TokenIDConverter(token_list_path)
+        else:
+            tl = build_token_list(texts.values(), tokenizer)
+            token_list_path.parent.mkdir(parents=True, exist_ok=True)
+            token_list_path.write_text(
+                "\n".join(tl) + "\n", encoding="utf-8")
+            converter = TokenIDConverter(tl)
+        model_cfg = dataclasses.replace(cfg.model,
+                                        vocab_size=converter.vocab_size)
+        return tokenizer, converter, model_cfg
+
+    # ---------- data ----------
+
+    @staticmethod
+    def build_dataset(data_dir: str, tokenizer, converter) -> SpeechDataset:
+        pre = CommonPreprocessor(tokenizer, converter)
+        return SpeechDataset(
+            [(str(Path(data_dir) / "wav.scp"), "speech", "sound"),
+             (str(Path(data_dir) / "text"), "text", "text")],
+            preprocess=pre)
+
+    @staticmethod
+    def build_iter_factory(cfg: ASRTaskConfig, dataset: SpeechDataset,
+                           shuffle: bool = True, rank: int = 0,
+                           world: int = 1):
+        """Epoch-seeded bucketed batch iterator factory (SURVEY.md §2.2)."""
+        data = cfg.data
+        # Shapes from the data itself (collect pass; reference uses shape
+        # files from collect-stats — here lengths are cheap to read).
+        speech_shapes = {}
+        text_shapes = {}
+        for uid in dataset.keys:
+            _, d = dataset[uid]
+            speech_shapes[uid] = (len(d["speech"]),)
+            text_shapes[uid] = (len(d["text"]),)
+        batches = build_batches(
+            [speech_shapes, text_shapes], batch_type=data.batch_type,
+            batch_size=data.batch_size, batch_bins=data.batch_bins,
+            min_batch_size=world)
+        if world > 1:
+            batches = shard_batches(batches, rank, world)
+
+        buckets = {"speech": data.speech_bucket_multiple,
+                   "text": data.text_bucket_multiple}
+
+        def factory(epoch: int):
+            bs = epoch_shuffle(batches, data.seed, epoch) if shuffle \
+                else batches
+            if data.num_iters_per_epoch:
+                k = data.num_iters_per_epoch
+                bs = bs[(epoch - 1) * k % max(len(bs), 1):][:k] or bs[:k]
+            for batch_utts in bs:
+                items = [dataset[u] for u in batch_utts]
+                uids, coll = common_collate(items, bucket_multiples=buckets)
+                yield asr_batch(uids, coll)
+
+        return factory
+
+    # ---------- model/training ----------
+
+    @staticmethod
+    def build_model(model_cfg: ASRConfig) -> ASRModel:
+        return ASRModel(model_cfg)
+
+    @staticmethod
+    def init_params(model: ASRModel, seed: int = 0):
+        cfg = model.cfg
+        b, n, u = 2, max(cfg.frontend.n_fft * 2, 512), 4
+        rng = jax.random.PRNGKey(seed)
+        batch = {
+            "speech": np.zeros((b, n), np.float32),
+            "speech_lengths": np.full((b,), n, np.int32),
+            "text": np.ones((b, u), np.int32),
+            "text_lengths": np.full((b,), u, np.int32),
+        }
+        return model.init(rng, batch["speech"], batch["speech_lengths"],
+                          batch["text"], batch["text_lengths"])["params"]
+
+    @classmethod
+    def train(cls, cfg: ASRTaskConfig, mesh=None) -> TrainState:
+        exp = Path(cfg.exp_dir)
+        exp.mkdir(parents=True, exist_ok=True)
+        tokenizer, converter, model_cfg = cls.prepare_vocab(cfg)
+        resolved = dataclasses.replace(cfg, model=model_cfg)
+        save_yaml(resolved, exp / "config.yaml")
+
+        model = cls.build_model(model_cfg)
+        params = cls.init_params(model, cfg.data.seed)
+        tx = build_optimizer(cfg.optim)
+        state = TrainState.create(params, tx,
+                                  jax.random.PRNGKey(cfg.data.seed))
+        if mesh is not None:
+            from ..parallel.mesh import replicated
+            state = jax.device_put(state, replicated(mesh))
+
+        train_ds = cls.build_dataset(cfg.data.train_dir, tokenizer, converter)
+        valid_ds = cls.build_dataset(cfg.data.valid_dir, tokenizer, converter)
+        train_if = cls.build_iter_factory(cfg, train_ds, shuffle=True)
+        valid_if = cls.build_iter_factory(cfg, valid_ds, shuffle=False)
+
+        ckpt = CheckpointManager(exp, cfg.keep_nbest)
+        trainer = Trainer(
+            make_train_step(model, tx), make_eval_step(model), ckpt,
+            TrainerOptions(max_epoch=cfg.max_epoch, patience=cfg.patience,
+                           keep_nbest=cfg.keep_nbest,
+                           nbest_average=cfg.nbest_average,
+                           log_interval=cfg.log_interval,
+                           resume=cfg.resume),
+            mesh=mesh)
+        return trainer.run(state, train_if, valid_if)
+
+
+class Speech2Text:
+    """Inference wrapper (asr_inference.py:48-885 Speech2Text analogue).
+
+    Loads exp/config.yaml + a checkpoint, exposes __call__(waveform) -> text.
+    """
+
+    def __init__(self, exp_dir: str, ckpt_name: Optional[str] = None,
+                 max_len: int = 128, beam_size: int = 1,
+                 ctc_weight: float = 0.0):
+        exp = Path(exp_dir)
+        self.cfg = load_task_config(exp / "config.yaml")
+        tokenizer, converter, model_cfg = ASRTask.prepare_vocab(self.cfg)
+        self.tokenizer, self.converter = tokenizer, converter
+        self.model = ASRModel(model_cfg)
+        mgr = CheckpointManager(exp, self.cfg.keep_nbest)
+        if ckpt_name is None:
+            cands = sorted(exp.glob("valid.*best"))
+            if cands:
+                ckpt_name = cands[0].name
+            else:
+                ckpt_name = f"{mgr.latest_epoch()}epoch"
+        self.params = mgr.load_params(ckpt_name)
+        self.max_len = max_len
+        self.beam_size = beam_size
+        self.ctc_weight = ctc_weight
+        self._decode_jit = None
+
+    def _build_decode(self):
+        from ..decode.greedy import attention_greedy_decode
+        from ..decode.beam import BeamSearchConfig, batch_beam_search
+
+        model = self.model
+
+        def decode(params, speech, speech_lengths):
+            hs, h_lengths, _ = model.apply(
+                {"params": params}, speech, speech_lengths,
+                method=lambda m, s, sl: m.encode(s, sl, train=False))
+            if self.beam_size <= 1:
+                return attention_greedy_decode(model, params, hs, h_lengths,
+                                               self.max_len)
+            bs_cfg = BeamSearchConfig(beam_size=self.beam_size,
+                                      max_len=self.max_len,
+                                      ctc_weight=self.ctc_weight)
+            return batch_beam_search(model, params, hs, h_lengths, bs_cfg)
+
+        return jax.jit(decode)
+
+    def __call__(self, speech: np.ndarray) -> str:
+        """Single-utterance decode: [N] float waveform -> text."""
+        if self._decode_jit is None:
+            self._decode_jit = self._build_decode()
+        from ..data.sampler import bucket_length
+        n = bucket_length(len(speech),
+                          self.cfg.data.speech_bucket_multiple)
+        buf = np.zeros((1, n), np.float32)
+        buf[0, :len(speech)] = speech
+        tokens, lengths = self._decode_jit(
+            self.params, buf, np.array([len(speech)], np.int32))
+        ids = np.asarray(tokens)[0][: int(lengths[0])]
+        return self.tokenizer.tokens2text(self.converter.ids2tokens(ids))

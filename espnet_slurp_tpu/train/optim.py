@@ -1,0 +1,68 @@
+"""Optimizers and LR schedules as optax chains.
+
+Parity targets: reference espnet2/schedulers/warmup_lr.py (WarmupLR: lr *
+warmup^0.5 * min(step^-0.5, step*warmup^-1.5) — Noam without the d_model
+factor), espnet2/optimizers (adam/adamw/sgd...), and the Trainer's per-step
+grad machinery (accum_grad, clip_grad_norm, grad noise — trainer.py:608-706)
+which here becomes optax transformations inside the jitted step.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    name: str = "adam"
+    lr: float = 2e-3
+    scheduler: str = "warmuplr"  # warmuplr | noam | constant
+    warmup_steps: int = 25000
+    d_model: int = 256  # used by "noam"
+    weight_decay: float = 0.0
+    betas: tuple = (0.9, 0.98)
+    eps: float = 1e-9
+    grad_clip: float = 5.0
+    accum_grad: int = 1
+
+
+def build_schedule(cfg: OptimConfig) -> optax.Schedule:
+    if cfg.scheduler == "constant":
+        return lambda step: cfg.lr
+    if cfg.scheduler == "warmuplr":
+        def sched(step):
+            s = jnp.maximum(jnp.asarray(step, jnp.float32), 1.0)
+            return cfg.lr * cfg.warmup_steps**0.5 * jnp.minimum(
+                s**-0.5, s * cfg.warmup_steps**-1.5)
+        return sched
+    if cfg.scheduler == "noam":
+        def sched(step):
+            s = jnp.maximum(jnp.asarray(step, jnp.float32), 1.0)
+            return cfg.lr * cfg.d_model**-0.5 * jnp.minimum(
+                s**-0.5, s * cfg.warmup_steps**-1.5)
+        return sched
+    raise ValueError(f"unknown scheduler {cfg.scheduler}")
+
+
+def build_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    sched = build_schedule(cfg)
+    if cfg.name in ("adam", "adamw"):
+        core = optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1],
+                                   eps=cfg.eps)
+    elif cfg.name == "sgd":
+        core = optax.identity()
+    else:
+        raise ValueError(f"unknown optimizer {cfg.name}")
+    parts = []
+    if cfg.grad_clip > 0:
+        parts.append(optax.clip_by_global_norm(cfg.grad_clip))
+    parts.append(core)
+    if cfg.weight_decay > 0:
+        parts.append(optax.add_decayed_weights(cfg.weight_decay))
+    parts.append(optax.scale_by_learning_rate(sched))
+    tx = optax.chain(*parts)
+    if cfg.accum_grad > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_grad)
+    return tx

@@ -1,0 +1,118 @@
+"""Data pipeline tests: fileio, tokenizers, samplers, collate, mini corpus."""
+import numpy as np
+import pytest
+
+from espnet_slurp_tpu.data import (
+    CharTokenizer, CommonPreprocessor, DatadirWriter, SpeechDataset,
+    TokenIDConverter, WordTokenizer, build_batches, build_token_list,
+    bucket_length, common_collate, epoch_shuffle, load_wav,
+    read_2column_text, shard_batches, write_wav,
+)
+from espnet_slurp_tpu.data.mini_corpus import make_mini_corpus
+
+
+def test_wav_roundtrip(tmp_path):
+    wav = np.sin(np.linspace(0, 100, 1600)).astype(np.float32) * 0.5
+    p = str(tmp_path / "a.wav")
+    write_wav(p, wav, 16000)
+    out, sr = load_wav(p)
+    assert sr == 16000
+    np.testing.assert_allclose(out, wav, atol=1e-4)
+
+
+def test_datadir_writer(tmp_path):
+    with DatadirWriter(tmp_path / "d") as w:
+        w["text"]["b"] = "hello"
+        w["text"]["a"] = "world"
+    m = read_2column_text(tmp_path / "d" / "text")
+    assert m == {"a": "world", "b": "hello"}
+    assert list(m) == ["a", "b"]  # sorted
+
+
+def test_char_tokenizer():
+    tok = CharTokenizer()
+    toks = tok.text2tokens("ab c")
+    assert toks == ["a", "b", "<space>", "c"]
+    assert tok.tokens2text(toks) == "ab c"
+
+
+def test_token_id_converter_roundtrip():
+    tl = build_token_list(["hello world", "foo"], WordTokenizer())
+    conv = TokenIDConverter(tl)
+    assert tl[0] == "<blank>" and tl[-1] == "<sos/eos>"
+    ids = conv.tokens2ids(["hello", "foo"])
+    assert conv.ids2tokens(ids) == ["hello", "foo"]
+    # unknown maps to <unk>
+    assert conv.tokens2ids(["zzz"]) == [conv.token2id["<unk>"]]
+
+
+def test_bpe_tokenizer(tmp_path):
+    from espnet_slurp_tpu.data import BpeTokenizer
+    texts = ["the quick brown fox", "the lazy dog", "quick quick fox"] * 10
+    tok = BpeTokenizer.train(texts, vocab_size=50,
+                             out_path=str(tmp_path / "bpe.json"))
+    toks = tok.text2tokens("the quick fox")
+    assert len(toks) >= 3
+    assert tok.tokens2text(toks) == "the quick fox"
+
+
+def test_build_batches_numel_and_shard():
+    shapes = [{f"u{i}": (100 + 10 * i,) for i in range(10)}]
+    batches = build_batches(shapes, batch_type="numel", batch_bins=800,
+                            min_batch_size=2)
+    all_utts = sorted(u for b in batches for u in b)
+    assert all_utts == sorted(shapes[0])
+    # each batch's padded numel stays near budget
+    for b in batches[:-1]:
+        first = max(shapes[0][u][0] for u in b)
+        assert len(b) * first <= 1000
+    sharded = shard_batches([["a", "b", "c", "d"]], rank=1, world=2)
+    assert sharded == [["b", "d"]]
+    s0 = epoch_shuffle(batches, seed=0, epoch=1)
+    s1 = epoch_shuffle(batches, seed=0, epoch=1)
+    assert s0 == s1
+
+
+def test_bucket_length():
+    assert bucket_length(100, 64) % 64 == 0
+    assert bucket_length(100, 64) >= 100
+    # bounded number of buckets up to 100k
+    buckets = {bucket_length(n, 640) for n in range(1, 100000, 137)}
+    assert len(buckets) < 30
+
+
+def test_collate_bucketing():
+    items = [
+        ("a", {"speech": np.ones(1000, np.float32),
+               "text": np.array([1, 2, 3])}),
+        ("b", {"speech": np.ones(500, np.float32),
+               "text": np.array([4])}),
+    ]
+    uids, out = common_collate(items, bucket_multiples={"speech": 640,
+                                                        "text": 8})
+    assert uids == ["a", "b"]
+    assert out["speech"].shape[1] % 640 == 0
+    assert out["speech"].shape[1] >= 1000
+    assert out["text"].shape[1] % 8 == 0
+    np.testing.assert_array_equal(out["speech_lengths"], [1000, 500])
+    np.testing.assert_array_equal(out["text_lengths"], [3, 1])
+    assert out["text"][1, 1] == -1  # int pad
+
+
+def test_mini_corpus_and_dataset(tmp_path):
+    train_dir, dev_dir = make_mini_corpus(tmp_path, n_train=6, n_dev=2)
+    texts = read_2column_text(train_dir / "text")
+    assert len(texts) == 6
+    tok = WordTokenizer()
+    tl = build_token_list(texts.values(), tok)
+    conv = TokenIDConverter(tl)
+    pre = CommonPreprocessor(tok, conv)
+    ds = SpeechDataset(
+        [(str(train_dir / "wav.scp"), "speech", "sound"),
+         (str(train_dir / "text"), "text", "text")],
+        preprocess=pre)
+    uid, data = ds[0]
+    assert data["speech"].dtype == np.float32
+    assert data["speech"].ndim == 1 and len(data["speech"]) > 1000
+    assert data["text"].dtype == np.int64
+    assert (data["text"] > 0).all()
