@@ -1,0 +1,58 @@
+"""ASR inference CLI: decode a data dir, write hyps, score WER/CER.
+
+Parity target: reference espnet2/bin/asr_inference.py (Speech2Text over a
+data dir, writing exp/.../text) + asr.sh stage 12-13 scoring.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description="Decode with a trained ASR model")
+    p.add_argument("--exp_dir", required=True)
+    p.add_argument("--data_dir", required=True,
+                   help="dir with wav.scp (+ text for scoring)")
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--ckpt", default=None,
+                   help="checkpoint dir name under exp_dir")
+    p.add_argument("--beam_size", type=int, default=10)
+    p.add_argument("--ctc_weight", type=float, default=0.3)
+    p.add_argument("--max_len", type=int, default=128)
+    p.add_argument("--nj", type=int, default=1)
+    return p
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    args = get_parser().parse_args(argv)
+    from ..data.fileio import DatadirWriter, load_wav, read_2column_text
+    from ..tasks.asr import Speech2Text
+    from ..utils.metrics import error_rate
+
+    s2t = Speech2Text(args.exp_dir, ckpt_name=args.ckpt,
+                      max_len=args.max_len, beam_size=args.beam_size,
+                      ctc_weight=args.ctc_weight)
+    wavs = read_2column_text(Path(args.data_dir) / "wav.scp")
+    hyps = {}
+    with DatadirWriter(args.output_dir) as w:
+        for uid, path in wavs.items():
+            wav, _ = load_wav(path)
+            hyps[uid] = s2t(wav)
+            w["text"][uid] = hyps[uid]
+    ref_path = Path(args.data_dir) / "text"
+    if ref_path.exists():
+        refs = read_2column_text(ref_path)
+        wer, stats = error_rate(refs, hyps, unit="word")
+        cer, _ = error_rate(refs, hyps, unit="char")
+        logging.info("WER=%.2f%% CER=%.2f%% (%d ref words)", wer * 100,
+                     cer * 100, stats.ref_len)
+        with open(Path(args.output_dir) / "score.txt", "w") as f:
+            f.write(f"WER {wer:.4f}\nCER {cer:.4f}\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

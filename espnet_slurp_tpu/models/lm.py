@@ -107,9 +107,9 @@ class LSTMLM(nn.Module):
     def setup(self):
         c = self.cfg
         self.embed = nn.Embed(c.vocab_size, c.d_model, dtype=c.jax_dtype)
-        self.cells = [nn.OptimizedLSTMCell(c.d_model, dtype=c.jax_dtype,
-                                           name=f"lstm_{i}")
-                      for i in range(c.num_layers)]
+        self.rnns = [nn.RNN(nn.OptimizedLSTMCell(c.d_model, dtype=c.jax_dtype),
+                            name=f"rnn_{i}")
+                     for i in range(c.num_layers)]
         self.output = nn.Dense(c.vocab_size, dtype=c.jax_dtype)
 
     def init_carry(self, batch: int):
@@ -120,17 +120,17 @@ class LSTMLM(nn.Module):
     def step(self, y_t, carry):
         x = self.embed(y_t)
         new_carry = []
-        for cell, cr in zip(self.cells, carry):
-            cr, x = cell(cr, x)
+        for rnn, cr in zip(self.rnns, carry):
+            cr, x = rnn.cell(cr, x)
             new_carry.append(cr)
         return self.output(x), new_carry
 
     def __call__(self, ys, ys_lengths):
-        # nn.RNN handles the time scan with proper linen functionalization;
-        # `step` reuses the same cells for incremental decoding.
+        # nn.RNN handles the time scan with linen functionalization; `step`
+        # reuses the same cells (rnn.cell) for incremental decoding.
         x = self.embed(ys)
-        for i, cell in enumerate(self.cells):
-            x = nn.RNN(cell, name=f"rnn_{i}")(x)
+        for rnn in self.rnns:
+            x = rnn(x)
         return self.output(x)
 
 
