@@ -142,15 +142,20 @@ class TransformerDecoder(nn.Module):
         self.output = nn.Dense(self.vocab_size, dtype=self.dtype)
 
     def __call__(self, ys, ys_lengths, memory, memory_lengths,
-                 deterministic=True):
-        """Training/scoring forward: [B, L] ids -> [B, L, V] logits."""
+                 deterministic=True, memory_mask=None):
+        """Training/scoring forward: [B, L] ids -> [B, L, V] logits.
+
+        memory_mask: optional [B, Tk] bool overriding the contiguous
+        length_mask (used by SLU fused acoustic+text memories).
+        """
         b, l = ys.shape
         x = abs_positional_encoding(self.embed(ys), scale=True)
         self_mask = causal_mask(l)[None, None] & \
             length_mask(ys_lengths, l)[:, None, None, :]
         self_bias = attention_bias(self_mask)
-        mem_bias = attention_bias(
-            length_mask(memory_lengths, memory.shape[1])[:, None, None, :])
+        if memory_mask is None:
+            memory_mask = length_mask(memory_lengths, memory.shape[1])
+        mem_bias = attention_bias(memory_mask[:, None, None, :])
         for layer in self.layers:
             x = layer(x, self_bias, memory, mem_bias, deterministic)
         return self.output(self.after_norm(x))
@@ -169,7 +174,8 @@ class TransformerDecoder(nn.Module):
                                        layer.src_attn.project_kv(memory)))
                 for i, layer in enumerate(self.layers)}
 
-    def step(self, y_t, step_idx, cache, mem_kv, memory_lengths, max_len):
+    def step(self, y_t, step_idx, cache, mem_kv, memory_lengths, max_len,
+             memory_mask=None):
         """One step: y_t [B] token ids at position step_idx.
 
         Returns ([B, V] log-probs-unnormalized logits, new cache).
@@ -184,8 +190,9 @@ class TransformerDecoder(nn.Module):
         pos = lax.broadcasted_iota(jnp.int32, (1, 1, 1, max_len), 3)
         self_bias = jnp.where(pos <= step_idx, 0.0, -1e9).astype(jnp.float32)
         mem_len = mem_kv["layer_0"]["k"].shape[1]
-        mem_bias = attention_bias(
-            length_mask(memory_lengths, mem_len)[:, None, None, :])
+        if memory_mask is None:
+            memory_mask = length_mask(memory_lengths, mem_len)
+        mem_bias = attention_bias(memory_mask[:, None, None, :])
         x = emb
         new_cache = {}
         for i, layer in enumerate(self.layers):

@@ -1,0 +1,181 @@
+"""SLU model: hybrid CTC/attention over intent+entity token targets, with
+optional two-pass transcript fusion.
+
+Parity target: reference espnet2/slu/espnet_model.py (ESPnetSLUModel:
+ASR model + postencoder + postdecoder(BERT over transcript) + concat of
+acoustic and text memories + deliberation encoder + shared decoder;
+encode at :324-440). The BERT postdecoder is replaced by an in-framework
+Transformer text encoder over the transcript token stream (same role:
+contextual word representations for the second pass; a HF checkpoint can be
+distilled in later — the fusion interface is identical).
+
+TPU design notes: the reference compacts the concatenated [acoustic; text]
+memory per example with a Python loop (espnet_model.py:408-421); here the
+memories are concatenated *padded* and a combined boolean memory mask feeds
+the decoder/deliberation attention — no data movement, no dynamic shapes.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..models.asr_model import (ASRConfig, add_sos_eos, label_smoothing_loss)
+from ..models.conformer import ConformerBlock
+from ..models.embedding import abs_positional_encoding, rel_positional_embedding
+from ..models.transformer import TransformerDecoder
+from ..ops import ctc as ctc_ops
+from ..ops.masks import attention_bias, length_mask
+from ..models.asr_model import ASRModel
+
+
+@dataclasses.dataclass(frozen=True)
+class SLUConfig:
+    asr: ASRConfig = ASRConfig()
+    two_pass: bool = False
+    transcript_vocab_size: int = 0          # set by the task from vocab
+    text_encoder_blocks: int = 4
+    text_encoder_d_ff: int = 1024
+    deliberation_blocks: int = 0            # conformer blocks over fused memory
+    deliberation_d_ff: int = 1024
+
+
+class TextEncoder(nn.Module):
+    """Transformer encoder over transcript tokens (BERT-postdecoder analogue,
+    reference espnet2/slu/postdecoder/hugging_face_transformers_postdecoder.py).
+    """
+    vocab_size: int
+    d_model: int
+    n_head: int
+    d_ff: int
+    num_blocks: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens, lengths, deterministic=True):
+        x = nn.Embed(self.vocab_size, self.d_model, dtype=self.dtype,
+                     name="embed")(tokens)
+        x = abs_positional_encoding(x, scale=True)
+        mask = length_mask(lengths, tokens.shape[1])
+        bias = attention_bias(mask[:, None, None, :])
+        from ..models.attention import MultiHeadAttention
+        for i in range(self.num_blocks):
+            h = nn.LayerNorm(dtype=self.dtype, name=f"norm1_{i}")(x)
+            x = x + MultiHeadAttention(self.n_head, self.d_model,
+                                       dtype=self.dtype,
+                                       name=f"attn_{i}")(h, h, h, bias)
+            h = nn.LayerNorm(dtype=self.dtype, name=f"norm2_{i}")(x)
+            h = nn.Dense(self.d_ff, dtype=self.dtype, name=f"ff1_{i}")(h)
+            x = x + nn.Dense(self.d_model, dtype=self.dtype,
+                             name=f"ff2_{i}")(nn.gelu(h))
+        x = nn.LayerNorm(dtype=self.dtype, name="after_norm")(x)
+        return jnp.where(mask[..., None], x, 0.0), mask
+
+
+class DeliberationEncoder(nn.Module):
+    """Conformer blocks over the fused memory (reference deliberationencoder
+    choice, tasks/slu.py:233-239)."""
+    d_model: int
+    n_head: int
+    d_ff: int
+    num_blocks: int
+    kernel_size: int = 15
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic=True):
+        t = x.shape[1]
+        pos_emb = rel_positional_embedding(t, self.d_model, self.dtype)
+        bias = attention_bias(mask[:, None, None, :])
+        for i in range(self.num_blocks):
+            x = ConformerBlock(self.d_model, self.n_head, self.d_ff,
+                               self.kernel_size, 0.0, self.dtype,
+                               name=f"block_{i}")(
+                                   x, pos_emb, bias, mask, deterministic)
+        return jnp.where(mask[..., None], x, 0.0)
+
+
+class SLUModel(nn.Module):
+    """Speech -> intent+entity token sequence, optionally fused with a
+    transcript second stream (two-pass)."""
+    cfg: SLUConfig
+
+    def setup(self):
+        c = self.cfg
+        self.asr = ASRModel(c.asr, name="asr")
+        if c.two_pass:
+            self.text_encoder = TextEncoder(
+                c.transcript_vocab_size, c.asr.d_model, c.asr.n_head,
+                c.text_encoder_d_ff, c.text_encoder_blocks,
+                dtype=c.asr.jax_dtype, name="text_encoder")
+            if c.deliberation_blocks > 0:
+                self.deliberation = DeliberationEncoder(
+                    c.asr.d_model, c.asr.n_head, c.deliberation_d_ff,
+                    c.deliberation_blocks, dtype=c.asr.jax_dtype,
+                    name="deliberation")
+
+    def encode(self, speech, speech_lengths, transcript=None,
+               transcript_lengths=None, *, train=False, specaug_rng=None,
+               mvn_stats=None):
+        """Returns (memory, memory_mask) — mask-based, not length-based."""
+        c = self.cfg
+        hs, h_lengths, _ = self.asr.encode(
+            speech, speech_lengths, train=train, specaug_rng=specaug_rng,
+            mvn_stats=mvn_stats)
+        a_mask = length_mask(h_lengths, hs.shape[1])
+        if not c.two_pass or transcript is None:
+            return hs, a_mask
+        ts, t_mask = self.text_encoder(jnp.maximum(transcript, 0),
+                                       transcript_lengths,
+                                       deterministic=not train)
+        memory = jnp.concatenate([hs, ts], axis=1)
+        mask = jnp.concatenate([a_mask, t_mask], axis=1)
+        if c.deliberation_blocks > 0:
+            memory = self.deliberation(memory, mask, deterministic=not train)
+        return memory, mask
+
+    def __call__(self, speech, speech_lengths, text, text_lengths,
+                 transcript=None, transcript_lengths=None, *,
+                 train=False, specaug_rng=None, mvn_stats=None):
+        """Loss forward. `text` = intent+entity token targets."""
+        c = self.cfg.asr
+        hs, h_lengths, _ = self.asr.encode(
+            speech, speech_lengths, train=train, specaug_rng=specaug_rng,
+            mvn_stats=mvn_stats)
+        a_mask = length_mask(h_lengths, hs.shape[1])
+        if self.cfg.two_pass and transcript is not None:
+            ts, t_mask = self.text_encoder(jnp.maximum(transcript, 0),
+                                           transcript_lengths,
+                                           deterministic=not train)
+            memory = jnp.concatenate([hs, ts], axis=1)
+            mem_mask = jnp.concatenate([a_mask, t_mask], axis=1)
+            if self.cfg.deliberation_blocks > 0:
+                memory = self.deliberation(memory, mem_mask,
+                                           deterministic=not train)
+        else:
+            memory, mem_mask = hs, a_mask
+        stats: Dict[str, jnp.ndarray] = {}
+        loss = 0.0
+        if c.ctc_weight > 0.0:
+            # CTC attaches to the acoustic encoder output only (pre-fusion),
+            # matching the reference loss path (espnet2/slu/espnet_model.py).
+            lp = self.asr.ctc_logprobs(hs)
+            loss_ctc = ctc_ops.ctc_loss_mean(
+                lp, h_lengths, jnp.maximum(text, 0), text_lengths, c.blank_id)
+            stats["loss_ctc"] = loss_ctc
+            loss = loss + c.ctc_weight * loss_ctc
+        if c.ctc_weight < 1.0:
+            ys_in, ys_out = add_sos_eos(jnp.maximum(text, 0), text_lengths,
+                                        c.sos_id, c.eos_id)
+            logits = self.asr.decoder(ys_in, text_lengths + 1, memory,
+                                      None, deterministic=not train,
+                                      memory_mask=mem_mask)
+            loss_att, acc = label_smoothing_loss(logits, ys_out, c.lsm_weight)
+            stats["loss_att"] = loss_att
+            stats["acc"] = acc
+            loss = loss + (1.0 - c.ctc_weight) * loss_att
+        stats["loss"] = loss
+        return loss, stats

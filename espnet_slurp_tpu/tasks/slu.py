@@ -1,0 +1,277 @@
+"""SLU task: SLURP-style intent+entity prediction, optional two-pass.
+
+Parity target: reference espnet2/tasks/slu.py (SLUTask: adds
+--transcript_token_list, --two_pass, postdecoder/deliberationencoder
+choices) + espnet2/bin/slu_inference.py (Speech2Understand taking a
+transcript second input at :241-290) + the slurp recipes' scoring.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..data.collate import common_collate
+from ..data.dataset import CommonPreprocessor, SpeechDataset
+from ..data.fileio import read_2column_text
+from ..data.tokenizer import (TokenIDConverter, WordTokenizer,
+                              build_token_list)
+from ..slu.model import SLUConfig, SLUModel
+from ..train.checkpoint import CheckpointManager
+from ..train.optim import OptimConfig, build_optimizer
+from ..train.state import TrainState
+from ..train.trainer import Trainer, TrainerOptions
+from ..utils.config import from_dict, load_yaml, merge_dicts, save_yaml
+from .asr import DataConfig
+
+log = logging.getLogger("espnet_slurp_tpu")
+
+
+@dataclasses.dataclass(frozen=True)
+class SLUTaskConfig:
+    exp_dir: str = "exp/slu"
+    model: SLUConfig = SLUConfig()
+    optim: OptimConfig = OptimConfig()
+    data: DataConfig = DataConfig()
+    max_epoch: int = 40
+    patience: Optional[int] = None
+    keep_nbest: int = 10
+    nbest_average: int = 5
+    log_interval: int = 50
+    resume: bool = True
+
+
+def load_slu_config(path=None, overrides=None) -> SLUTaskConfig:
+    d = load_yaml(path) if path else {}
+    if overrides:
+        d = merge_dicts(d, overrides)
+    return from_dict(SLUTaskConfig, d)
+
+
+def slu_batch(uids, data) -> Dict[str, np.ndarray]:
+    out = {
+        "speech": data["speech"].astype(np.float32),
+        "speech_lengths": data["speech_lengths"],
+        "text": np.maximum(data["text"], 0).astype(np.int32),
+        "text_lengths": data["text_lengths"],
+    }
+    if "transcript" in data:
+        out["transcript"] = np.maximum(data["transcript"], 0).astype(np.int32)
+        out["transcript_lengths"] = data["transcript_lengths"]
+    return out
+
+
+class SLUTask:
+    @staticmethod
+    def prepare_vocab(cfg: SLUTaskConfig):
+        """SLU vocab: word tokenizer over intent+entity text; separate word
+        vocab for the transcript stream (SLUPreprocessor semantics,
+        preprocessor.py:335-414)."""
+        data = cfg.data
+        exp = Path(cfg.exp_dir)
+        texts = read_2column_text(Path(data.train_dir) / "text")
+        tokenizer = WordTokenizer()
+        tl_path = exp / "tokens.txt"
+        if tl_path.exists():
+            conv = TokenIDConverter(tl_path)
+        else:
+            tl = build_token_list(texts.values(), tokenizer)
+            tl_path.parent.mkdir(parents=True, exist_ok=True)
+            tl_path.write_text("\n".join(tl) + "\n", encoding="utf-8")
+            conv = TokenIDConverter(tl)
+        extra = {}
+        t_conv = None
+        if cfg.model.two_pass:
+            tr_texts = read_2column_text(Path(data.train_dir) / "transcript")
+            ttl_path = exp / "transcript_tokens.txt"
+            if ttl_path.exists():
+                t_conv = TokenIDConverter(ttl_path)
+            else:
+                ttl = build_token_list(tr_texts.values(), tokenizer)
+                ttl_path.write_text("\n".join(ttl) + "\n", encoding="utf-8")
+                t_conv = TokenIDConverter(ttl)
+            extra["transcript"] = (WordTokenizer(), t_conv)
+        asr_cfg = dataclasses.replace(cfg.model.asr,
+                                      vocab_size=conv.vocab_size)
+        model_cfg = dataclasses.replace(
+            cfg.model, asr=asr_cfg,
+            transcript_vocab_size=t_conv.vocab_size if t_conv else 0)
+        return tokenizer, conv, extra, model_cfg
+
+    @staticmethod
+    def build_dataset(cfg: SLUTaskConfig, data_dir: str, tokenizer, conv,
+                      extra) -> SpeechDataset:
+        pre = CommonPreprocessor(tokenizer, conv, extra=extra)
+        streams = [(str(Path(data_dir) / "wav.scp"), "speech", "sound"),
+                   (str(Path(data_dir) / "text"), "text", "text")]
+        if cfg.model.two_pass:
+            streams.append(
+                (str(Path(data_dir) / "transcript"), "transcript", "text"))
+        return SpeechDataset(streams, preprocess=pre)
+
+    @classmethod
+    def build_iter_factory(cls, cfg: SLUTaskConfig, dataset, shuffle=True):
+        from ..data.sampler import build_batches, epoch_shuffle
+        data = cfg.data
+        shapes = {}
+        for uid in dataset.keys:
+            _, d = dataset[uid]
+            shapes[uid] = (len(d["speech"]),)
+        batches = build_batches([shapes], batch_type=data.batch_type,
+                                batch_size=data.batch_size,
+                                batch_bins=data.batch_bins)
+        buckets = {"speech": data.speech_bucket_multiple,
+                   "text": data.text_bucket_multiple,
+                   "transcript": data.text_bucket_multiple}
+
+        def factory(epoch):
+            bs = epoch_shuffle(batches, data.seed, epoch) if shuffle \
+                else batches
+            for utts in bs:
+                items = [dataset[u] for u in utts]
+                uids, coll = common_collate(items, bucket_multiples=buckets)
+                yield slu_batch(uids, coll)
+
+        return factory
+
+    @classmethod
+    def train(cls, cfg: SLUTaskConfig, mesh=None) -> TrainState:
+        exp = Path(cfg.exp_dir)
+        exp.mkdir(parents=True, exist_ok=True)
+        tokenizer, conv, extra, model_cfg = cls.prepare_vocab(cfg)
+        save_yaml(dataclasses.replace(cfg, model=model_cfg),
+                  exp / "config.yaml")
+        model = SLUModel(model_cfg)
+
+        train_ds = cls.build_dataset(cfg, cfg.data.train_dir, tokenizer,
+                                     conv, extra)
+        valid_ds = cls.build_dataset(cfg, cfg.data.valid_dir, tokenizer,
+                                     conv, extra)
+        # init from one real batch (shapes representative)
+        factory = cls.build_iter_factory(cfg, train_ds, shuffle=False)
+        batch0 = next(iter(factory(1)))
+        rng = jax.random.PRNGKey(cfg.data.seed)
+        params = model.init(rng, **{k: v for k, v in batch0.items()})["params"]
+
+        tx = build_optimizer(cfg.optim)
+        state = TrainState.create(params, tx, rng)
+        if mesh is not None:
+            from ..parallel.mesh import replicated
+            state = jax.device_put(state, replicated(mesh))
+
+        from ..train.state import make_eval_step, make_train_step
+        ckpt = CheckpointManager(exp, cfg.keep_nbest)
+        trainer = Trainer(make_train_step(model, tx),
+                          make_eval_step(model), ckpt,
+                          TrainerOptions(max_epoch=cfg.max_epoch,
+                                         patience=cfg.patience,
+                                         keep_nbest=cfg.keep_nbest,
+                                         nbest_average=cfg.nbest_average,
+                                         log_interval=cfg.log_interval,
+                                         resume=cfg.resume),
+                          mesh=mesh)
+        train_if = cls.build_iter_factory(cfg, train_ds, shuffle=True)
+        valid_if = cls.build_iter_factory(cfg, valid_ds, shuffle=False)
+        return trainer.run(state, train_if, valid_if)
+
+
+class Speech2Understand:
+    """Inference (slu_inference.py:38-702 analogue): speech [+ transcript]
+    -> intent+entity text, greedy or beam decode over the fused memory."""
+
+    def __init__(self, exp_dir: str, ckpt_name: Optional[str] = None,
+                 max_len: int = 64):
+        exp = Path(exp_dir)
+        self.cfg = load_slu_config(exp / "config.yaml")
+        tok, conv, extra, model_cfg = SLUTask.prepare_vocab(self.cfg)
+        self.tokenizer, self.converter = tok, conv
+        self.extra = extra
+        self.model = SLUModel(model_cfg)
+        mgr = CheckpointManager(exp, self.cfg.keep_nbest)
+        if ckpt_name is None:
+            cands = sorted(exp.glob("valid.*best"))
+            ckpt_name = cands[0].name if cands else f"{mgr.latest_epoch()}epoch"
+        self.params = mgr.load_params(ckpt_name)
+        self.max_len = max_len
+        self._jit = {}
+
+    def __call__(self, speech: np.ndarray,
+                 transcript: Optional[str] = None) -> str:
+        from ..data.sampler import bucket_length
+        from ..decode.greedy import init_decoder_cache
+        import jax.numpy as jnp
+        from jax import lax
+
+        model, cfg = self.model, self.cfg
+        n = bucket_length(len(speech), cfg.data.speech_bucket_multiple)
+        buf = np.zeros((1, n), np.float32)
+        buf[0, :len(speech)] = speech
+        kwargs = {"speech": jnp.asarray(buf),
+                  "speech_lengths": jnp.array([len(speech)], np.int32)}
+        if cfg.model.two_pass and transcript is not None:
+            wt, wconv = self.extra["transcript"]
+            ids = wconv.tokens2ids(wt.text2tokens(transcript))
+            tl = bucket_length(max(len(ids), 1), 8)
+            tbuf = np.zeros((1, tl), np.int32)
+            tbuf[0, :len(ids)] = ids
+            kwargs["transcript"] = jnp.asarray(tbuf)
+            kwargs["transcript_lengths"] = jnp.array([len(ids)], np.int32)
+
+        key = tuple(v.shape for v in kwargs.values())
+        if key not in self._jit:
+            def decode(params, kw):
+                memory, mem_mask = model.apply(
+                    {"params": params},
+                    kw["speech"], kw["speech_lengths"],
+                    kw.get("transcript"), kw.get("transcript_lengths"),
+                    method=lambda m, s, sl, tr, trl: m.encode(s, sl, tr, trl))
+                return _greedy_over_memory(
+                    model, params, memory, mem_mask, self.max_len)
+            self._jit[key] = jax.jit(decode)
+        tokens, lengths = self._jit[key](self.params, kwargs)
+        ids = np.asarray(tokens)[0][: int(lengths[0])]
+        return self.tokenizer.tokens2text(self.converter.ids2tokens(ids))
+
+
+def _greedy_over_memory(model: SLUModel, params, memory, mem_mask, max_len):
+    """Greedy decode with an explicit memory mask (SLU fused memory)."""
+    import jax.numpy as jnp
+    from jax import lax
+    from ..decode.greedy import init_decoder_cache
+
+    acfg = model.cfg.asr
+    b = memory.shape[0]
+    sos, eos = acfg.sos_id, acfg.eos_id
+    mem_kv = model.apply({"params": params}, memory,
+                         method=lambda m, x: m.asr.decoder.precompute_memory(x))
+    cache = init_decoder_cache(acfg, b, max_len)
+    lengths_dummy = jnp.zeros((b,), jnp.int32)
+
+    def step_fn(mdl, y_t, idx, cache):
+        return mdl.asr.decoder.step(y_t, idx, cache, mem_kv, lengths_dummy,
+                                    max_len, memory_mask=mem_mask)
+
+    tokens0 = jnp.full((b, max_len), eos, jnp.int32)
+    state = (jnp.zeros((), jnp.int32), jnp.full((b,), sos, jnp.int32),
+             tokens0, jnp.zeros((b,), bool), cache)
+
+    def cond(st):
+        i, _, _, ended, _ = st
+        return (i < max_len) & ~jnp.all(ended)
+
+    def body(st):
+        i, y_prev, tokens, ended, cache = st
+        logits, cache = model.apply({"params": params}, y_prev, i, cache,
+                                    method=step_fn)
+        y = jnp.argmax(logits, -1).astype(jnp.int32)
+        y = jnp.where(ended, eos, y)
+        tokens = lax.dynamic_update_slice_in_dim(tokens, y[:, None], i, 1)
+        return (i + 1, y, tokens, ended | (y == eos), cache)
+
+    _, _, tokens, _, _ = lax.while_loop(cond, body, state)
+    lengths = jnp.sum(jnp.cumprod((tokens != eos).astype(jnp.int32), 1), 1)
+    return tokens, lengths

@@ -42,8 +42,9 @@ def make_train_step(
 ) -> Callable:
     """Build the jitted train step: (state, batch) -> (state, stats).
 
-    ``batch`` = dict(speech, speech_lengths, text, text_lengths), already
-    device-side (sharded along the batch dim on a mesh, or single-device).
+    ``batch`` is a dict of model.__call__ kwargs (speech, speech_lengths,
+    text, text_lengths, [transcript, ...]), already device-side (sharded
+    along the batch dim on a mesh, or single-device).
     """
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -54,12 +55,8 @@ def make_train_step(
 
         def loss_fn(params):
             loss, stats = model.apply(
-                {"params": params},
-                batch["speech"], batch["speech_lengths"],
-                batch["text"], batch["text_lengths"],
-                train=True, specaug_rng=specaug_rng, mvn_stats=mvn_stats,
-                rngs={"dropout": dropout_rng},
-            )
+                {"params": params}, train=True, specaug_rng=specaug_rng,
+                mvn_stats=mvn_stats, rngs={"dropout": dropout_rng}, **batch)
             return loss, stats
 
         (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -87,9 +84,7 @@ def make_train_step(
 def make_eval_step(model, mvn_stats=None) -> Callable:
     def step_fn(state: TrainState, batch):
         loss, stats = model.apply(
-            {"params": state.params},
-            batch["speech"], batch["speech_lengths"],
-            batch["text"], batch["text_lengths"],
-            train=False, mvn_stats=mvn_stats)
+            {"params": state.params}, train=False, mvn_stats=mvn_stats,
+            **batch)
         return stats
     return jax.jit(step_fn)

@@ -1,0 +1,119 @@
+"""SLU tests: metrics, model forward (1-pass + 2-pass), e2e mini pipeline."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from espnet_slurp_tpu.models.asr_model import ASRConfig
+from espnet_slurp_tpu.ops.frontend import FrontendConfig
+from espnet_slurp_tpu.slu.metrics import (intent_accuracy, parse_entity_text,
+                                          slu_f1)
+from espnet_slurp_tpu.slu.mini_corpus import make_slu_mini_corpus
+from espnet_slurp_tpu.slu.model import SLUConfig, SLUModel
+
+TINY_ASR = ASRConfig(
+    vocab_size=30, d_model=32, n_head=2, d_ff=64, num_encoder_blocks=2,
+    num_decoder_blocks=1, decoder_d_ff=64, kernel_size=7, dropout_rate=0.0,
+    ctc_weight=0.3,
+    frontend=FrontendConfig(n_fft=128, hop_length=64, n_mels=16),
+    specaug=None)
+
+
+def test_parse_entity_text():
+    intent, ents, tr = parse_entity_text(
+        "play_music SEP song FILL yesterday SEP device FILL speaker "
+        "SEP play yesterday on speaker")
+    assert intent == "play_music"
+    assert ents == [("song", "yesterday"), ("device", "speaker")]
+    assert tr == "play yesterday on speaker"
+
+
+def test_intent_accuracy_and_f1():
+    refs = {"a": "play_music SEP song FILL abc SEP play abc",
+            "b": "weather_query SEP place FILL paris SEP weather in paris"}
+    hyps = {"a": "play_music SEP song FILL abc SEP play abc",
+            "b": "calendar_set SEP place FILL paris SEP weather in paris"}
+    assert intent_accuracy(refs, hyps) == 0.5
+    st = slu_f1(refs, hyps)
+    assert st.tp == 2 and st.fp == 0 and st.fn == 0
+    hyps2 = {"a": "play_music SEP song FILL zzz SEP play zzz", "b": ""}
+    st2 = slu_f1(refs, hyps2)
+    assert st2.tp == 0 and st2.fp == 1 and st2.fn == 2
+
+
+def _batch(b=2, n=1600, u=5, tu=4, seed=0, with_transcript=False):
+    rng = np.random.RandomState(seed)
+    out = {
+        "speech": jnp.asarray(rng.randn(b, n).astype(np.float32) * 0.1),
+        "speech_lengths": jnp.asarray([n, n // 2]),
+        "text": jnp.asarray(rng.randint(1, 28, size=(b, u))),
+        "text_lengths": jnp.asarray([u, u - 2]),
+    }
+    if with_transcript:
+        out["transcript"] = jnp.asarray(rng.randint(1, 18, size=(b, tu)))
+        out["transcript_lengths"] = jnp.asarray([tu, tu - 1])
+    return out
+
+
+def test_slu_model_single_pass():
+    model = SLUModel(SLUConfig(asr=TINY_ASR))
+    batch = _batch()
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+    loss, stats = model.apply({"params": params}, **batch)
+    assert np.isfinite(float(loss))
+    assert "loss_ctc" in stats and "loss_att" in stats
+
+
+def test_slu_model_two_pass_with_deliberation():
+    cfg = SLUConfig(asr=TINY_ASR, two_pass=True, transcript_vocab_size=20,
+                    text_encoder_blocks=1, text_encoder_d_ff=32,
+                    deliberation_blocks=1, deliberation_d_ff=32)
+    model = SLUModel(cfg)
+    batch = _batch(with_transcript=True)
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+
+    def loss_fn(p):
+        loss, _ = model.apply({"params": p}, **batch)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    # text encoder received gradient (fusion is live)
+    te_leaves = jax.tree.leaves(grads["text_encoder"])
+    assert any(float(jnp.abs(g).max()) > 0 for g in te_leaves)
+
+
+def test_slu_e2e_mini(tmp_path):
+    """Train 2 epochs on the synthetic SLU corpus, decode, score."""
+    from espnet_slurp_tpu.tasks.slu import (SLUTask, SLUTaskConfig,
+                                            Speech2Understand)
+    from espnet_slurp_tpu.tasks.asr import DataConfig
+    from espnet_slurp_tpu.train.optim import OptimConfig
+    from espnet_slurp_tpu.data.fileio import load_wav, read_2column_text
+
+    train_dir, dev_dir = make_slu_mini_corpus(tmp_path / "corpus",
+                                              n_train=8, n_dev=2)
+    cfg = SLUTaskConfig(
+        exp_dir=str(tmp_path / "exp"),
+        model=SLUConfig(asr=TINY_ASR, two_pass=True,
+                        text_encoder_blocks=1, text_encoder_d_ff=32),
+        optim=OptimConfig(lr=1e-3, scheduler="constant"),
+        data=DataConfig(train_dir=str(train_dir), valid_dir=str(dev_dir),
+                        batch_type="sorted", batch_size=4,
+                        speech_bucket_multiple=2048, text_bucket_multiple=4),
+        max_epoch=2, keep_nbest=2, nbest_average=2)
+    state = SLUTask.train(cfg)
+    assert int(state.step) > 0
+
+    s2u = Speech2Understand(cfg.exp_dir, max_len=10)
+    wavs = read_2column_text(dev_dir / "wav.scp")
+    trs = read_2column_text(dev_dir / "transcript")
+    refs = read_2column_text(dev_dir / "text")
+    uid = next(iter(wavs))
+    wav, _ = load_wav(wavs[uid])
+    out = s2u(wav, transcript=trs[uid])
+    assert isinstance(out, str)
+    acc = intent_accuracy({uid: refs[uid]}, {uid: out})
+    assert 0.0 <= acc <= 1.0
