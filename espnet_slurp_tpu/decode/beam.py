@@ -9,6 +9,12 @@ hypotheses freeze in place proposing only eos at zero delta. Pre-beam keeps
 the CTC lattice work at [B*K, P] instead of [B*K, V]
 (beam_search.py:303-309 pre-beam semantics, with eos always forced into the
 candidate set so ending is always reachable).
+
+Optional TCPGen biasing (`biasing` arg): per-hypothesis trie-node state is
+carried in the beam state, the pointer distribution is mixed into the
+decoder scores each step, and the node advances via the vectorized
+trie_step — the reference's per-hypothesis dict walk
+(decoders.py:recognize_beam:864-1442) collapses into batched gathers.
 """
 from __future__ import annotations
 
@@ -44,6 +50,8 @@ class _BeamState(NamedTuple):
     cache: dict              # decoder KV cache, leaves [B*K, L, H, Dh]
     ctc: Optional[ctc_prefix.CTCPrefixState]
     lm_state: Optional[dict]
+    node: Optional[jnp.ndarray]       # [B, K] TCPGen trie node
+    pmask: Optional[jnp.ndarray]      # [B, K] TCPGen p_gen disable mask
 
 
 def _gather_beam(x, parent):
@@ -57,10 +65,13 @@ def batch_beam_search(
     model: ASRModel, params, hs: jnp.ndarray, h_lengths: jnp.ndarray,
     cfg: BeamSearchConfig,
     lm_step=None, lm_init=None, lm_weight: Optional[float] = None,
+    biasing: Optional[dict] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tokens [B, max_len] eos-padded, lengths [B]) of best hyps.
 
     lm_step(y_prev [N], state) -> (logp [N, V], state) enables shallow fusion.
+    biasing: {'trie': {trie_* arrays}, 'boundary_mask': [V+1] bool,
+    'dead': int, 'smoothprob': float} enables TCPGen contextual biasing.
     """
     mcfg = model.cfg
     b, t_enc, _ = hs.shape
@@ -92,6 +103,18 @@ def batch_beam_search(
     cache0 = init_decoder_cache(mcfg, n, l)
     lm_state0 = lm_init(n) if lm_init is not None else None
 
+    use_bias = biasing is not None
+    if use_bias:
+        from ..models.tcpgen import tcpgen_final_logprobs, trie_step
+        trie = biasing["trie"]
+        tree_encs = model.apply({"params": params}, trie,
+                                method=lambda m, t: m.tcpgen_tree_encs(t))
+        node0 = jnp.zeros((b, k), jnp.int32)
+        pmask0 = jnp.zeros((b, k), jnp.int32)
+    else:
+        node0 = None
+        pmask0 = None
+
     neg = jnp.float32(-1e30)
     total0 = jnp.tile(jnp.concatenate(
         [jnp.zeros((1,)), jnp.full((k - 1,), neg)])[None], (b, 1))
@@ -102,19 +125,36 @@ def batch_beam_search(
         att=jnp.zeros((b, k), jnp.float32),
         ended=jnp.zeros((b, k), bool),
         y_prev=jnp.full((b, k), sos, jnp.int32),
-        cache=cache0, ctc=ctc0, lm_state=lm_state0)
+        cache=cache0, ctc=ctc0, lm_state=lm_state0, node=node0,
+        pmask=pmask0)
 
     def dec_step(mdl, y_t, idx, cache):
-        return mdl.decoder.step(y_t, idx, cache, mem_kv, h_lengths_beam, l)
+        return mdl.decoder.step(y_t, idx, cache, mem_kv, h_lengths_beam, l,
+                                return_hidden=use_bias)
 
     def cond(st: _BeamState):
         return (st.i < l) & ~jnp.all(st.ended)
 
     def body(st: _BeamState):
-        logits, cache = model.apply(
-            {"params": params}, st.y_prev.reshape(n), st.i, st.cache,
-            method=dec_step)
-        att_lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)  # [N, V]
+        if use_bias:
+            logits, cache, hidden = model.apply(
+                {"params": params}, st.y_prev.reshape(n), st.i, st.cache,
+                method=dec_step)
+            ptr_dist, kb_emb = model.apply(
+                {"params": params}, hidden, st.node.reshape(n), trie,
+                tree_encs,
+                method=lambda m, h, nd, t, e: m.tcpgen(h, nd, t, e))
+            p_gen = model.apply(
+                {"params": params}, hidden, kb_emb, st.pmask.reshape(n),
+                biasing.get("smoothprob", 1.0),
+                method=lambda m, h, kb, pm, sp: m.tcpgen.gen_prob(
+                    h, kb, pm, sp))
+            att_lp = tcpgen_final_logprobs(logits, ptr_dist, p_gen)
+        else:
+            logits, cache = model.apply(
+                {"params": params}, st.y_prev.reshape(n), st.i, st.cache,
+                method=dec_step)
+            att_lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
 
         if lm_step is not None and w_lm > 0.0:
             lm_lp, lm_state = lm_step(st.y_prev.reshape(n), st.lm_state)
@@ -200,11 +240,19 @@ def batch_beam_search(
             new_ctc = None
         if lm_state is not None:
             lm_state = jax.tree.map(gather_n, lm_state)
+        if use_bias:
+            new_node, new_pmask = trie_step(
+                trie, gather_n(st.node.reshape(n)), tok.reshape(n),
+                biasing["boundary_mask"], eos, biasing["dead"])
+            new_node = new_node.reshape(b, k)
+            new_pmask = new_pmask.reshape(b, k)
+        else:
+            new_node, new_pmask = st.node, st.pmask
 
         return _BeamState(
             i=st.i + 1, tokens=tokens, total=new_total,
             att=att_new, ended=ended, y_prev=tok, cache=cache,
-            ctc=new_ctc, lm_state=lm_state)
+            ctc=new_ctc, lm_state=lm_state, node=new_node, pmask=new_pmask)
 
     final = lax.while_loop(cond, body, state0)
     best = jnp.argmax(final.total, axis=1)  # [B]

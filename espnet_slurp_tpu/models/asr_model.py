@@ -47,6 +47,9 @@ class ASRConfig:
     sos: int = -1  # -1 => vocab_size - 1
     eos: int = -1
     use_mvn: str = "utterance"  # "global" | "utterance" | "none"
+    use_tcpgen: bool = False
+    tcpgen_gcn_layers: int = 2
+    tcpgen_smoothprob: float = 1.0
     frontend: FrontendConfig = FrontendConfig()
     specaug: Optional[SpecAugConfig] = SpecAugConfig()
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
@@ -85,7 +88,8 @@ def add_sos_eos(ys: jnp.ndarray, ys_lengths: jnp.ndarray, sos: int, eos: int,
 
 
 def label_smoothing_loss(logits: jnp.ndarray, targets: jnp.ndarray,
-                         smoothing: float, ignore_id: int = IGNORE_ID):
+                         smoothing: float, ignore_id: int = IGNORE_ID,
+                         logits_are_logprobs: bool = False):
     """Label-smoothed CE, mean over valid tokens.
 
     Parity: espnet/nets/pytorch_backend/transformer/label_smoothing_loss.py
@@ -97,7 +101,10 @@ def label_smoothing_loss(logits: jnp.ndarray, targets: jnp.ndarray,
     v = logits.shape[-1]
     valid = targets != ignore_id
     tgt = jnp.where(valid, targets, 0)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    if logits_are_logprobs:
+        logp = logits.astype(jnp.float32)
+    else:
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
     smooth = -jnp.mean(logp, axis=-1)
     loss = (1.0 - smoothing) * nll + smoothing * smooth
@@ -135,6 +142,11 @@ class ASRModel(nn.Module):
             c.vocab_size, c.d_model, c.n_head, c.decoder_d_ff,
             c.num_decoder_blocks, c.dropout_rate, dtype=c.jax_dtype,
             name="decoder")
+        if c.use_tcpgen:
+            from .tcpgen import TCPGen
+            self.tcpgen = TCPGen(c.d_model, c.vocab_size,
+                                 c.tcpgen_gcn_layers, c.dropout_rate,
+                                 dtype=c.jax_dtype, name="tcpgen")
 
     def encode(self, speech, speech_lengths, *, train=False, specaug_rng=None,
                mvn_stats=None):
@@ -164,9 +176,22 @@ class ASRModel(nn.Module):
         return self.decoder(ys_in, ys_in_lengths, hs, h_lengths,
                             deterministic=not train)
 
+    def tcpgen_tree_encs(self, trie):
+        """Encode trie nodes with the GCN over decoder token embeddings."""
+        token_embs = self.decoder.embed(trie["trie_token"])
+        return self.tcpgen.encode_tree(token_embs, trie)
+
     def __call__(self, speech, speech_lengths, text, text_lengths, *,
-                 train=False, specaug_rng=None, mvn_stats=None):
-        """Full training forward -> (loss, stats dict). espnet_model.py:169-297."""
+                 trie_token=None, trie_children_tok=None,
+                 trie_children_node=None, trie_n_children=None, node=None,
+                 p_gen_mask=None, train=False, specaug_rng=None,
+                 mvn_stats=None):
+        """Full training forward -> (loss, stats dict). espnet_model.py:169-297.
+
+        The trie_*/node/p_gen_mask kwargs are the TCPGen biasing batch
+        (slu/kb.py BiasingBatch): a flat trie shared across the batch and the
+        host-precomputed teacher-forced walk.
+        """
         c = self.cfg
         hs, h_lengths, inter = self.encode(
             speech, speech_lengths, train=train, specaug_rng=specaug_rng,
@@ -193,9 +218,29 @@ class ASRModel(nn.Module):
         if c.ctc_weight < 1.0:
             ys_in, ys_out = add_sos_eos(jnp.maximum(text, 0), text_lengths,
                                         c.sos_id, c.eos_id)
-            logits = self.decoder_logits(ys_in, text_lengths + 1, hs,
-                                         h_lengths, train=train)
-            loss_att, acc = label_smoothing_loss(logits, ys_out, c.lsm_weight)
+            use_ptr = c.use_tcpgen and trie_token is not None
+            if use_ptr:
+                from .tcpgen import tcpgen_final_logprobs
+                trie = {"trie_token": trie_token,
+                        "trie_children_tok": trie_children_tok,
+                        "trie_children_node": trie_children_node,
+                        "trie_n_children": trie_n_children}
+                logits, hidden = self.decoder(
+                    ys_in, text_lengths + 1, hs, h_lengths,
+                    deterministic=not train, return_hidden=True)
+                tree_encs = self.tcpgen_tree_encs(trie)
+                ptr_dist, kb_emb = self.tcpgen(hidden, node, trie, tree_encs)
+                p_gen = self.tcpgen.gen_prob(hidden, kb_emb, p_gen_mask,
+                                             c.tcpgen_smoothprob)
+                logp = tcpgen_final_logprobs(logits, ptr_dist, p_gen)
+                loss_att, acc = label_smoothing_loss(
+                    logp, ys_out, c.lsm_weight, logits_are_logprobs=True)
+                stats["p_gen"] = jnp.mean(p_gen)
+            else:
+                logits = self.decoder_logits(ys_in, text_lengths + 1, hs,
+                                             h_lengths, train=train)
+                loss_att, acc = label_smoothing_loss(logits, ys_out,
+                                                     c.lsm_weight)
             stats["loss_att"] = loss_att
             stats["acc"] = acc
             loss = loss + (1.0 - c.ctc_weight) * loss_att

@@ -1,0 +1,170 @@
+"""TCPGen: tree-constrained pointer generator over GNN-encoded prefix trees.
+
+Parity target: reference espnet/nets/pytorch_backend/rnn/decoders.py —
+get_meetingKB_emb_map (:215-228, scaled-dot attention over valid tree-node
+embeddings + OOKB slot), get_lextree_step_embs (:286-354, constrained tree
+walk), forward_gcn (:468-487, parent->child adjacency with self-loops,
+symmetric-normalized, ReLU), calc_ptr_loss (:523-538, final distribution
+p = ptr*p_gen + model*(1 - p_gen + p_gen*p_OOKB)).
+
+TPU redesign: the trie is a flat tensor (slu/kb.py FlatTrie); all positions
+of a teacher-forced batch are scored in ONE batched gather+einsum (the
+reference loops per step in Python); the GCN is two gathers and a matmul per
+layer; decode-time walk is a vectorized compare+select (`trie_step`).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class GCNTreeEncoder(nn.Module):
+    """GCN over the trie: h' = relu(D^-1/2 A D^-1/2 (h W)), A = self+children.
+
+    Matches forward_gcn (decoders.py:468-487): adjacency rows are
+    [self, children...], degree = 1 + n_children, 1-3 layers.
+    """
+    d_model: int
+    num_layers: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, node_feats, children_node, n_children):
+        """node_feats [N, D]; children_node [N, MB]; n_children [N] -> [N, D]."""
+        mb = children_node.shape[1]
+        norm = jax.lax.rsqrt(1.0 + n_children.astype(jnp.float32))  # [N]
+        kmask = (jnp.arange(mb)[None, :]
+                 < n_children[:, None]).astype(jnp.float32)  # [N, MB]
+        h = node_feats.astype(self.dtype)
+        for i in range(self.num_layers):
+            h1 = nn.Dense(self.d_model, dtype=self.dtype,
+                          name=f"gcn_l{i+1}")(h)
+            gn = h1 * norm[:, None].astype(h1.dtype)
+            child = gn[children_node] * kmask[..., None].astype(gn.dtype)
+            agg = (gn + child.sum(axis=1)) * norm[:, None].astype(gn.dtype)
+            h = nn.relu(agg)
+        return h
+
+
+class TCPGen(nn.Module):
+    """Pointer network over current-node children + OOKB sink.
+
+    __call__ is position-batched: queries [..., D] and node ids [...] of any
+    leading shape (e.g. [B, U] for training, [N_hyps] for decoding).
+    """
+    d_model: int
+    vocab_size: int
+    gcn_layers: int = 2
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.qproj = nn.Dense(self.d_model, dtype=self.dtype, name="Qproj")
+        self.kproj = nn.Dense(self.d_model, dtype=self.dtype, name="Kproj")
+        self.gate = nn.Dense(1, dtype=self.dtype, name="pointer_gate")
+        self.ookb = self.param("ooKBemb", nn.initializers.normal(0.02),
+                               (1, self.d_model), self.dtype)
+        self.gcn = GCNTreeEncoder(self.d_model, self.gcn_layers, self.dtype,
+                                  name="tree_encoder")
+
+    def encode_tree(self, token_embs, trie) -> jnp.ndarray:
+        """Pre-encode all trie nodes once per batch.
+
+        token_embs: [N, D] embedding of each node's incoming token (use the
+        decoder embedding table, as the reference does — decoders.py:440).
+        trie: dict with children_node [N, MB], n_children [N].
+        """
+        return self.gcn(token_embs, trie["trie_children_node"],
+                        trie["trie_n_children"])
+
+    def __call__(self, queries, node_ids, trie, tree_encs
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (ptr_dist [..., V+1] (last = OOKB), kb_emb [..., D])."""
+        mb = trie["trie_children_tok"].shape[1]
+        v = self.vocab_size
+        ct = trie["trie_children_tok"][node_ids]      # [..., MB]
+        cn = trie["trie_children_node"][node_ids]     # [..., MB]
+        nc = trie["trie_n_children"][node_ids]        # [...]
+        embs = tree_encs[cn]                          # [..., MB, D]
+        keys = self.kproj(embs)                       # [..., MB, D]
+        ookb_key = self.kproj(self.ookb)              # [1, D]
+        q = self.qproj(queries)                       # [..., D]
+        scale = 1.0 / jnp.sqrt(jnp.asarray(self.d_model, jnp.float32))
+        s_child = jnp.einsum("...kd,...d->...k", keys, q,
+                             preferred_element_type=jnp.float32) * scale
+        valid = jnp.arange(mb) < nc[..., None]
+        s_child = jnp.where(valid, s_child, -1e9)
+        s_ookb = jnp.einsum("d,...d->...", ookb_key[0], q,
+                            preferred_element_type=jnp.float32)[..., None] \
+            * scale
+        scores = jnp.concatenate([s_child, s_ookb], axis=-1)  # [..., MB+1]
+        w = jax.nn.softmax(scores, axis=-1)
+        kb_emb = jnp.einsum("...k,...kd->...d", w[..., :mb].astype(self.dtype),
+                            keys)
+        # Scatter child weights into the vocab axis; invalid slots -> OOKB.
+        tok_idx = jnp.where(valid, ct, v).astype(jnp.int32)   # [..., MB]
+        flat_shape = (-1, mb)
+        ti = tok_idx.reshape(flat_shape)
+        wf = w[..., :mb].reshape(flat_shape)
+        n = ti.shape[0]
+        ptr = jnp.zeros((n, v + 1), jnp.float32)
+        ptr = ptr.at[jnp.arange(n)[:, None], ti].add(wf)
+        ptr = ptr.at[:, v].add(w[..., mb].reshape(-1))
+        ptr = ptr.reshape(*tok_idx.shape[:-1], v + 1)
+        return ptr, kb_emb
+
+    def gen_prob(self, hidden, kb_emb, p_gen_mask, smoothprob: float = 1.0
+                 ) -> jnp.ndarray:
+        """p_gen = sigmoid(gate([hidden; kb_emb])) * smoothprob, zeroed where
+        the walk left the tree (decoders.py:771-781)."""
+        g = nn.sigmoid(self.gate(jnp.concatenate(
+            [hidden, kb_emb], axis=-1)).astype(jnp.float32))[..., 0]
+        return jnp.where(p_gen_mask > 0, 0.0, g * smoothprob)
+
+
+def tcpgen_final_logprobs(logits, ptr_dist, p_gen) -> jnp.ndarray:
+    """Mix model and pointer distributions (calc_ptr_loss, decoders.py:523-538):
+
+      p = ptr[:, :V]*p_gen + softmax(logits)*(1 - p_gen + p_gen*ptr[:, V])
+
+    Returns log p (the OOKB mass flows back through the model distribution).
+    """
+    v = logits.shape[-1]
+    p_model = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    pg = p_gen[..., None]
+    ookb = ptr_dist[..., v:v + 1]
+    p = ptr_dist[..., :v] * pg + p_model * (1.0 - pg + pg * ookb)
+    return jnp.log(p + 1e-9)
+
+
+def trie_step(trie: Dict[str, jnp.ndarray], node, y, boundary_mask,
+              eos_id: int, dead: int):
+    """Vectorized decode-time walk: (node [N], chosen token y [N]) -> new node.
+
+    boundary_mask: [V+1]-shaped bool lookup of word-boundary tokens
+    (tokens ending in '▁' / <space>). Mirrors
+    get_lextree_step_embs_inference (decoders.py:251-285).
+    Returns (new_node [N], p_gen_mask [N]).
+    """
+    ct = trie["trie_children_tok"][node]   # [N, MB]
+    cn = trie["trie_children_node"][node]
+    nc = trie["trie_n_children"][node]
+    mb = ct.shape[1]
+    valid = jnp.arange(mb)[None, :] < nc[:, None]
+    hit = (ct == y[:, None]) & valid       # [N, MB]
+    found = jnp.any(hit, axis=1)
+    child = jnp.sum(jnp.where(hit, cn, 0), axis=1)  # unique match or 0
+    child_nc = trie["trie_n_children"][child]
+    is_eos = y == eos_id
+    is_boundary = boundary_mask[y]
+    # boundary: descend if child exists and has children, else root
+    boundary_node = jnp.where(found & (child_nc > 0), child, 0)
+    in_tree_node = jnp.where(found, child, dead)
+    new_node = jnp.where(is_eos, 0,
+                         jnp.where(is_boundary, boundary_node, in_tree_node))
+    p_gen_mask = jnp.where(is_eos | is_boundary, 0,
+                           jnp.where(found, 0, 1))
+    return new_node.astype(jnp.int32), p_gen_mask.astype(jnp.int32)

@@ -142,7 +142,7 @@ class TransformerDecoder(nn.Module):
         self.output = nn.Dense(self.vocab_size, dtype=self.dtype)
 
     def __call__(self, ys, ys_lengths, memory, memory_lengths,
-                 deterministic=True, memory_mask=None):
+                 deterministic=True, memory_mask=None, return_hidden=False):
         """Training/scoring forward: [B, L] ids -> [B, L, V] logits.
 
         memory_mask: optional [B, Tk] bool overriding the contiguous
@@ -158,7 +158,10 @@ class TransformerDecoder(nn.Module):
         mem_bias = attention_bias(memory_mask[:, None, None, :])
         for layer in self.layers:
             x = layer(x, self_bias, memory, mem_bias, deterministic)
-        return self.output(self.after_norm(x))
+        hidden = self.after_norm(x)
+        if return_hidden:
+            return self.output(hidden), hidden
+        return self.output(hidden)
 
     # ---- incremental decoding -------------------------------------------
 
@@ -175,7 +178,7 @@ class TransformerDecoder(nn.Module):
                 for i, layer in enumerate(self.layers)}
 
     def step(self, y_t, step_idx, cache, mem_kv, memory_lengths, max_len,
-             memory_mask=None):
+             memory_mask=None, return_hidden=False):
         """One step: y_t [B] token ids at position step_idx.
 
         Returns ([B, V] log-probs-unnormalized logits, new cache).
@@ -201,7 +204,10 @@ class TransformerDecoder(nn.Module):
             x, ck, cv = layer.step(x, c["k"], c["v"], step_idx, self_bias,
                                    m["k"], m["v"], mem_bias)
             new_cache[f"layer_{i}"] = {"k": ck, "v": cv}
-        logits = self.output(self.after_norm(x))[:, 0]
+        hidden = self.after_norm(x)[:, 0]
+        logits = self.output(hidden)
+        if return_hidden:
+            return logits, new_cache, hidden
         return logits, new_cache
 
 

@@ -220,7 +220,8 @@ class Speech2Text:
 
     def __init__(self, exp_dir: str, ckpt_name: Optional[str] = None,
                  max_len: int = 128, beam_size: int = 1,
-                 ctc_weight: float = 0.0):
+                 ctc_weight: float = 0.0, biasing_words=None,
+                 tcpgen_smoothprob: float = 1.0):
         exp = Path(exp_dir)
         self.cfg = load_task_config(exp / "config.yaml")
         tokenizer, converter, model_cfg = ASRTask.prepare_vocab(self.cfg)
@@ -238,6 +239,29 @@ class Speech2Text:
         self.beam_size = beam_size
         self.ctc_weight = ctc_weight
         self._decode_jit = None
+        self.biasing = None
+        if biasing_words:
+            # Build the biasing trie from raw words (decode-time KB,
+            # asr_recog.py --meetingKB analogue).
+            import jax.numpy as jnp
+            from ..slu.kb import build_trie
+            pieces = [self.converter.tokens2ids(
+                self.tokenizer.text2tokens(w)) for w in biasing_words]
+            t = build_trie(pieces)
+            v = self.model.cfg.vocab_size
+            boundary = np.zeros((v + 1,), bool)
+            for i, tok in enumerate(self.converter.token_list):
+                if tok.endswith("\u2581") or tok == "<space>":
+                    boundary[i] = True
+            self.biasing = {
+                "trie": {"trie_token": jnp.asarray(t.token),
+                         "trie_children_tok": jnp.asarray(t.children_tok),
+                         "trie_children_node": jnp.asarray(t.children_node),
+                         "trie_n_children": jnp.asarray(t.n_children)},
+                "boundary_mask": jnp.asarray(boundary),
+                "dead": t.dead,
+                "smoothprob": tcpgen_smoothprob,
+            }
 
     def _build_decode(self):
         from ..decode.greedy import attention_greedy_decode
@@ -255,7 +279,8 @@ class Speech2Text:
             bs_cfg = BeamSearchConfig(beam_size=self.beam_size,
                                       max_len=self.max_len,
                                       ctc_weight=self.ctc_weight)
-            return batch_beam_search(model, params, hs, h_lengths, bs_cfg)
+            return batch_beam_search(model, params, hs, h_lengths, bs_cfg,
+                                     biasing=self.biasing)
 
         return jax.jit(decode)
 

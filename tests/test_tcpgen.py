@@ -1,0 +1,203 @@
+"""TCPGen tests: trie build/walk, device walk parity, GCN, pointer mixing,
+full-model training with biasing, and a learnability check."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from espnet_slurp_tpu.models.tcpgen import (TCPGen, tcpgen_final_logprobs,
+                                            trie_step)
+from espnet_slurp_tpu.slu.kb import (BiasingListSampler, build_trie,
+                                     walk_trie)
+
+
+def small_trie():
+    # words over subword ids: [3,4], [3,5], [6]
+    return build_trie([[3, 4], [3, 5], [6]], pad_nodes_multiple=8)
+
+
+def test_build_trie():
+    t = small_trie()
+    assert t.n_nodes == 6  # root + {3,34,35,6} + dead
+    root_children = t.children_tok[0, :t.n_children[0]]
+    np.testing.assert_array_equal(sorted(root_children), [3, 6])
+    # node for token 3 has children 4 and 5
+    n3 = t.children_node[0, list(root_children).index(3)]
+    np.testing.assert_array_equal(
+        sorted(t.children_tok[n3, :t.n_children[n3]]), [4, 5])
+    assert t.word_end[t.children_node[n3, 0]]
+    assert t.n_children[t.dead] == 0
+
+
+def test_walk_trie():
+    t = small_trie()
+    eos = 9
+    # prev tokens: eos(->root) 3(->n3) 4(->leaf34, in-tree) 7(out->dead)
+    prev = np.array([[eos, 3, 4, 7]])
+    node, mask = walk_trie(t, prev, boundary_ids=set(), eos_id=eos)
+    assert node[0, 0] == 0 and mask[0, 0] == 0
+    assert node[0, 1] != 0 and mask[0, 1] == 0
+    assert mask[0, 2] == 0
+    assert node[0, 3] == t.dead and mask[0, 3] == 1
+
+
+def test_trie_step_matches_walk():
+    t = small_trie()
+    eos = 9
+    trie = {"trie_token": jnp.asarray(t.token),
+            "trie_children_tok": jnp.asarray(t.children_tok),
+            "trie_children_node": jnp.asarray(t.children_node),
+            "trie_n_children": jnp.asarray(t.n_children)}
+    boundary = jnp.zeros((11,), bool)
+    seqs = np.array([[eos, 3, 4, 7, 6], [3, 5, eos, 6, 2]])
+    node_ref, mask_ref = walk_trie(t, seqs, set(), eos)
+    node = jnp.zeros((2,), jnp.int32)
+    for j in range(seqs.shape[1]):
+        node, mask = trie_step(trie, node, jnp.asarray(seqs[:, j]),
+                               boundary, eos, t.dead)
+        np.testing.assert_array_equal(np.asarray(node), node_ref[:, j])
+        np.testing.assert_array_equal(np.asarray(mask), mask_ref[:, j])
+
+
+def test_tcpgen_ptr_dist_is_distribution():
+    t = small_trie()
+    vocab = 10
+    model = TCPGen(d_model=16, vocab_size=vocab, gcn_layers=2)
+    trie = {"trie_token": jnp.asarray(t.token),
+            "trie_children_tok": jnp.asarray(t.children_tok),
+            "trie_children_node": jnp.asarray(t.children_node),
+            "trie_n_children": jnp.asarray(t.n_children)}
+    token_embs = jnp.asarray(
+        np.random.RandomState(0).randn(len(t.token), 16), jnp.float32)
+    queries = jnp.asarray(np.random.RandomState(1).randn(2, 3, 16),
+                          jnp.float32)
+    node_ids = jnp.asarray([[0, 1, 0], [0, 0, int(t.dead)]])
+    def full(m, q, n, tr, embs):
+        encs = m.encode_tree(embs, tr)
+        return m(q, n, tr, encs)
+
+    params = model.init(jax.random.PRNGKey(0), queries, node_ids, trie,
+                        token_embs, method=full)["params"]
+    ptr, kb = model.apply({"params": params}, queries, node_ids, trie,
+                          token_embs, method=full)
+    ptr = np.asarray(ptr)
+    np.testing.assert_allclose(ptr.sum(-1), 1.0, rtol=1e-5)
+    assert (ptr >= 0).all()
+    # root node: only children tokens {3, 6} and OOKB get mass
+    mass = ptr[0, 0]
+    assert mass[[3, 6]].sum() + mass[vocab] > 0.999
+    assert abs(mass[[0, 1, 2, 4, 5, 7, 8, 9]].sum()) < 1e-6
+
+
+def test_tcpgen_final_logprobs_is_distribution():
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(2, 5, 10), jnp.float32)
+    ptr = jax.nn.softmax(jnp.asarray(rng.randn(2, 5, 11)), -1)
+    p_gen = jnp.asarray(rng.uniform(0, 1, (2, 5)), jnp.float32)
+    logp = tcpgen_final_logprobs(logits, ptr, p_gen)
+    total = np.exp(np.asarray(logp)).sum(-1)
+    np.testing.assert_allclose(total, 1.0, rtol=1e-4)
+    # p_gen = 0 -> plain model distribution
+    logp0 = tcpgen_final_logprobs(logits, ptr, jnp.zeros((2, 5)))
+    np.testing.assert_allclose(
+        np.asarray(logp0), np.asarray(jax.nn.log_softmax(logits, -1)),
+        atol=2e-5)
+
+
+def test_asr_model_with_tcpgen_trains():
+    from espnet_slurp_tpu.models.asr_model import ASRConfig, ASRModel
+    from espnet_slurp_tpu.ops.frontend import FrontendConfig
+
+    cfg = ASRConfig(
+        vocab_size=20, d_model=32, n_head=2, d_ff=64, num_encoder_blocks=1,
+        num_decoder_blocks=1, decoder_d_ff=64, kernel_size=7,
+        dropout_rate=0.0, ctc_weight=0.3, use_tcpgen=True,
+        frontend=FrontendConfig(n_fft=128, hop_length=64, n_mels=16),
+        specaug=None)
+    model = ASRModel(cfg)
+    t = build_trie([[3, 4], [5]], pad_nodes_multiple=8)
+    rng = np.random.RandomState(0)
+    b, u = 2, 4
+    text = np.array([[3, 4, 5, 2], [5, 1, 1, 1]], np.int32)
+    text_lengths = np.array([4, 3], np.int32)
+    ys_in = np.concatenate(
+        [np.full((b, 1), cfg.sos_id, np.int32), text], axis=1)
+    node, mask = walk_trie(t, ys_in, set(), cfg.eos_id)
+    batch = {
+        "speech": jnp.asarray(rng.randn(b, 1600).astype(np.float32) * 0.1),
+        "speech_lengths": jnp.asarray([1600, 800]),
+        "text": jnp.asarray(text), "text_lengths": jnp.asarray(text_lengths),
+        "trie_token": jnp.asarray(t.token),
+        "trie_children_tok": jnp.asarray(t.children_tok),
+        "trie_children_node": jnp.asarray(t.children_node),
+        "trie_n_children": jnp.asarray(t.n_children),
+        "node": jnp.asarray(node), "p_gen_mask": jnp.asarray(mask),
+    }
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+    assert "tcpgen" in params
+
+    def loss_fn(p):
+        loss, stats = model.apply({"params": p}, **batch)
+        return loss, stats
+
+    (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert "p_gen" in stats and 0.0 <= float(stats["p_gen"]) <= 1.0
+    g = jax.tree.leaves(grads["tcpgen"])
+    assert any(float(jnp.abs(x).max()) > 0 for x in g)
+
+
+def test_biasing_sampler():
+    full = [[3, 4], [5], [6, 7], [8]]
+    s = BiasingListSampler(full, n_distractors=2, drop_prob=0.0, seed=0)
+    out = s.sample([[3, 4], [9, 9]])
+    assert (3, 4) in out
+    assert len(out) >= 2
+
+
+def test_beam_search_with_biasing_runs():
+    """Beam search with a TCPGen model + biasing trie produces valid hyps."""
+    from espnet_slurp_tpu.decode.beam import (BeamSearchConfig,
+                                              batch_beam_search)
+    from espnet_slurp_tpu.models.asr_model import ASRConfig, ASRModel
+    from espnet_slurp_tpu.ops.frontend import FrontendConfig
+
+    cfg = ASRConfig(
+        vocab_size=20, d_model=32, n_head=2, d_ff=64, num_encoder_blocks=1,
+        num_decoder_blocks=1, decoder_d_ff=64, kernel_size=7,
+        dropout_rate=0.0, ctc_weight=0.3, use_tcpgen=True,
+        frontend=FrontendConfig(n_fft=128, hop_length=64, n_mels=16),
+        specaug=None)
+    model = ASRModel(cfg)
+    t = build_trie([[3, 4], [5]], pad_nodes_multiple=8)
+    rng = np.random.RandomState(0)
+    text = np.array([[3, 4, 5, 2]], np.int32)
+    ys_in = np.concatenate([np.full((1, 1), cfg.sos_id, np.int32), text], 1)
+    node, mask = walk_trie(t, ys_in, set(), cfg.eos_id)
+    batch = {
+        "speech": jnp.asarray(rng.randn(1, 1600).astype(np.float32) * 0.1),
+        "speech_lengths": jnp.asarray([1600]),
+        "text": jnp.asarray(text), "text_lengths": jnp.asarray([4]),
+        "trie_token": jnp.asarray(t.token),
+        "trie_children_tok": jnp.asarray(t.children_tok),
+        "trie_children_node": jnp.asarray(t.children_node),
+        "trie_n_children": jnp.asarray(t.n_children),
+        "node": jnp.asarray(node), "p_gen_mask": jnp.asarray(mask),
+    }
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+    hs, h_lengths, _ = model.apply(
+        {"params": params}, batch["speech"], batch["speech_lengths"],
+        method=lambda m, s, sl: m.encode(s, sl))
+    biasing = {
+        "trie": {k: batch[k] for k in
+                 ("trie_token", "trie_children_tok", "trie_children_node",
+                  "trie_n_children")},
+        "boundary_mask": jnp.zeros((21,), bool),
+        "dead": t.dead, "smoothprob": 1.0,
+    }
+    tokens, lengths = batch_beam_search(
+        model, params, hs, h_lengths,
+        BeamSearchConfig(beam_size=3, pre_beam_size=8, max_len=6,
+                         ctc_weight=0.3), biasing=biasing)
+    assert tokens.shape == (1, 6)
+    assert 0 <= int(lengths[0]) <= 6
