@@ -1,0 +1,130 @@
+"""Transducer tests: RNN-T loss vs numpy DP (and torchaudio if present),
+model forward/backward, greedy decode."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from espnet_slurp_tpu.ops.transducer import rnnt_loss, rnnt_loss_from_logprobs
+
+
+def np_rnnt_loss(log_probs, labels, T, U, blank=0):
+    """Reference alpha recursion in plain numpy (log space)."""
+    alpha = np.full((T, U + 1), -np.inf)
+    alpha[0, 0] = 0.0
+    for t in range(T):
+        for u in range(U + 1):
+            if t == 0 and u == 0:
+                continue
+            cands = []
+            if t > 0:
+                cands.append(alpha[t - 1, u] + log_probs[t - 1, u, blank])
+            if u > 0:
+                cands.append(alpha[t, u - 1]
+                             + log_probs[t, u - 1, labels[u - 1]])
+            alpha[t, u] = np.logaddexp.reduce(cands) if cands else -np.inf
+    return -(alpha[T - 1, U] + log_probs[T - 1, U, blank])
+
+
+@pytest.mark.parametrize("t,u,v", [(4, 2, 5), (7, 3, 6), (3, 3, 4)])
+def test_rnnt_loss_vs_numpy(t, u, v):
+    rng = np.random.RandomState(0)
+    logits = rng.randn(1, t, u + 1, v).astype(np.float32)
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    labels = rng.randint(1, v, size=(1, u))
+    loss = rnnt_loss(jnp.asarray(logits), jnp.asarray(labels),
+                     jnp.array([t]), jnp.array([u]))
+    ref = np_rnnt_loss(lp[0], labels[0], t, u)
+    np.testing.assert_allclose(float(loss[0]), ref, rtol=1e-4)
+
+
+def test_rnnt_loss_batch_lengths():
+    """Padded batch must match per-example unpadded losses."""
+    rng = np.random.RandomState(1)
+    b, t, u, v = 3, 8, 4, 6
+    logits = rng.randn(b, t, u + 1, v).astype(np.float32)
+    labels = rng.randint(1, v, size=(b, u))
+    tl = np.array([8, 5, 3])
+    ul = np.array([4, 2, 1])
+    loss = rnnt_loss(jnp.asarray(logits), jnp.asarray(labels),
+                     jnp.asarray(tl), jnp.asarray(ul))
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    for i in range(b):
+        ref = np_rnnt_loss(lp[i], labels[i], tl[i], ul[i])
+        np.testing.assert_allclose(float(loss[i]), ref, rtol=1e-4,
+                                   err_msg=f"example {i}")
+
+
+def test_rnnt_loss_vs_torchaudio():
+    ta = pytest.importorskip("torchaudio")
+    import torch
+    rng = np.random.RandomState(2)
+    b, t, u, v = 2, 10, 5, 8
+    logits = rng.randn(b, t, u + 1, v).astype(np.float32)
+    labels = rng.randint(1, v, size=(b, u)).astype(np.int32)
+    tl = np.array([10, 7], np.int32)
+    ul = np.array([5, 3], np.int32)
+    ours = rnnt_loss(jnp.asarray(logits), jnp.asarray(labels),
+                     jnp.asarray(tl), jnp.asarray(ul))
+    theirs = ta.functional.rnnt_loss(
+        torch.from_numpy(logits), torch.from_numpy(labels),
+        torch.from_numpy(tl), torch.from_numpy(ul), blank=0,
+        reduction="none")
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), rtol=1e-4)
+
+
+def test_rnnt_grads_finite():
+    rng = np.random.RandomState(3)
+    logits = jnp.asarray(rng.randn(2, 6, 4, 5).astype(np.float32))
+    labels = jnp.asarray(rng.randint(1, 5, size=(2, 3)))
+
+    def f(lg):
+        return rnnt_loss(lg, labels, jnp.array([6, 4]),
+                         jnp.array([3, 2])).sum()
+
+    g = jax.grad(f)(logits)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_transducer_model_and_greedy():
+    from espnet_slurp_tpu.models.asr_model import ASRConfig
+    from espnet_slurp_tpu.models.transducer import (TransducerConfig,
+                                                    TransducerModel,
+                                                    transducer_greedy_decode)
+    from espnet_slurp_tpu.ops.frontend import FrontendConfig
+
+    cfg = TransducerConfig(
+        asr=ASRConfig(vocab_size=20, d_model=32, n_head=2, d_ff=64,
+                      num_encoder_blocks=1, kernel_size=7, dropout_rate=0.0,
+                      frontend=FrontendConfig(n_fft=128, hop_length=64,
+                                              n_mels=16),
+                      specaug=None),
+        pred_dim=32, joint_dim=32, aux_ctc_weight=0.3)
+    model = TransducerModel(cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "speech": jnp.asarray(rng.randn(2, 1600).astype(np.float32) * 0.1),
+        "speech_lengths": jnp.asarray([1600, 800]),
+        "text": jnp.asarray(rng.randint(1, 19, size=(2, 5))),
+        "text_lengths": jnp.asarray([5, 3]),
+    }
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+
+    def loss_fn(p):
+        loss, stats = model.apply({"params": p}, **batch)
+        return loss, stats
+
+    (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert "loss_transducer" in stats and "loss_ctc" in stats
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads))
+
+    hs, h_lengths, _ = model.apply(
+        {"params": params}, batch["speech"], batch["speech_lengths"],
+        method=lambda m, s, sl: m.encode(s, sl))
+    tokens, n = transducer_greedy_decode(model, params, hs, h_lengths,
+                                         max_len=10)
+    assert tokens.shape == (2, 10)
+    assert (np.asarray(n) <= 10).all()
