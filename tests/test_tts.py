@@ -1,0 +1,120 @@
+"""TTS tests: Tacotron2 + FastSpeech2 forward/loss/inference, length
+regulator, istft round trip, Griffin-Lim smoke."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from espnet_slurp_tpu.tts import (FastSpeech2, FastSpeech2Config, Tacotron2,
+                                  Tacotron2Config, griffin_lim, istft,
+                                  length_regulate)
+
+TACO = Tacotron2Config(
+    vocab_size=30, n_mels=16, embed_dim=16, enc_conv_layers=1,
+    enc_conv_channels=16, enc_lstm_units=16, prenet_layers=1,
+    prenet_units=16, dec_lstm_units=32, dec_lstm_layers=1, att_dim=16,
+    att_conv_channels=4, att_conv_kernel=7, postnet_layers=2,
+    postnet_channels=16, postnet_kernel=3)
+
+FS2 = FastSpeech2Config(
+    vocab_size=30, n_mels=16, d_model=32, n_head=2, d_ff=64, enc_blocks=1,
+    dec_blocks=1, var_channels=16, var_layers=1, max_frames=64)
+
+
+def _tts_batch(b=2, l=6, t=20, n_mels=16, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "text": jnp.asarray(rng.randint(1, 29, size=(b, l))),
+        "text_lengths": jnp.asarray([l, l - 2]),
+        "mel": jnp.asarray(rng.randn(b, t, n_mels).astype(np.float32)),
+        "mel_lengths": jnp.asarray([t, t - 6]),
+    }
+
+
+def test_tacotron2_train_and_infer():
+    model = Tacotron2(TACO)
+    batch = _tts_batch()
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+
+    def loss_fn(p):
+        loss, stats = model.apply({"params": p}, **batch)
+        return loss, stats
+
+    (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert {"l1_loss", "mse_loss", "bce_loss"} <= set(stats)
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads))
+
+    mel, lens = model.apply({"params": params}, batch["text"],
+                            batch["text_lengths"], 40,
+                            method=lambda m, t, tl, mf: m.inference(t, tl, mf))
+    assert mel.shape == (2, 40, 16)
+    assert (np.asarray(lens) <= 40).all()
+
+
+def test_length_regulate():
+    x = jnp.asarray(np.arange(2 * 3 * 4, dtype=np.float32
+                              ).reshape(2, 3, 4))
+    dur = jnp.asarray([[2, 1, 3], [1, 0, 2]])
+    frames, total = length_regulate(x, dur, max_frames=8)
+    np.testing.assert_array_equal(np.asarray(total), [6, 3])
+    f = np.asarray(frames)
+    # example 0: tokens 0,0,1,2,2,2 then zeros
+    np.testing.assert_allclose(f[0, 0], np.asarray(x[0, 0]))
+    np.testing.assert_allclose(f[0, 1], np.asarray(x[0, 0]))
+    np.testing.assert_allclose(f[0, 2], np.asarray(x[0, 1]))
+    np.testing.assert_allclose(f[0, 3], np.asarray(x[0, 2]))
+    np.testing.assert_allclose(f[0, 6:], 0.0)
+    # example 1: token 1 has zero duration -> skipped
+    np.testing.assert_allclose(f[1, 0], np.asarray(x[1, 0]))
+    np.testing.assert_allclose(f[1, 1], np.asarray(x[1, 2]))
+
+
+def test_fastspeech2_train_and_infer():
+    model = FastSpeech2(FS2)
+    batch = _tts_batch(t=24)
+    rng = np.random.RandomState(1)
+    dur = rng.randint(1, 5, size=(2, 6))
+    # make durations sum within mel length
+    batch2 = dict(batch)
+    batch2["durations"] = jnp.asarray(dur)
+    batch2["pitch"] = jnp.asarray(rng.randn(2, 6).astype(np.float32))
+    batch2["energy"] = jnp.asarray(rng.randn(2, 6).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), **batch2)["params"]
+
+    def loss_fn(p):
+        loss, stats = model.apply({"params": p}, **batch2)
+        return loss, stats
+
+    (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert {"l1_loss", "duration_loss", "pitch_loss",
+            "energy_loss"} <= set(stats)
+
+    mel, total = model.apply(
+        {"params": params}, batch["text"], batch["text_lengths"],
+        method=lambda m, t, tl: m.inference(t, tl))
+    assert mel.shape[0] == 2 and mel.shape[2] == 16
+    assert (np.asarray(total) > 0).all()
+
+
+def test_istft_roundtrip():
+    from espnet_slurp_tpu.ops.stft import stft
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, 2048).astype(np.float32)
+    s = stft(jnp.asarray(x), n_fft=512, hop_length=128)
+    spec = s[..., 0] + 1j * s[..., 1]
+    y = np.asarray(istft(spec, n_fft=512, hop=128))
+    n = min(x.shape[1], y.shape[1])
+    # Interior samples reconstruct (edges lose window coverage).
+    np.testing.assert_allclose(y[0, 256:n - 256], x[0, 256:n - 256],
+                               atol=1e-3)
+
+
+def test_griffin_lim_smoke():
+    rng = np.random.RandomState(3)
+    logmel = jnp.asarray(rng.randn(1, 10, 80).astype(np.float32) - 4.0)
+    wav = griffin_lim(logmel, n_iter=2)
+    assert wav.shape[0] == 1 and wav.shape[1] > 500
+    assert np.isfinite(np.asarray(wav)).all()
