@@ -92,10 +92,21 @@ def ctc_loss(
     return jnp.where(feasible, loss, 0.0)
 
 
+def ctc_loss_auto(log_probs, logit_lengths, labels, label_lengths,
+                  blank_id: int = 0) -> jnp.ndarray:
+    """Backend dispatch: Pallas kernel on TPU, lax.scan elsewhere."""
+    if jax.default_backend() == "tpu":
+        from .pallas.ctc import ctc_loss_pallas
+        return ctc_loss_pallas(log_probs, logit_lengths, labels,
+                               label_lengths, blank_id)
+    return ctc_loss(log_probs, logit_lengths, labels, label_lengths, blank_id)
+
+
 def ctc_loss_mean(log_probs, logit_lengths, labels, label_lengths,
                   blank_id: int = 0) -> jnp.ndarray:
     """Batch-size-normalized CTC loss (reduction='sum' / B, ctc.py:95-99)."""
-    per = ctc_loss(log_probs, logit_lengths, labels, label_lengths, blank_id)
+    per = ctc_loss_auto(log_probs, logit_lengths, labels, label_lengths,
+                        blank_id)
     return jnp.sum(per) / per.shape[0]
 
 
