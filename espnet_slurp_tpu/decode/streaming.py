@@ -1,0 +1,99 @@
+"""Streaming (block-online) inference.
+
+Parity target: reference espnet2/bin/asr_inference_streaming.py
+(Speech2TextStreaming: chunked apply_frontend at :203, incremental
+__call__(speech, is_final) at :293) over the contextual-block encoders.
+
+Design: the encoder is trained with chunked attention + causal convs
+(models/conformer.py chunk_size/left_chunks), so encoder outputs for past
+chunks are IDENTICAL whether computed incrementally or over the full prefix.
+This wrapper therefore re-encodes the accumulated audio each call (exact
+streaming semantics; per-chunk O(1)-state caching is a later optimization),
+emits partial CTC-greedy hypotheses per chunk, and runs the full joint beam
+search at is_final.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.asr_model import ASRModel
+from ..ops.ctc import collapse_repeats
+
+
+class StreamingRecognizer:
+    """Incremental speech -> text over a chunk-attention ASR model."""
+
+    def __init__(self, model: ASRModel, params, tokenizer=None,
+                 converter=None, chunk_samples: int = 8192,
+                 max_len: int = 128, beam_size: int = 1):
+        assert model.cfg.chunk_size > 0, \
+            "streaming requires a chunk-attention model (cfg.chunk_size > 0)"
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.converter = converter
+        self.chunk_samples = chunk_samples
+        self.max_len = max_len
+        self.beam_size = beam_size
+        self.reset()
+        self._encode_jit = jax.jit(self._encode, static_argnums=(2,))
+
+    def reset(self):
+        self._buffer = np.zeros((0,), np.float32)
+
+    def _encode(self, speech, length, pad_to):
+        buf = jnp.zeros((1, pad_to), jnp.float32)
+        buf = jax.lax.dynamic_update_slice(buf, speech[None], (0, 0))
+        return self.model.apply(
+            {"params": self.params}, buf, jnp.asarray([length]),
+            method=lambda m, s, sl: m.encode(s, sl))
+
+    def _ctc_partial(self, hs, h_lengths) -> List[int]:
+        lp = self.model.apply({"params": self.params}, hs,
+                              method=lambda m, x: m.ctc_logprobs(x))
+        ids = np.asarray(jnp.argmax(lp, -1))[0][: int(h_lengths[0])]
+        return collapse_repeats(ids, self.model.cfg.blank_id)
+
+    def __call__(self, speech_chunk: np.ndarray, is_final: bool = False
+                 ) -> Tuple[List[int], bool]:
+        """Feed a chunk; returns (token ids so far, final_flag).
+
+        Partial results come from CTC greedy (label-sync beam rescoring runs
+        once at is_final, matching the reference's blockwise flow).
+        """
+        self._buffer = np.concatenate(
+            [self._buffer, np.asarray(speech_chunk, np.float32)])
+        n = len(self._buffer)
+        if n < self.chunk_samples and not is_final:
+            return [], False
+        from ..data.sampler import bucket_length
+        pad_to = bucket_length(max(n, self.chunk_samples),
+                               self.chunk_samples)
+        speech = np.zeros((pad_to,), np.float32)
+        speech[:n] = self._buffer
+        hs, h_lengths, _ = self._encode_jit(jnp.asarray(speech), n, pad_to)
+        if not is_final:
+            return self._ctc_partial(hs, h_lengths), False
+        if self.beam_size > 1:
+            from .beam import BeamSearchConfig, batch_beam_search
+            tokens, lengths = batch_beam_search(
+                self.model, self.params, hs, h_lengths,
+                BeamSearchConfig(beam_size=self.beam_size,
+                                 max_len=self.max_len,
+                                 ctc_weight=0.3))
+        else:
+            from .greedy import attention_greedy_decode
+            tokens, lengths = attention_greedy_decode(
+                self.model, self.params, hs, h_lengths, self.max_len)
+        ids = list(np.asarray(tokens)[0][: int(lengths[0])])
+        self.reset()
+        return ids, True
+
+    def text(self, ids: List[int]) -> str:
+        if self.tokenizer is None or self.converter is None:
+            return " ".join(map(str, ids))
+        return self.tokenizer.tokens2text(self.converter.ids2tokens(ids))

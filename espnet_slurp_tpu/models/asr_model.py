@@ -47,6 +47,8 @@ class ASRConfig:
     sos: int = -1  # -1 => vocab_size - 1
     eos: int = -1
     use_mvn: str = "utterance"  # "global" | "utterance" | "none"
+    chunk_size: int = 0      # >0: streaming chunk attention (frames after x4)
+    left_chunks: int = -1
     use_tcpgen: bool = False
     tcpgen_gcn_layers: int = 2
     tcpgen_smoothprob: float = 1.0
@@ -130,6 +132,7 @@ class ASRModel(nn.Module):
             self.encoder = ConformerEncoder(
                 c.d_model, c.n_head, c.d_ff, c.num_encoder_blocks,
                 c.kernel_size, c.dropout_rate, c.interctc_layers,
+                chunk_size=c.chunk_size, left_chunks=c.left_chunks,
                 dtype=c.jax_dtype, name="encoder")
         elif c.encoder == "transformer":
             self.encoder = TransformerEncoder(

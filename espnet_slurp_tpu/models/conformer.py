@@ -17,7 +17,7 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.masks import attention_bias, length_mask
+from ..ops.masks import attention_bias, chunk_mask, length_mask
 from .attention import RelPosMultiHeadAttention
 from .embedding import Conv2dSubsampling, rel_positional_embedding
 
@@ -47,6 +47,7 @@ class ConvModule(nn.Module):
     """
     d_model: int
     kernel_size: int = 31
+    causal: bool = False  # streaming: no future leakage through the conv
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -56,8 +57,9 @@ class ConvModule(nn.Module):
         h = a * nn.sigmoid(b)  # GLU
         if pad_mask is not None:
             h = jnp.where(pad_mask[..., None], h, 0.0)
+        pad = [(self.kernel_size - 1, 0)] if self.causal else "SAME"
         h = nn.Conv(
-            self.d_model, (self.kernel_size,), padding="SAME",
+            self.d_model, (self.kernel_size,), padding=pad,
             feature_group_count=self.d_model, dtype=self.dtype,
             name="depthwise")(h)
         h = nn.LayerNorm(dtype=self.dtype, name="norm")(h)
@@ -72,6 +74,7 @@ class ConformerBlock(nn.Module):
     kernel_size: int = 31
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    causal_conv: bool = False
 
     @nn.compact
     def __call__(self, x, pos_emb, mask_bias, pad_mask, deterministic=True):
@@ -86,8 +89,8 @@ class ConformerBlock(nn.Module):
             name="self_attn")(h, pos_emb, mask_bias, deterministic)
         # Convolution module.
         h = nn.LayerNorm(dtype=self.dtype, name="norm_conv")(x)
-        x = x + ConvModule(self.d_model, self.kernel_size, self.dtype,
-                           name="conv")(h, pad_mask)
+        x = x + ConvModule(self.d_model, self.kernel_size, self.causal_conv,
+                           self.dtype, name="conv")(h, pad_mask)
         # Macaron FF half 2.
         h = nn.LayerNorm(dtype=self.dtype, name="norm_ff2")(x)
         x = x + 0.5 * FeedForward(self.d_model, self.d_ff, self.dropout_rate,
@@ -108,6 +111,10 @@ class ConformerEncoder(nn.Module):
     kernel_size: int = 31
     dropout_rate: float = 0.0
     interctc_layers: Sequence[int] = ()
+    # Streaming: restrict attention to chunks of ``chunk_size`` frames with
+    # ``left_chunks`` past chunks of context (0 disables; -1 left = all).
+    chunk_size: int = 0
+    left_chunks: int = -1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -118,12 +125,17 @@ class ConformerEncoder(nn.Module):
         x = x * jnp.sqrt(jnp.asarray(self.d_model, x.dtype))  # xscale
         pos_emb = rel_positional_embedding(t, self.d_model, self.dtype)
         pad = length_mask(olens, t)  # (B, T')
-        bias = attention_bias(pad[:, None, None, :])  # (B,1,1,T')
+        att_mask = pad[:, None, None, :]
+        if self.chunk_size > 0:
+            att_mask = att_mask & chunk_mask(
+                t, self.chunk_size, self.left_chunks)[None, None]
+        bias = attention_bias(att_mask)  # (B,1,1|T',T')
         inter = []
         for i in range(self.num_blocks):
             x = ConformerBlock(
                 self.d_model, self.n_head, self.d_ff, self.kernel_size,
-                self.dropout_rate, self.dtype, name=f"block_{i}")(
+                self.dropout_rate, self.dtype, causal_conv=self.chunk_size > 0,
+                name=f"block_{i}")(
                     x, pos_emb, bias, pad, deterministic)
             if (i + 1) in self.interctc_layers:
                 inter.append((i + 1, x))

@@ -35,3 +35,22 @@ def attention_bias(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     uniform attention rather than NaN (matters for padded batch rows).
     """
     return jnp.where(mask, jnp.zeros((), dtype), jnp.full((), -1e9, dtype))
+
+
+def chunk_mask(size: int, chunk_size: int, left_chunks: int = -1
+               ) -> jnp.ndarray:
+    """[size, size] bool chunk-wise streaming attention mask.
+
+    Frame i may attend to frames in its own chunk and up to ``left_chunks``
+    previous chunks (-1 = unlimited left context). TPU-native analogue of
+    the reference's contextual-block/streaming encoders
+    (espnet2/asr/encoder/contextual_block_conformer_encoder.py): the
+    restriction lives in the mask, so training simulates streaming exactly
+    while staying one dense fused attention.
+    """
+    row = lax.broadcasted_iota(jnp.int32, (size, size), 0) // chunk_size
+    col = lax.broadcasted_iota(jnp.int32, (size, size), 1) // chunk_size
+    ok = col <= row
+    if left_chunks >= 0:
+        ok = ok & (col >= row - left_chunks)
+    return ok
