@@ -1,0 +1,222 @@
+"""Staged ASR recipe pipeline — the asr.sh analogue.
+
+Parity target: reference egs2/TEMPLATE/asr1/asr.sh (1541 lines, 16 stages,
+SURVEY.md §2.8). Stage numbering is preserved so recipe muscle-memory
+transfers:
+
+  1  data validation            (asr.sh stage 1: local data prep output)
+  2  speed perturbation         (sox x0.9/1.0/1.1 -> resample_sinc copies)
+  4  length filtering           (min/max audio seconds)
+  5  token list / BPE training
+  7  LM training                (optional)
+  8  LM perplexity
+  10 collect-stats              (GlobalMVN feats stats)
+  11 ASR training
+  12 decoding
+  13 scoring (WER/CER)
+
+Stages 3/6/9/14-16 (format dumps, ngram, packing/upload) are no-ops here:
+wavs are read directly, packing is `pack` below.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import shutil
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..data.fileio import (DatadirWriter, load_wav, read_2column_text,
+                           write_wav)
+from ..ops.resample import speed_perturb
+from ..tasks.asr import ASRTask, ASRTaskConfig, Speech2Text
+from ..utils.config import save_yaml
+from ..utils.metrics import error_rate
+
+log = logging.getLogger("espnet_slurp_tpu")
+
+
+@dataclasses.dataclass
+class PipelineOptions:
+    speed_perturb_factors: tuple = ()      # e.g. (0.9, 1.0, 1.1)
+    min_audio_sec: float = 0.05
+    max_audio_sec: float = 30.0
+    fs: int = 16000
+    train_lm: bool = False
+    decode_beam_size: int = 5
+    decode_ctc_weight: float = 0.3
+    decode_max_len: int = 128
+
+
+def validate_data_dir(d: str | Path) -> int:
+    """Stage 1: check wav.scp/text agreement; returns #utts."""
+    d = Path(d)
+    wavs = read_2column_text(d / "wav.scp")
+    texts = read_2column_text(d / "text")
+    if set(wavs) != set(texts):
+        raise RuntimeError(
+            f"{d}: wav.scp/text utterance mismatch "
+            f"({len(wavs)} vs {len(texts)})")
+    return len(wavs)
+
+
+def stage2_speed_perturb(src_dir: str | Path, out_dir: str | Path,
+                         factors=(0.9, 1.0, 1.1), fs: int = 16000) -> Path:
+    """Write a combined data dir with sp-prefixed copies (asr.sh:448-468)."""
+    src, out = Path(src_dir), Path(out_dir)
+    wav_out = out / "wav"
+    wav_out.mkdir(parents=True, exist_ok=True)
+    wavs = read_2column_text(src / "wav.scp")
+    texts = read_2column_text(src / "text")
+    with DatadirWriter(out) as w:
+        for uid, path in wavs.items():
+            for f in factors:
+                if f == 1.0:
+                    nuid, npath = uid, path
+                else:
+                    nuid = f"sp{f}-{uid}"
+                    npath = str(wav_out / f"{nuid}.wav")
+                    x, sr = load_wav(path)
+                    write_wav(npath, speed_perturb(x, f), sr)
+                w["wav.scp"][nuid] = npath
+                w["text"][nuid] = texts[uid]
+    return out
+
+
+def stage4_filter(src_dir: str | Path, out_dir: str | Path,
+                  min_sec: float, max_sec: float, fs: int) -> Path:
+    """Length filtering (asr.sh:575)."""
+    src, out = Path(src_dir), Path(out_dir)
+    wavs = read_2column_text(src / "wav.scp")
+    texts = read_2column_text(src / "text")
+    kept = 0
+    with DatadirWriter(out) as w:
+        for uid, path in wavs.items():
+            x, sr = load_wav(path)
+            sec = len(x) / sr
+            if min_sec <= sec <= max_sec and texts[uid].strip():
+                w["wav.scp"][uid] = path
+                w["text"][uid] = texts[uid]
+                kept += 1
+    log.info("stage4: kept %d/%d utts", kept, len(wavs))
+    return out
+
+
+def run_pipeline(cfg: ASRTaskConfig, opts: PipelineOptions = PipelineOptions(),
+                 stage: int = 1, stop_stage: int = 13,
+                 test_dirs: Optional[List[str]] = None,
+                 mesh=None) -> Dict[str, float]:
+    """Run stages [stage, stop_stage]. Returns scoring results (stage 13)."""
+    results: Dict[str, float] = {}
+    exp = Path(cfg.exp_dir)
+    exp.mkdir(parents=True, exist_ok=True)
+    work = exp / "data"
+    train_dir = Path(cfg.data.train_dir)
+
+    if stage <= 1 <= stop_stage:
+        n = validate_data_dir(cfg.data.train_dir)
+        validate_data_dir(cfg.data.valid_dir)
+        log.info("stage1: %d train utts validated", n)
+
+    if stage <= 2 <= stop_stage and opts.speed_perturb_factors:
+        train_dir = stage2_speed_perturb(
+            train_dir, work / "train_sp", opts.speed_perturb_factors,
+            opts.fs)
+
+    if stage <= 4 <= stop_stage:
+        train_dir = stage4_filter(train_dir, work / "train_filtered",
+                                  opts.min_audio_sec, opts.max_audio_sec,
+                                  opts.fs)
+
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, train_dir=str(train_dir)))
+
+    if stage <= 5 <= stop_stage:
+        ASRTask.prepare_vocab(cfg)  # writes tokens.txt (+ bpe model)
+        log.info("stage5: vocabulary ready")
+
+    if opts.train_lm and stage <= 7 <= stop_stage:
+        from ..models.lm import LMConfig
+        from ..tasks.lm import LMDataConfig, LMTask, LMTaskConfig
+        lm_cfg = LMTaskConfig(
+            exp_dir=str(exp / "lm"),
+            model=LMConfig(d_model=128, n_head=4, d_ff=512, num_blocks=4),
+            data=LMDataConfig(train_text=str(Path(train_dir) / "text"),
+                              valid_text=str(Path(cfg.data.valid_dir)
+                                             / "text"),
+                              token_type=cfg.data.token_type),
+            max_epoch=min(cfg.max_epoch, 10))
+        LMTask.train(lm_cfg)
+        if stage <= 8 <= stop_stage:
+            ppl = LMTask.perplexity(lm_cfg.exp_dir,
+                                    str(Path(cfg.data.valid_dir) / "text"))
+            results["lm_ppl"] = ppl
+            log.info("stage8: LM ppl %.2f", ppl)
+
+    if stage <= 10 <= stop_stage and cfg.model.use_mvn == "global":
+        from ..train.collect_stats import collect_stats
+        tokenizer, converter, _ = ASRTask.prepare_vocab(cfg)
+        ds = ASRTask.build_dataset(str(train_dir), tokenizer, converter)
+        factory = ASRTask.build_iter_factory(cfg, ds, shuffle=False)
+        collect_stats(factory(1), cfg.model.frontend, exp / "stats")
+        log.info("stage10: feature stats collected")
+
+    if stage <= 11 <= stop_stage:
+        ASRTask.train(cfg, mesh=mesh)
+        log.info("stage11: training done")
+
+    if stage <= 12 <= stop_stage:
+        s2t = Speech2Text(str(exp), beam_size=opts.decode_beam_size,
+                          ctc_weight=opts.decode_ctc_weight,
+                          max_len=opts.decode_max_len)
+        for dname in [cfg.data.valid_dir] + list(test_dirs or []):
+            dname = Path(dname)
+            out = exp / f"decode_{dname.name}"
+            wavs = read_2column_text(dname / "wav.scp")
+            hyps = {}
+            with DatadirWriter(out) as w:
+                for uid, path in wavs.items():
+                    x, _ = load_wav(path)
+                    hyps[uid] = s2t(x)
+                    w["text"][uid] = hyps[uid]
+            if stage <= 13 <= stop_stage:
+                refs = read_2column_text(dname / "text")
+                wer, _ = error_rate(refs, hyps, "word")
+                cer, _ = error_rate(refs, hyps, "char")
+                results[f"wer_{dname.name}"] = wer
+                results[f"cer_{dname.name}"] = cer
+                with open(out / "score.txt", "w") as f:
+                    f.write(f"WER {wer:.4f}\nCER {cer:.4f}\n")
+                log.info("stage13 %s: WER %.2f%% CER %.2f%%", dname.name,
+                         wer * 100, cer * 100)
+    return results
+
+
+def pack(exp_dir: str | Path, out_path: str | Path) -> Path:
+    """Stage 14 analogue (espnet2/bin/pack.py): zip config + tokens + best
+    checkpoint for distribution."""
+    import zipfile
+    exp = Path(exp_dir)
+    out_path = Path(out_path)
+    with zipfile.ZipFile(out_path, "w") as z:
+        for name in ["config.yaml", "tokens.txt", "reporter.json"]:
+            p = exp / name
+            if p.exists():
+                z.write(p, name)
+        for best in sorted(exp.glob("valid.*best")):
+            for f in best.rglob("*"):
+                if f.is_file():
+                    z.write(f, str(f.relative_to(exp)))
+            break
+    return out_path
+
+
+def unpack(archive: str | Path, out_dir: str | Path) -> Path:
+    import zipfile
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    with zipfile.ZipFile(archive) as z:
+        z.extractall(out)
+    return out

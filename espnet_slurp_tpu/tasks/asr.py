@@ -165,6 +165,21 @@ class ASRTask:
         return ASRModel(model_cfg)
 
     @staticmethod
+    def load_mvn_stats(cfg: ASRTaskConfig):
+        """(mean, inv_std) from the collect-stats output, if GlobalMVN."""
+        if cfg.model.use_mvn != "global":
+            return None
+        stats_path = Path(cfg.exp_dir) / "stats" / "feats_stats.npz"
+        if not stats_path.exists():
+            log.warning("use_mvn=global but %s missing; run collect-stats "
+                        "(recipe stage 10) first", stats_path)
+            return None
+        from ..ops.normalize import global_mvn_params
+        import jax.numpy as jnp
+        mean, inv_std = global_mvn_params(str(stats_path))
+        return (jnp.asarray(mean), jnp.asarray(inv_std))
+
+    @staticmethod
     def init_params(model: ASRModel, seed: int = 0):
         cfg = model.cfg
         b, n, u = 2, max(cfg.frontend.n_fft * 2, 512), 4
@@ -200,9 +215,11 @@ class ASRTask:
         train_if = cls.build_iter_factory(cfg, train_ds, shuffle=True)
         valid_if = cls.build_iter_factory(cfg, valid_ds, shuffle=False)
 
+        mvn_stats = cls.load_mvn_stats(cfg)
         ckpt = CheckpointManager(exp, cfg.keep_nbest)
         trainer = Trainer(
-            make_train_step(model, tx), make_eval_step(model), ckpt,
+            make_train_step(model, tx, mvn_stats=mvn_stats),
+            make_eval_step(model, mvn_stats=mvn_stats), ckpt,
             TrainerOptions(max_epoch=cfg.max_epoch, patience=cfg.patience,
                            keep_nbest=cfg.keep_nbest,
                            nbest_average=cfg.nbest_average,
@@ -235,6 +252,7 @@ class Speech2Text:
             else:
                 ckpt_name = f"{mgr.latest_epoch()}epoch"
         self.params = mgr.load_params(ckpt_name)
+        self.mvn_stats = ASRTask.load_mvn_stats(self.cfg)
         self.max_len = max_len
         self.beam_size = beam_size
         self.ctc_weight = ctc_weight
@@ -269,10 +287,13 @@ class Speech2Text:
 
         model = self.model
 
+        mvn_stats = self.mvn_stats
+
         def decode(params, speech, speech_lengths):
             hs, h_lengths, _ = model.apply(
                 {"params": params}, speech, speech_lengths,
-                method=lambda m, s, sl: m.encode(s, sl, train=False))
+                method=lambda m, s, sl: m.encode(s, sl, train=False,
+                                                 mvn_stats=mvn_stats))
             if self.beam_size <= 1:
                 return attention_greedy_decode(model, params, hs, h_lengths,
                                                self.max_len)

@@ -1,0 +1,59 @@
+"""Full recipe pipeline test on the synthetic mini corpus (mini_an4 analogue:
+every stage runs CPU-only, micro data — ci/test_integration_espnet2.sh role).
+"""
+import numpy as np
+import pytest
+
+from espnet_slurp_tpu.data.mini_corpus import make_mini_corpus
+from espnet_slurp_tpu.models.asr_model import ASRConfig
+from espnet_slurp_tpu.ops.frontend import FrontendConfig
+from espnet_slurp_tpu.ops.resample import speed_perturb
+from espnet_slurp_tpu.recipe.asr_pipeline import (PipelineOptions, pack,
+                                                  run_pipeline, unpack)
+from espnet_slurp_tpu.tasks.asr import ASRTaskConfig, DataConfig
+from espnet_slurp_tpu.train.optim import OptimConfig
+
+
+def test_speed_perturb_lengths():
+    x = np.sin(np.linspace(0, 100, 16000)).astype(np.float32)
+    y = speed_perturb(x, 0.9)
+    assert abs(len(y) - 16000 / 0.9) < 2
+    z = speed_perturb(x, 1.1)
+    assert abs(len(z) - 16000 / 1.1) < 2
+    # Energy is preserved roughly (no blow-ups).
+    assert 0.5 < np.std(y) / np.std(x) < 2.0
+
+
+def test_full_pipeline(tmp_path):
+    train_dir, dev_dir = make_mini_corpus(tmp_path / "corpus", n_train=10,
+                                          n_dev=3)
+    cfg = ASRTaskConfig(
+        exp_dir=str(tmp_path / "exp"),
+        model=ASRConfig(
+            d_model=32, n_head=2, d_ff=64, num_encoder_blocks=1,
+            num_decoder_blocks=1, decoder_d_ff=64, kernel_size=7,
+            dropout_rate=0.0, ctc_weight=0.3, use_mvn="global",
+            frontend=FrontendConfig(n_fft=128, hop_length=64, n_mels=16),
+            specaug=None),
+        optim=OptimConfig(lr=1e-3, scheduler="constant"),
+        data=DataConfig(train_dir=str(train_dir), valid_dir=str(dev_dir),
+                        token_type="word", batch_type="sorted", batch_size=8,
+                        speech_bucket_multiple=2048, text_bucket_multiple=4),
+        max_epoch=1, keep_nbest=1, nbest_average=1)
+    opts = PipelineOptions(speed_perturb_factors=(0.9, 1.0),
+                           decode_beam_size=1, decode_max_len=8,
+                           train_lm=True)
+    results = run_pipeline(cfg, opts, stage=1, stop_stage=13)
+    assert "wer_dev" in results and np.isfinite(results["wer_dev"])
+    assert "lm_ppl" in results and results["lm_ppl"] > 1
+    # sp copies were created and used
+    assert (tmp_path / "exp" / "data" / "train_sp" / "wav.scp").exists()
+    sp = open(tmp_path / "exp" / "data" / "train_sp" / "wav.scp").read()
+    assert "sp0.9-" in sp
+    # GlobalMVN stats written
+    assert (tmp_path / "exp" / "stats" / "feats_stats.npz").exists()
+    # pack/unpack round trip
+    archive = pack(cfg.exp_dir, tmp_path / "model.zip")
+    out = unpack(archive, tmp_path / "unpacked")
+    assert (out / "config.yaml").exists()
+    assert (out / "tokens.txt").exists()
