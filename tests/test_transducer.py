@@ -128,3 +128,75 @@ def test_transducer_model_and_greedy():
                                          max_len=10)
     assert tokens.shape == (2, 10)
     assert (np.asarray(n) <= 10).all()
+
+
+def test_transducer_beam_search():
+    from espnet_slurp_tpu.models.asr_model import ASRConfig
+    from espnet_slurp_tpu.models.transducer import (TransducerConfig,
+                                                    TransducerModel)
+    from espnet_slurp_tpu.decode.transducer_beam import (
+        TransducerBeamConfig, transducer_beam_search)
+    from espnet_slurp_tpu.ops.frontend import FrontendConfig
+
+    cfg = TransducerConfig(
+        asr=ASRConfig(vocab_size=20, d_model=32, n_head=2, d_ff=64,
+                      num_encoder_blocks=1, kernel_size=7, dropout_rate=0.0,
+                      frontend=FrontendConfig(n_fft=128, hop_length=64,
+                                              n_mels=16),
+                      specaug=None),
+        pred_dim=32, joint_dim=32)
+    model = TransducerModel(cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "speech": jnp.asarray(rng.randn(2, 1600).astype(np.float32) * 0.1),
+        "speech_lengths": jnp.asarray([1600, 800]),
+        "text": jnp.asarray(rng.randint(1, 19, size=(2, 5))),
+        "text_lengths": jnp.asarray([5, 3]),
+    }
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+    hs, h_lengths, _ = model.apply(
+        {"params": params}, batch["speech"], batch["speech_lengths"],
+        method=lambda m, s, sl: m.encode(s, sl))
+    tokens, lengths = transducer_beam_search(
+        model, params, hs, h_lengths,
+        TransducerBeamConfig(beam_size=3, pre_beam_size=4, max_len=8))
+    assert tokens.shape == (2, 8)
+    assert (np.asarray(lengths) <= 8).all()
+    assert np.isfinite(np.asarray(lengths)).all()
+
+
+def test_transducer_task_e2e(tmp_path):
+    """Train the transducer task on the mini corpus, then decode."""
+    from espnet_slurp_tpu.data.mini_corpus import make_mini_corpus
+    from espnet_slurp_tpu.data.fileio import load_wav, read_2column_text
+    from espnet_slurp_tpu.models.asr_model import ASRConfig
+    from espnet_slurp_tpu.models.transducer import TransducerConfig
+    from espnet_slurp_tpu.ops.frontend import FrontendConfig
+    from espnet_slurp_tpu.tasks.asr import DataConfig
+    from espnet_slurp_tpu.tasks.asr_transducer import (
+        ASRTransducerTask, Speech2TextTransducer, TransducerTaskConfig)
+    from espnet_slurp_tpu.train.optim import OptimConfig
+
+    train_dir, dev_dir = make_mini_corpus(tmp_path / "c", n_train=8, n_dev=2)
+    cfg = TransducerTaskConfig(
+        exp_dir=str(tmp_path / "exp"),
+        model=TransducerConfig(
+            asr=ASRConfig(d_model=32, n_head=2, d_ff=64,
+                          num_encoder_blocks=1, kernel_size=7,
+                          dropout_rate=0.0,
+                          frontend=FrontendConfig(n_fft=128, hop_length=64,
+                                                  n_mels=16),
+                          specaug=None),
+            pred_dim=32, joint_dim=32),
+        optim=OptimConfig(lr=1e-3, scheduler="constant"),
+        data=DataConfig(train_dir=str(train_dir), valid_dir=str(dev_dir),
+                        token_type="word", batch_type="sorted", batch_size=4,
+                        speech_bucket_multiple=2048, text_bucket_multiple=4),
+        max_epoch=1, keep_nbest=1, nbest_average=1)
+    state = ASRTransducerTask.train(cfg)
+    assert int(state.step) > 0
+    s2t = Speech2TextTransducer(cfg.exp_dir, beam_size=2, max_len=8)
+    wavs = read_2column_text(dev_dir / "wav.scp")
+    wav, _ = load_wav(next(iter(wavs.values())))
+    out = s2t(wav)
+    assert isinstance(out, str)
