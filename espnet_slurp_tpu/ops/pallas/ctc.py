@@ -56,7 +56,7 @@ def _fwd_kernel(emit_ref, skip_ref, tlen_ref, last_ref,
     tlen/last scalars; outputs loss [1, 1] and alpha [1, T, S]."""
     t_max = emit_ref.shape[1]
     s = emit_ref.shape[2]
-    skip = skip_ref[0, :]  # [S]
+    skip = skip_ref[0, 0, :]  # [S]
     tlen = tlen_ref[0]
     last = last_ref[0]
 
@@ -90,7 +90,7 @@ def _bwd_kernel(emit_ref, skip_ref, tlen_ref, last_ref, alpha_ref, g_ref,
     """
     t_max = emit_ref.shape[1]
     s = emit_ref.shape[2]
-    skip = skip_ref[0, :]
+    skip = skip_ref[0, 0, :]
     tlen = tlen_ref[0]
     last = last_ref[0]
     g = g_ref[0, 0]
@@ -163,7 +163,7 @@ def _pallas_fwd(emit, skip, tlen, last):
         in_specs=[
             pl.BlockSpec((1, t, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
@@ -202,7 +202,8 @@ def _ctc_bwd(res, g):
         in_specs=[
             pl.BlockSpec((1, t, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, t, s), lambda i: (i, 0, 0),
@@ -249,6 +250,7 @@ def ctc_loss_pallas(
     smax = 2 * label_lengths + 1
     emit = jnp.where((col < smax[:, None])[:, None, :], emit, NEG)
     last = (2 * label_lengths).astype(jnp.int32)
-    loss = _ctc_core(emit, skip, logit_lengths.astype(jnp.int32), last)
+    loss = _ctc_core(emit, skip[:, None, :], logit_lengths.astype(jnp.int32),
+                     last)
     feasible = label_lengths <= logit_lengths
     return jnp.where(feasible, loss, 0.0)

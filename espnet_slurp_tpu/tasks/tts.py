@@ -1,0 +1,246 @@
+"""TTS task: text -> mel (Tacotron2 / FastSpeech2) with on-the-fly targets.
+
+Parity target: reference espnet2/tasks/tts.py (TTSTask, 407 LoC) +
+espnet2/bin/tts_inference.py (Text2Speech). Mel targets are extracted by the
+shared frontend inside the data path; FastSpeech2 durations come from a
+provided `durations` stream (teacher alignments) or uniform fallback.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.fileio import load_wav, read_2column_text
+from ..data.tokenizer import CharTokenizer, TokenIDConverter, build_token_list
+from ..ops.frontend import FrontendConfig, default_frontend
+from ..train.checkpoint import CheckpointManager
+from ..train.optim import OptimConfig, build_optimizer
+from ..train.reporter import Reporter, SubReporter
+from ..train.state import TrainState
+from ..tts.fastspeech2 import FastSpeech2, FastSpeech2Config
+from ..tts.tacotron2 import Tacotron2, Tacotron2Config
+from ..utils.config import from_dict, load_yaml, merge_dicts, save_yaml
+
+log = logging.getLogger("espnet_slurp_tpu")
+
+
+@dataclasses.dataclass(frozen=True)
+class TTSDataConfig:
+    train_dir: str = ""
+    valid_dir: str = ""
+    batch_size: int = 8
+    frontend: FrontendConfig = FrontendConfig()
+    mel_bucket_multiple: int = 64
+    text_bucket_multiple: int = 8
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class TTSTaskConfig:
+    exp_dir: str = "exp/tts"
+    arch: str = "tacotron2"  # tacotron2 | fastspeech2
+    tacotron2: Tacotron2Config = Tacotron2Config()
+    fastspeech2: FastSpeech2Config = FastSpeech2Config()
+    optim: OptimConfig = OptimConfig(lr=1e-3, scheduler="constant")
+    data: TTSDataConfig = TTSDataConfig()
+    max_epoch: int = 20
+    keep_nbest: int = 5
+    log_interval: int = 50
+    resume: bool = True
+
+
+def load_tts_config(path=None, overrides=None) -> TTSTaskConfig:
+    d = load_yaml(path) if path else {}
+    if overrides:
+        d = merge_dicts(d, overrides)
+    return from_dict(TTSTaskConfig, d)
+
+
+class TTSTask:
+    @staticmethod
+    def prepare_vocab(cfg: TTSTaskConfig):
+        exp = Path(cfg.exp_dir)
+        texts = read_2column_text(Path(cfg.data.train_dir) / "text")
+        tokenizer = CharTokenizer()
+        tl_path = exp / "tokens.txt"
+        if tl_path.exists():
+            conv = TokenIDConverter(tl_path)
+        else:
+            tl = build_token_list(texts.values(), tokenizer)
+            tl_path.parent.mkdir(parents=True, exist_ok=True)
+            tl_path.write_text("\n".join(tl) + "\n", encoding="utf-8")
+            conv = TokenIDConverter(tl)
+        return tokenizer, conv
+
+    @staticmethod
+    def batches(cfg: TTSTaskConfig, data_dir: str, tokenizer, conv,
+                epoch: int, shuffle: bool):
+        from ..data.sampler import bucket_length
+        fc = cfg.data.frontend
+        wavs = read_2column_text(Path(data_dir) / "wav.scp")
+        texts = read_2column_text(Path(data_dir) / "text")
+        dur_path = Path(data_dir) / "durations"
+        durations = read_2column_text(dur_path) if dur_path.exists() else None
+        uids = sorted(wavs)
+        if shuffle:
+            np.random.RandomState(cfg.data.seed + epoch).shuffle(uids)
+        bs = cfg.data.batch_size
+        mel_fn = jax.jit(lambda s, l: default_frontend(s, l, fc))
+        for i in range(0, len(uids), bs):
+            chunk = uids[i:i + bs]
+            toks = [conv.tokens2ids(tokenizer.text2tokens(texts[u]))
+                    for u in chunk]
+            wavs_np = [load_wav(wavs[u])[0] for u in chunk]
+            n_max = bucket_length(max(len(w) for w in wavs_np), 4096)
+            sp = np.zeros((len(chunk), n_max), np.float32)
+            sl = np.zeros((len(chunk),), np.int32)
+            for r, w in enumerate(wavs_np):
+                sp[r, :len(w)] = w
+                sl[r] = len(w)
+            mel, mel_lens = mel_fn(jnp.asarray(sp), jnp.asarray(sl))
+            t_max = bucket_length(int(mel_lens.max()),
+                                  cfg.data.mel_bucket_multiple)
+            mel = np.asarray(mel)[:, :t_max]
+            if mel.shape[1] < t_max:
+                mel = np.pad(mel, ((0, 0), (0, t_max - mel.shape[1]),
+                                   (0, 0)))
+            l_max = bucket_length(max(len(t) for t in toks),
+                                  cfg.data.text_bucket_multiple)
+            text = np.zeros((len(chunk), l_max), np.int32)
+            tlens = np.zeros((len(chunk),), np.int32)
+            for r, t in enumerate(toks):
+                text[r, :len(t)] = t
+                tlens[r] = len(t)
+            batch = {"text": jnp.asarray(text),
+                     "text_lengths": jnp.asarray(tlens),
+                     "mel": jnp.asarray(mel),
+                     "mel_lengths": jnp.asarray(np.asarray(mel_lens)),
+                     }
+            if cfg.arch == "fastspeech2":
+                if durations is not None:
+                    dur = np.zeros((len(chunk), l_max), np.int32)
+                    for r, u in enumerate(chunk):
+                        vals = [int(x) for x in durations[u].split()]
+                        dur[r, :len(vals)] = vals[:l_max]
+                else:
+                    # uniform fallback: spread mel frames over tokens
+                    dur = np.zeros((len(chunk), l_max), np.int32)
+                    for r in range(len(chunk)):
+                        n_t = max(int(tlens[r]), 1)
+                        per = int(mel_lens[r]) // n_t
+                        dur[r, :n_t] = per
+                        dur[r, 0] += int(mel_lens[r]) - per * n_t
+                batch["durations"] = jnp.asarray(dur)
+            yield batch
+
+    @classmethod
+    def build_model(cls, cfg: TTSTaskConfig, vocab_size: int):
+        if cfg.arch == "tacotron2":
+            mcfg = dataclasses.replace(
+                cfg.tacotron2, vocab_size=vocab_size,
+                n_mels=cfg.data.frontend.n_mels)
+            return Tacotron2(mcfg), dataclasses.replace(cfg, tacotron2=mcfg)
+        mcfg = dataclasses.replace(cfg.fastspeech2, vocab_size=vocab_size,
+                                   n_mels=cfg.data.frontend.n_mels)
+        return FastSpeech2(mcfg), dataclasses.replace(cfg, fastspeech2=mcfg)
+
+    @classmethod
+    def train(cls, cfg: TTSTaskConfig) -> TrainState:
+        import optax
+        exp = Path(cfg.exp_dir)
+        exp.mkdir(parents=True, exist_ok=True)
+        tokenizer, conv = cls.prepare_vocab(cfg)
+        model, cfg = cls.build_model(cfg, conv.vocab_size)
+        save_yaml(cfg, exp / "config.yaml")
+        batch0 = next(cls.batches(cfg, cfg.data.train_dir, tokenizer, conv,
+                                  1, False))
+        params = model.init(jax.random.PRNGKey(cfg.data.seed),
+                            **batch0)["params"]
+        tx = build_optimizer(cfg.optim)
+        state = TrainState.create(params, tx,
+                                  jax.random.PRNGKey(cfg.data.seed))
+
+        @jax.jit
+        def train_step(state, batch):
+            def loss_fn(p):
+                return model.apply({"params": p}, train=True, **batch)
+
+            (loss, stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(step=state.step + 1, params=params,
+                                 opt_state=opt), stats
+
+        @jax.jit
+        def eval_step(state, batch):
+            _, stats = model.apply({"params": state.params}, **batch)
+            return stats
+
+        ckpt = CheckpointManager(exp, cfg.keep_nbest)
+        reporter = Reporter()
+        start = 1
+        if cfg.resume and ckpt.latest_epoch() is not None:
+            state = ckpt.restore(ckpt.latest_epoch(), state)
+            reporter = ckpt.load_reporter()
+            start = ckpt.latest_epoch() + 1
+        for epoch in range(start, cfg.max_epoch + 1):
+            sub = SubReporter()
+            for batch in cls.batches(cfg, cfg.data.train_dir, tokenizer,
+                                     conv, epoch, True):
+                state, stats = train_step(state, batch)
+                sub.register({k: float(v) for k, v in stats.items()})
+            reporter.observe(epoch, "train", sub.mean())
+            sub = SubReporter()
+            for batch in cls.batches(cfg, cfg.data.valid_dir, tokenizer,
+                                     conv, epoch, False):
+                sub.register({k: float(v)
+                              for k, v in eval_step(state, batch).items()})
+            reporter.observe(epoch, "valid", sub.mean())
+            log.info(reporter.log_line(epoch))
+            ckpt.save_epoch(epoch, state, reporter)
+        return state
+
+
+class Text2Speech:
+    """Inference wrapper (tts_inference.py analogue): text -> (mel, wav)."""
+
+    def __init__(self, exp_dir: str, ckpt_name: Optional[str] = None,
+                 use_griffin_lim: bool = True):
+        exp = Path(exp_dir)
+        self.cfg = load_tts_config(exp / "config.yaml")
+        self.tokenizer, self.converter = TTSTask.prepare_vocab(self.cfg)
+        self.model, _ = TTSTask.build_model(self.cfg,
+                                            self.converter.vocab_size)
+        mgr = CheckpointManager(exp, self.cfg.keep_nbest)
+        self.params = mgr.load_params(
+            ckpt_name or f"{mgr.latest_epoch()}epoch")
+        self.use_griffin_lim = use_griffin_lim
+
+    def __call__(self, text: str, max_frames: int = 500):
+        ids = self.converter.tokens2ids(self.tokenizer.text2tokens(text))
+        t = jnp.asarray(np.asarray(ids, np.int32)[None])
+        tl = jnp.asarray([len(ids)], np.int32)
+        if self.cfg.arch == "tacotron2":
+            mel, lens = self.model.apply(
+                {"params": self.params}, t, tl, max_frames,
+                method=lambda m, x, xl, mf: m.inference(x, xl, mf))
+        else:
+            mel, lens = self.model.apply(
+                {"params": self.params}, t, tl,
+                method=lambda m, x, xl: m.inference(x, xl))
+        mel = np.asarray(mel)[0][: int(lens[0])]
+        wav = None
+        if self.use_griffin_lim and mel.shape[0] > 0:
+            from ..tts.vocoder import griffin_lim
+            fc = self.cfg.data.frontend
+            wav = np.asarray(griffin_lim(
+                jnp.asarray(mel[None]), n_iter=16, fs=fc.fs, n_fft=fc.n_fft,
+                hop=fc.hop_length, n_mels=fc.n_mels))[0]
+        return mel, wav

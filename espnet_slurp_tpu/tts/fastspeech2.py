@@ -162,10 +162,12 @@ class FastSpeech2(nn.Module):
         d_pred = self.duration_predictor(x, tmask)  # predicts log(1+dur)
         p_pred = self.pitch_predictor(x, tmask)
         e_pred = self.energy_predictor(x, tmask)
-        if pitch is not None:
-            x = x + self.pitch_embed(pitch[..., None].astype(x.dtype))
-        if energy is not None:
-            x = x + self.energy_embed(energy[..., None].astype(x.dtype))
+        # Teacher-forced variances when given; otherwise feed the (detached)
+        # predictions so the embed layers always participate.
+        p_in = pitch if pitch is not None else jax.lax.stop_gradient(p_pred)
+        e_in = energy if energy is not None else jax.lax.stop_gradient(e_pred)
+        x = x + self.pitch_embed(p_in[..., None].astype(x.dtype))
+        x = x + self.energy_embed(e_in[..., None].astype(x.dtype))
         max_frames = mel.shape[1]
         frames, total = length_regulate(x, durations, max_frames)
         mel_pred, fmask = self.decode(frames, jnp.minimum(total, max_frames),

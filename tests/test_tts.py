@@ -118,3 +118,58 @@ def test_griffin_lim_smoke():
     wav = griffin_lim(logmel, n_iter=2)
     assert wav.shape[0] == 1 and wav.shape[1] > 500
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_tts_task_e2e(tmp_path):
+    """Train Tacotron2 on the mini corpus for 1 epoch, then synthesize."""
+    from espnet_slurp_tpu.data.mini_corpus import make_mini_corpus
+    from espnet_slurp_tpu.ops.frontend import FrontendConfig
+    from espnet_slurp_tpu.tasks.tts import (Text2Speech, TTSDataConfig,
+                                            TTSTask, TTSTaskConfig)
+    from espnet_slurp_tpu.train.optim import OptimConfig
+
+    train_dir, dev_dir = make_mini_corpus(tmp_path / "c", n_train=4, n_dev=2)
+    cfg = TTSTaskConfig(
+        exp_dir=str(tmp_path / "exp"),
+        arch="tacotron2",
+        tacotron2=TACO,
+        optim=OptimConfig(lr=1e-3, scheduler="constant"),
+        data=TTSDataConfig(train_dir=str(train_dir), valid_dir=str(dev_dir),
+                           batch_size=4,
+                           frontend=FrontendConfig(n_fft=128, hop_length=64,
+                                                   n_mels=16),
+                           mel_bucket_multiple=32),
+        max_epoch=1, keep_nbest=1)
+    state = TTSTask.train(cfg)
+    assert int(state.step) > 0
+    t2s = Text2Speech(cfg.exp_dir, use_griffin_lim=True)
+    mel, wav = t2s("alpha bravo", max_frames=24)
+    assert mel.ndim == 2 and mel.shape[1] == 16
+    if wav is not None:
+        assert np.isfinite(wav).all()
+
+
+def test_fastspeech2_task_e2e(tmp_path):
+    from espnet_slurp_tpu.data.mini_corpus import make_mini_corpus
+    from espnet_slurp_tpu.ops.frontend import FrontendConfig
+    from espnet_slurp_tpu.tasks.tts import (Text2Speech, TTSDataConfig,
+                                            TTSTask, TTSTaskConfig)
+    from espnet_slurp_tpu.train.optim import OptimConfig
+
+    train_dir, dev_dir = make_mini_corpus(tmp_path / "c", n_train=4, n_dev=2)
+    cfg = TTSTaskConfig(
+        exp_dir=str(tmp_path / "exp"),
+        arch="fastspeech2",
+        fastspeech2=FS2,
+        optim=OptimConfig(lr=1e-3, scheduler="constant"),
+        data=TTSDataConfig(train_dir=str(train_dir), valid_dir=str(dev_dir),
+                           batch_size=4,
+                           frontend=FrontendConfig(n_fft=128, hop_length=64,
+                                                   n_mels=16),
+                           mel_bucket_multiple=32),
+        max_epoch=1, keep_nbest=1)
+    state = TTSTask.train(cfg)
+    assert int(state.step) > 0
+    t2s = Text2Speech(cfg.exp_dir, use_griffin_lim=False)
+    mel, wav = t2s("charlie delta")
+    assert mel.ndim == 2 and mel.shape[1] == 16
