@@ -1,0 +1,34 @@
+"""Transducer inference CLI (reference espnet2/bin/asr_transducer_inference.py)."""
+import argparse
+import logging
+from pathlib import Path
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser()
+    p.add_argument("--exp_dir", required=True)
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--beam_size", type=int, default=5)
+    args = p.parse_args(argv)
+    from ..data.fileio import DatadirWriter, load_wav, read_2column_text
+    from ..tasks.asr_transducer import Speech2TextTransducer
+    from ..utils.metrics import error_rate
+    s2t = Speech2TextTransducer(args.exp_dir, beam_size=args.beam_size)
+    wavs = read_2column_text(Path(args.data_dir) / "wav.scp")
+    hyps = {}
+    with DatadirWriter(args.output_dir) as w:
+        for uid, path in wavs.items():
+            wav, _ = load_wav(path)
+            hyps[uid] = s2t(wav)
+            w["text"][uid] = hyps[uid]
+    refs_p = Path(args.data_dir) / "text"
+    if refs_p.exists():
+        wer, _ = error_rate(read_2column_text(refs_p), hyps)
+        logging.info("WER %.2f%%", wer * 100)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

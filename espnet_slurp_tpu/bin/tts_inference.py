@@ -1,0 +1,25 @@
+"""TTS inference CLI (reference espnet2/bin/tts_inference.py analogue)."""
+import argparse
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--exp_dir", required=True)
+    p.add_argument("--text", required=True)
+    p.add_argument("--out_wav", required=True)
+    p.add_argument("--max_frames", type=int, default=500)
+    args = p.parse_args(argv)
+    from ..data.fileio import write_wav
+    from ..tasks.tts import Text2Speech
+    t2s = Text2Speech(args.exp_dir)
+    mel, wav = t2s(args.text, max_frames=args.max_frames)
+    if wav is not None:
+        write_wav(args.out_wav, np.asarray(wav))
+        print(f"wrote {args.out_wav} ({len(wav)} samples)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

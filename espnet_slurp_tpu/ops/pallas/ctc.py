@@ -54,11 +54,12 @@ def _fwd_kernel(emit_ref, skip_ref, tlen_ref, last_ref,
                 loss_ref, alpha_ref):
     """One batch element: emit [1, T, S], skip [1, S] (1.0 = skip allowed),
     tlen/last scalars; outputs loss [1, 1] and alpha [1, T, S]."""
+    i_b = pl.program_id(0)
     t_max = emit_ref.shape[1]
     s = emit_ref.shape[2]
     skip = skip_ref[0, 0, :]  # [S]
-    tlen = tlen_ref[0]
-    last = last_ref[0]
+    tlen = tlen_ref[i_b]
+    last = last_ref[i_b]
 
     col = lax.broadcasted_iota(jnp.int32, (1, s), 1)[0]
     a0 = jnp.where(col < 2, emit_ref[0, 0, :], NEG)
@@ -78,7 +79,7 @@ def _fwd_kernel(emit_ref, skip_ref, tlen_ref, last_ref,
     a_prev = jnp.max(jnp.where(col == jnp.maximum(last - 1, 0), alpha, NEG))
     m = jnp.maximum(jnp.maximum(a_last, a_prev), NEG)
     ll = m + jnp.log(jnp.exp(a_last - m) + jnp.exp(a_prev - m))
-    loss_ref[0, 0] = -ll
+    loss_ref[i_b, 0] = -ll
 
 
 def _bwd_kernel(emit_ref, skip_ref, tlen_ref, last_ref, alpha_ref, g_ref,
@@ -88,12 +89,13 @@ def _bwd_kernel(emit_ref, skip_ref, tlen_ref, last_ref, alpha_ref, g_ref,
     d loss / d emit[t, s] = -exp(alpha[t,s] + beta[t,s] - ll) * g
     where beta excludes the emit term at (t, s) (standard CTC posterior).
     """
+    i_b = pl.program_id(0)
     t_max = emit_ref.shape[1]
     s = emit_ref.shape[2]
     skip = skip_ref[0, 0, :]
-    tlen = tlen_ref[0]
-    last = last_ref[0]
-    g = g_ref[0, 0]
+    tlen = tlen_ref[i_b]
+    last = last_ref[i_b]
+    g = g_ref[i_b]
 
     col = lax.broadcasted_iota(jnp.int32, (1, s), 1)[0]
 
@@ -165,11 +167,11 @@ def _pallas_fwd(emit, skip, tlen, last):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
+            pl.BlockSpec((b, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, t, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -204,11 +206,11 @@ def _ctc_bwd(res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, t, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, t, s), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -216,7 +218,7 @@ def _ctc_bwd(res, g):
         interpret=_interp(),
     )
     demit = kernel(emit, skip, tlen, last, alpha,
-                   g.reshape(b, 1).astype(jnp.float32))
+                   g.reshape(b).astype(jnp.float32))
     return demit, None, None, None
 
 
