@@ -19,6 +19,10 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+    # Persistent compilation cache: repeat runs skip the multi-minute
+    # XLA/Mosaic compile of the full train step.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from espnet_slurp_tpu.models.asr_model import ASRConfig, ASRModel
     from espnet_slurp_tpu.train.optim import OptimConfig, build_optimizer
     from espnet_slurp_tpu.train.state import TrainState, make_train_step

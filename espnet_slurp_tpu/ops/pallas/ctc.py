@@ -39,15 +39,21 @@ def _logaddexp3(a, b, c):
     return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m) + jnp.exp(c - m))
 
 
-def _shift1(x):
-    """Shift right by one along the last (state) axis, filling -inf."""
-    return jnp.concatenate([jnp.full_like(x[..., :1], NEG), x[..., :-1]],
-                           axis=-1)
+def _shift_right(x, k):
+    """Shift a [1, S] row right by k states, filling -inf.
+
+    Uses pltpu.roll (lane rotation) + iota mask — Mosaic cannot lower
+    cross-tile 1-D concatenates, rolls it can.
+    """
+    col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(col >= k, pltpu.roll(x, k, 1), NEG)
 
 
-def _shift2(x):
-    return jnp.concatenate([jnp.full_like(x[..., :2], NEG), x[..., :-2]],
-                           axis=-1)
+def _shift_left(x, k):
+    s = x.shape[1]
+    col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    # roll only takes non-negative shifts: left-shift k == rotate by s - k.
+    return jnp.where(col < s - k, pltpu.roll(x, s - k, 1), NEG)
 
 
 def _fwd_kernel(emit_ref, skip_ref, tlen_ref, last_ref,
@@ -57,21 +63,21 @@ def _fwd_kernel(emit_ref, skip_ref, tlen_ref, last_ref,
     i_b = pl.program_id(0)
     t_max = emit_ref.shape[1]
     s = emit_ref.shape[2]
-    skip = skip_ref[0, 0, :]  # [S]
+    skip = skip_ref[0, :, :]  # [1, S]
     tlen = tlen_ref[i_b]
     last = last_ref[i_b]
 
-    col = lax.broadcasted_iota(jnp.int32, (1, s), 1)[0]
-    a0 = jnp.where(col < 2, emit_ref[0, 0, :], NEG)
-    alpha_ref[0, 0, :] = a0
+    col = lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    a0 = jnp.where(col < 2, emit_ref[0, 0:1, :], NEG)
+    alpha_ref[0, 0:1, :] = a0
 
     def body(t, alpha):
-        a1 = _shift1(alpha)
-        a2 = jnp.where(skip > 0, _shift2(alpha), NEG)
-        new = _logaddexp3(alpha, a1, a2) + emit_ref[0, t, :]
+        a1 = _shift_right(alpha, 1)
+        a2 = jnp.where(skip > 0, _shift_right(alpha, 2), NEG)
+        new = _logaddexp3(alpha, a1, a2) + emit_ref[0, pl.ds(t, 1), :]
         new = jnp.maximum(new, NEG)
         new = jnp.where(t < tlen, new, alpha)  # freeze past valid frames
-        alpha_ref[0, t, :] = new
+        alpha_ref[0, pl.ds(t, 1), :] = new
         return new
 
     alpha = lax.fori_loop(1, t_max, body, a0)
@@ -92,16 +98,16 @@ def _bwd_kernel(emit_ref, skip_ref, tlen_ref, last_ref, alpha_ref, g_ref,
     i_b = pl.program_id(0)
     t_max = emit_ref.shape[1]
     s = emit_ref.shape[2]
-    skip = skip_ref[0, 0, :]
+    skip = skip_ref[0, :, :]  # [1, S]
     tlen = tlen_ref[i_b]
     last = last_ref[i_b]
     g = g_ref[i_b]
 
-    col = lax.broadcasted_iota(jnp.int32, (1, s), 1)[0]
+    col = lax.broadcasted_iota(jnp.int32, (1, s), 1)
 
     # Recompute ll from alpha at the last valid frame (t = tlen-1 is frozen
     # into alpha[t_max-1] by the forward freeze logic).
-    alpha_T = alpha_ref[0, t_max - 1, :]
+    alpha_T = alpha_ref[0, t_max - 1:t_max, :]
     a_last = jnp.max(jnp.where(col == last, alpha_T, NEG))
     a_prev = jnp.max(jnp.where(col == jnp.maximum(last - 1, 0), alpha_T, NEG))
     m = jnp.maximum(jnp.maximum(a_last, a_prev), NEG)
@@ -109,38 +115,30 @@ def _bwd_kernel(emit_ref, skip_ref, tlen_ref, last_ref, alpha_ref, g_ref,
 
     # beta[t, s]: probability of the suffix, WITHOUT emit at (t, s).
     beta_T = jnp.where((col == last) | (col == jnp.maximum(last - 1, 0)),
-                       0.0, NEG)
-
-    def shift_left1(x):
-        return jnp.concatenate([x[..., 1:], jnp.full_like(x[..., :1], NEG)],
-                               axis=-1)
-
-    def shift_left2(x):
-        return jnp.concatenate([x[..., 2:], jnp.full_like(x[..., :2], NEG)],
-                               axis=-1)
+                       0.0, NEG)  # [1, S]
+    skip_shift2 = _shift_left(jnp.where(skip > 0, jnp.zeros((1, s)), NEG), 2)
 
     def body(i, beta):
         # i runs 0..t_max-2 mapping to t = t_max-2-i; only t < tlen-1 active.
         t = t_max - 2 - i
         # beta[t, s] = lse over successors at t+1 (each including its own
         # emission): stay (s), advance (s+1), skip (s+2 if allowed there).
-        emit_n = emit_ref[0, t + 1, :]
+        emit_n = emit_ref[0, pl.ds(t + 1, 1), :]
         be = beta + emit_n
-        b1 = shift_left1(be)
-        skip_n2 = shift_left2(jnp.where(skip > 0, jnp.zeros((s,)), NEG))
-        b2 = shift_left2(be) + skip_n2
+        b1 = _shift_left(be, 1)
+        b2 = _shift_left(be, 2) + skip_shift2
         new = _logaddexp3(be, b1, b2)
         new = jnp.maximum(new, NEG)
         # At t >= tlen-1 beta stays terminal (those frames do not exist).
         new = jnp.where(t < tlen - 1, new, beta)
-        post = alpha_ref[0, t, :] + new - ll
-        demit_ref[0, t, :] = -jnp.exp(jnp.minimum(post, 0.0)) * g
+        post = alpha_ref[0, pl.ds(t, 1), :] + new - ll
+        demit_ref[0, pl.ds(t, 1), :] = -jnp.exp(jnp.minimum(post, 0.0)) * g
         return new
 
     lax.fori_loop(0, t_max - 1, body, beta_T)
     # Top row t = t_max-1: terminal beta (only meaningful when tlen == t_max).
-    post_T = alpha_ref[0, t_max - 1, :] + beta_T - ll
-    demit_ref[0, t_max - 1, :] = -jnp.exp(jnp.minimum(post_T, 0.0)) * g
+    post_T = alpha_ref[0, t_max - 1:t_max, :] + beta_T - ll
+    demit_ref[0, t_max - 1:t_max, :] = -jnp.exp(jnp.minimum(post_T, 0.0)) * g
     # Mask frames past each example's valid length.
     t_col = lax.broadcasted_iota(jnp.int32, (1, t_max, 1), 1)
     demit_ref[...] = jnp.where(t_col < tlen, demit_ref[...], 0.0)

@@ -26,6 +26,8 @@ class OptimConfig:
     eps: float = 1e-9
     grad_clip: float = 5.0
     accum_grad: int = 1
+    grad_noise_eta: float = 0.0   # trainer.py add_gradient_noise analogue
+    ema_decay: float = 0.0        # v1 EMA wrapper analogue (asr.py:713-715)
 
 
 def build_schedule(cfg: OptimConfig) -> optax.Schedule:
@@ -56,6 +58,10 @@ def build_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     else:
         raise ValueError(f"unknown optimizer {cfg.name}")
     parts = []
+    if cfg.grad_noise_eta > 0:
+        # Annealed gaussian gradient noise (torch_utils/add_gradient_noise.py:
+        # sigma^2 = eta / (1 + step)^0.55).
+        parts.append(optax.add_noise(cfg.grad_noise_eta, 0.55, seed=0))
     if cfg.grad_clip > 0:
         parts.append(optax.clip_by_global_norm(cfg.grad_clip))
     parts.append(core)
@@ -65,4 +71,6 @@ def build_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     tx = optax.chain(*parts)
     if cfg.accum_grad > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_grad)
+    if cfg.ema_decay > 0:
+        tx = optax.chain(tx, optax.ema(cfg.ema_decay))
     return tx
