@@ -30,7 +30,7 @@ IGNORE_ID = -1
 @dataclasses.dataclass(frozen=True)
 class ASRConfig:
     vocab_size: int = 5000
-    encoder: str = "conformer"  # conformer | transformer
+    encoder: str = "conformer"  # conformer | ebranchformer | transformer
     d_model: int = 256
     n_head: int = 4
     d_ff: int = 2048
@@ -132,6 +132,15 @@ class ASRModel(nn.Module):
             self.encoder = ConformerEncoder(
                 c.d_model, c.n_head, c.d_ff, c.num_encoder_blocks,
                 c.kernel_size, c.dropout_rate, c.interctc_layers,
+                chunk_size=c.chunk_size, left_chunks=c.left_chunks,
+                dtype=c.jax_dtype, name="encoder")
+        elif c.encoder == "ebranchformer":
+            from .branchformer import EBranchformerEncoder
+            self.encoder = EBranchformerEncoder(
+                c.d_model, c.n_head, c.d_ff, c.num_encoder_blocks,
+                cgmlp_hidden=2 * c.d_ff, kernel_size=c.kernel_size,
+                dropout_rate=c.dropout_rate,
+                interctc_layers=c.interctc_layers,
                 chunk_size=c.chunk_size, left_chunks=c.left_chunks,
                 dtype=c.jax_dtype, name="encoder")
         elif c.encoder == "transformer":

@@ -99,3 +99,20 @@ def test_train_step_decreases_loss_on_mesh():
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0], losses
     assert int(state.step) == 5
+
+
+def test_ebranchformer_encoder():
+    import dataclasses
+    cfg = dataclasses.replace(TINY, encoder="ebranchformer")
+    model = ASRModel(cfg)
+    batch = tiny_batch()
+    params = model.init(
+        jax.random.PRNGKey(0), batch["speech"], batch["speech_lengths"],
+        batch["text"], batch["text_lengths"])["params"]
+    loss, stats = model.apply(
+        {"params": params}, batch["speech"], batch["speech_lengths"],
+        batch["text"], batch["text_lengths"])
+    assert np.isfinite(float(loss))
+    # branch structure present
+    assert "cgmlp" in str(jax.tree_util.tree_structure(params))[:10000] or \
+        any("cgmlp" in k for k in params["encoder"]["block_0"])
