@@ -1,0 +1,91 @@
+"""Parameter sharding rules for tensor parallelism (GSPMD).
+
+The reference has no TP/PP (SURVEY.md §2.10) — this is the north-star
+capability: when a model exceeds one chip, annotate parameter shardings over
+the mesh's `model` axis and let GSPMD insert the collectives. Rules shard
+the wide dimensions (FFN hidden, vocab projections, attention head blocks);
+everything else replicates. Activations stay batch-sharded over `data`.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Sequence, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+# (regex over 'path/to/param', PartitionSpec) — first match wins.
+# Dense kernels are [in, out]; Embed tables are [vocab, d]; conv kernels
+# [k, in, out].
+DEFAULT_RULES: Sequence[Tuple[str, P]] = (
+    # FFN up-projections: shard the hidden (out) dim.
+    (r".*(ff1?|ff_\d+|w1|ff/w1|pointwise1|conv1)/kernel$",
+     P(None, MODEL_AXIS)),
+    # FFN down-projections: shard the hidden (in) dim.
+    (r".*(ff2|w2|ff/w2|pointwise2|conv2)/kernel$", P(MODEL_AXIS, None)),
+    # Attention q/k/v: shard heads (out dim); out-proj: shard in dim.
+    (r".*linear_[qkv]/kernel$", P(None, MODEL_AXIS)),
+    (r".*linear_out/kernel$", P(MODEL_AXIS, None)),
+    # Vocab-sized projections and embeddings: shard the vocab dim.
+    (r".*(output|ctc)/kernel$", P(None, MODEL_AXIS)),
+    (r".*embed(ding)?/embedding$", P(MODEL_AXIS, None)),
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_sharding_rules(params: Any, mesh: Mesh,
+                         rules: Sequence[Tuple[str, P]] = DEFAULT_RULES):
+    """Pytree of NamedSharding matching `params` (replicated by default).
+
+    A rule only applies if the spec's sharded dims divide the param's shape
+    on the mesh axis size; otherwise the param replicates (safe fallback).
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def assign(path, x):
+        name = _path_str(path)
+        for pat, spec in rules:
+            if re.match(pat, name):
+                ok = True
+                for dim, axis in enumerate(spec):
+                    if axis is None:
+                        continue
+                    if dim >= x.ndim or x.shape[dim] % n_model != 0:
+                        ok = False
+                        break
+                if ok:
+                    # Pad spec to param rank.
+                    full = list(spec) + [None] * (x.ndim - len(spec))
+                    return NamedSharding(mesh, P(*full[:x.ndim]))
+                break
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def shard_params(params: Any, mesh: Mesh,
+                 rules: Sequence[Tuple[str, P]] = DEFAULT_RULES):
+    """device_put params with TP shardings."""
+    shardings = param_sharding_rules(params, mesh, rules)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def count_sharded(params, mesh, rules=DEFAULT_RULES) -> Tuple[int, int]:
+    """(#sharded params, #total params) for introspection/tests."""
+    sh = param_sharding_rules(params, mesh, rules)
+    leaves = jax.tree.leaves(sh)
+    n_sharded = sum(1 for s in leaves if s.spec != P())
+    return n_sharded, len(leaves)

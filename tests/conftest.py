@@ -21,4 +21,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compile cache: the suite compiles dozens of tiny programs;
+# warm reruns skip nearly all of that.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 assert jax.devices()[0].platform == "cpu", jax.devices()
