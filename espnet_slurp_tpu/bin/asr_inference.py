@@ -32,16 +32,26 @@ def main(argv=None):
     from ..tasks.asr import Speech2Text
     from ..utils.metrics import error_rate
 
+    import time
     s2t = Speech2Text(args.exp_dir, ckpt_name=args.ckpt,
                       max_len=args.max_len, beam_size=args.beam_size,
                       ctc_weight=args.ctc_weight)
     wavs = read_2column_text(Path(args.data_dir) / "wav.scp")
     hyps = {}
+    audio_sec = 0.0
+    decode_sec = 0.0
     with DatadirWriter(args.output_dir) as w:
         for uid, path in wavs.items():
-            wav, _ = load_wav(path)
+            wav, sr = load_wav(path)
+            t0 = time.perf_counter()
             hyps[uid] = s2t(wav)
+            decode_sec += time.perf_counter() - t0
+            audio_sec += len(wav) / sr
             w["text"][uid] = hyps[uid]
+    # RTF report (utils/calculate_rtf.py analogue).
+    rtf = decode_sec / max(audio_sec, 1e-9)
+    logging.info("decoded %.1fs audio in %.1fs (RTF %.4f)", audio_sec,
+                 decode_sec, rtf)
     ref_path = Path(args.data_dir) / "text"
     if ref_path.exists():
         refs = read_2column_text(ref_path)
@@ -50,7 +60,7 @@ def main(argv=None):
         logging.info("WER=%.2f%% CER=%.2f%% (%d ref words)", wer * 100,
                      cer * 100, stats.ref_len)
         with open(Path(args.output_dir) / "score.txt", "w") as f:
-            f.write(f"WER {wer:.4f}\nCER {cer:.4f}\n")
+            f.write(f"WER {wer:.4f}\nCER {cer:.4f}\nRTF {rtf:.4f}\n")
     return 0
 
 
