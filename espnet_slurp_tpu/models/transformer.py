@@ -142,16 +142,19 @@ class TransformerDecoder(nn.Module):
         self.output = nn.Dense(self.vocab_size, dtype=self.dtype)
 
     def __call__(self, ys, ys_lengths, memory, memory_lengths,
-                 deterministic=True, memory_mask=None, return_hidden=False):
+                 deterministic=True, memory_mask=None, return_hidden=False,
+                 causal=True):
         """Training/scoring forward: [B, L] ids -> [B, L, V] logits.
 
         memory_mask: optional [B, Tk] bool overriding the contiguous
         length_mask (used by SLU fused acoustic+text memories).
+        causal=False gives a bidirectional (MLM) decoder — used by MaskCTC.
         """
         b, l = ys.shape
         x = abs_positional_encoding(self.embed(ys), scale=True)
-        self_mask = causal_mask(l)[None, None] & \
-            length_mask(ys_lengths, l)[:, None, None, :]
+        self_mask = length_mask(ys_lengths, l)[:, None, None, :]
+        if causal:
+            self_mask = self_mask & causal_mask(l)[None, None]
         self_bias = attention_bias(self_mask)
         if memory_mask is None:
             memory_mask = length_mask(memory_lengths, memory.shape[1])
