@@ -94,7 +94,7 @@ def test_slu_e2e_mini(tmp_path):
     from espnet_slurp_tpu.data.fileio import load_wav, read_2column_text
 
     train_dir, dev_dir = make_slu_mini_corpus(tmp_path / "corpus",
-                                              n_train=8, n_dev=2)
+                                              n_train=4, n_dev=2)
     cfg = SLUTaskConfig(
         exp_dir=str(tmp_path / "exp"),
         model=SLUConfig(asr=TINY_ASR, two_pass=True,
@@ -103,7 +103,7 @@ def test_slu_e2e_mini(tmp_path):
         data=DataConfig(train_dir=str(train_dir), valid_dir=str(dev_dir),
                         batch_type="sorted", batch_size=4,
                         speech_bucket_multiple=2048, text_bucket_multiple=4),
-        max_epoch=2, keep_nbest=2, nbest_average=2)
+        max_epoch=1, keep_nbest=1, nbest_average=1)
     state = SLUTask.train(cfg)
     assert int(state.step) > 0
 
