@@ -32,6 +32,8 @@ class TransducerConfig:
     pred_dim: int = 256
     joint_dim: int = 256
     aux_ctc_weight: float = 0.0    # auxiliary CTC on encoder output
+    use_tcpgen: bool = False       # KB-aware transducer (TCPGen in loss)
+    tcpgen_gcn_layers: int = 2
 
 
 class PredictionNetwork(nn.Module):
@@ -115,6 +117,11 @@ class TransducerModel(nn.Module):
         if c.aux_ctc_weight > 0:
             self.ctc_proj = nn.Dense(a.vocab_size, dtype=a.jax_dtype,
                                      name="ctc")
+        if c.use_tcpgen:
+            from .tcpgen import TCPGen
+            self.tcpgen = TCPGen(c.pred_dim, a.vocab_size,
+                                 c.tcpgen_gcn_layers, dtype=a.jax_dtype,
+                                 name="tcpgen")
 
     def encode(self, speech, speech_lengths, *, train=False,
                specaug_rng=None, mvn_stats=None):
@@ -134,7 +141,16 @@ class TransducerModel(nn.Module):
                             deterministic=not train)
 
     def __call__(self, speech, speech_lengths, text, text_lengths, *,
-                 train=False, specaug_rng=None, mvn_stats=None):
+                 trie_token=None, trie_children_tok=None,
+                 trie_children_node=None, trie_n_children=None, node=None,
+                 p_gen_mask=None, train=False, specaug_rng=None,
+                 mvn_stats=None):
+        """Loss forward. Optional trie_*/node/p_gen_mask enable the KB-aware
+        transducer: TCPGen pointer probs (queried from the prediction net per
+        label position) are mixed INSIDE the RNN-T loss, preserving the blank
+        mass — reference espnet/nets/pytorch_backend/transducer/loss.py:26-90
+        p_final = [p_blank, ptr*p_gen*(1-p_blank) + model*(1-p_gen+p_gen*p_ookb)].
+        """
         a = self.cfg.asr
         hs, h_lengths, _ = self.encode(
             speech, speech_lengths, train=train, specaug_rng=specaug_rng,
@@ -145,8 +161,28 @@ class TransducerModel(nn.Module):
                           constant_values=a.blank_id)
         g = self.prediction(pred_in)  # [B, U+1, P]
         logits = self.joint.full(hs, g)  # [B, T, U+1, V]
-        loss = rnnt_ops.rnnt_loss_mean(
-            logits, labels, h_lengths, text_lengths, a.blank_id)
+        if self.cfg.use_tcpgen and trie_token is not None:
+            trie = {"trie_token": trie_token,
+                    "trie_children_tok": trie_children_tok,
+                    "trie_children_node": trie_children_node,
+                    "trie_n_children": trie_n_children}
+            tree_encs = self.tcpgen.encode_tree(
+                self.prediction.embed(trie_token), trie)
+            ptr, kb = self.tcpgen(g, node, trie, tree_encs)  # [B,U+1,V+1]
+            p_gen = self.tcpgen.gen_prob(g, kb, p_gen_mask)  # [B,U+1]
+            v = a.vocab_size
+            p_model = jax.nn.softmax(logits.astype(jnp.float32), -1)
+            p_blank = p_model[..., a.blank_id:a.blank_id + 1]
+            pg = p_gen[:, None, :, None]
+            ookb = ptr[:, None, :, v:v + 1]
+            p_final = ptr[:, None, :, :v] * pg * (1.0 - p_blank)                 + p_model * (1.0 - pg + pg * ookb)
+            p_final = p_final.at[..., a.blank_id].set(p_model[..., a.blank_id])
+            lp = jnp.log(p_final + 1e-9)
+            loss = jnp.sum(rnnt_ops.rnnt_loss_from_logprobs(
+                lp, labels, h_lengths, text_lengths, a.blank_id))                 / labels.shape[0]
+        else:
+            loss = rnnt_ops.rnnt_loss_mean(
+                logits, labels, h_lengths, text_lengths, a.blank_id)
         stats: Dict[str, jnp.ndarray] = {"loss_transducer": loss}
         if self.cfg.aux_ctc_weight > 0:
             from ..ops import ctc as ctc_ops

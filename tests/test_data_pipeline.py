@@ -116,3 +116,14 @@ def test_mini_corpus_and_dataset(tmp_path):
     assert data["speech"].ndim == 1 and len(data["speech"]) > 1000
     assert data["text"].dtype == np.int64
     assert (data["text"] > 0).all()
+
+
+def test_rare_word_wer():
+    from espnet_slurp_tpu.utils.metrics import rare_word_error_rate
+    refs = {"a": "play zelda now", "b": "call bob"}
+    hyps = {"a": "play zebra now", "b": "call bob"}
+    rare_wer, common_wer, rs, cs = rare_word_error_rate(
+        refs, hyps, rare_words={"zelda", "bob"})
+    assert rare_wer == 0.5  # zelda wrong, bob right
+    assert common_wer == 0.0
+    assert rs.substitutions == 1 and rs.hits == 1

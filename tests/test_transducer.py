@@ -200,3 +200,47 @@ def test_transducer_task_e2e(tmp_path):
     wav, _ = load_wav(next(iter(wavs.values())))
     out = s2t(wav)
     assert isinstance(out, str)
+
+
+def test_kb_aware_transducer():
+    """TCPGen mixed inside the RNN-T loss (KB-aware transducer)."""
+    from espnet_slurp_tpu.models.asr_model import ASRConfig
+    from espnet_slurp_tpu.models.transducer import (TransducerConfig,
+                                                    TransducerModel)
+    from espnet_slurp_tpu.ops.frontend import FrontendConfig
+    from espnet_slurp_tpu.slu.kb import build_trie, walk_trie
+
+    cfg = TransducerConfig(
+        asr=ASRConfig(vocab_size=20, d_model=32, n_head=2, d_ff=64,
+                      num_encoder_blocks=1, kernel_size=7, dropout_rate=0.0,
+                      frontend=FrontendConfig(n_fft=128, hop_length=64,
+                                              n_mels=16),
+                      specaug=None),
+        pred_dim=32, joint_dim=32, use_tcpgen=True)
+    model = TransducerModel(cfg)
+    t = build_trie([[3, 4], [5]], pad_nodes_multiple=8)
+    rng = np.random.RandomState(0)
+    text = np.array([[3, 4, 5, 2], [5, 1, 1, 1]], np.int32)
+    pred_in = np.concatenate([np.zeros((2, 1), np.int32), text], 1)
+    node, mask = walk_trie(t, pred_in, set(), 0)
+    batch = {
+        "speech": jnp.asarray(rng.randn(2, 1600).astype(np.float32) * 0.1),
+        "speech_lengths": jnp.asarray([1600, 800]),
+        "text": jnp.asarray(text), "text_lengths": jnp.asarray([4, 3]),
+        "trie_token": jnp.asarray(t.token),
+        "trie_children_tok": jnp.asarray(t.children_tok),
+        "trie_children_node": jnp.asarray(t.children_node),
+        "trie_n_children": jnp.asarray(t.n_children),
+        "node": jnp.asarray(node), "p_gen_mask": jnp.asarray(mask),
+    }
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+    assert "tcpgen" in params
+
+    def loss_fn(p):
+        loss, stats = model.apply({"params": p}, **batch)
+        return loss, stats
+
+    (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert any(float(jnp.abs(x).max()) > 0
+               for x in jax.tree.leaves(grads["tcpgen"]))
