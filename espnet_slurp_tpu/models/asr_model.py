@@ -119,6 +119,35 @@ def label_smoothing_loss(logits: jnp.ndarray, targets: jnp.ndarray,
     return loss, acc
 
 
+def build_encoder(c: ASRConfig, name: str = "encoder"):
+    """Encoder factory via the plugin registry (ClassChoices analogue)."""
+    from ..utils.registry import encoders
+    if c.encoder == "conformer":
+        return ConformerEncoder(
+            c.d_model, c.n_head, c.d_ff, c.num_encoder_blocks,
+            c.kernel_size, c.dropout_rate, c.interctc_layers,
+            chunk_size=c.chunk_size, left_chunks=c.left_chunks,
+            dtype=c.jax_dtype, name=name)
+    if c.encoder == "ebranchformer":
+        from .branchformer import EBranchformerEncoder
+        return EBranchformerEncoder(
+            c.d_model, c.n_head, c.d_ff, c.num_encoder_blocks,
+            cgmlp_hidden=2 * c.d_ff, kernel_size=c.kernel_size,
+            dropout_rate=c.dropout_rate, interctc_layers=c.interctc_layers,
+            chunk_size=c.chunk_size, left_chunks=c.left_chunks,
+            dtype=c.jax_dtype, name=name)
+    if c.encoder == "transformer":
+        return TransformerEncoder(
+            c.d_model, c.n_head, c.d_ff, c.num_encoder_blocks,
+            c.dropout_rate, dtype=c.jax_dtype, name=name)
+    # Registered third-party encoders: constructed with the full config.
+    if c.encoder in encoders:
+        return encoders.get(c.encoder)(c, name=name)
+    raise ValueError(
+        f"unknown encoder {c.encoder!r}; builtins: conformer, "
+        f"ebranchformer, transformer; registered: {encoders.choices()}")
+
+
 class ASRModel(nn.Module):
     """Encoder + CTC head + attention decoder. Parameters only; the loss
     assembly lives in ``compute_loss`` below so training and inference share
@@ -128,27 +157,7 @@ class ASRModel(nn.Module):
 
     def setup(self):
         c = self.cfg
-        if c.encoder == "conformer":
-            self.encoder = ConformerEncoder(
-                c.d_model, c.n_head, c.d_ff, c.num_encoder_blocks,
-                c.kernel_size, c.dropout_rate, c.interctc_layers,
-                chunk_size=c.chunk_size, left_chunks=c.left_chunks,
-                dtype=c.jax_dtype, name="encoder")
-        elif c.encoder == "ebranchformer":
-            from .branchformer import EBranchformerEncoder
-            self.encoder = EBranchformerEncoder(
-                c.d_model, c.n_head, c.d_ff, c.num_encoder_blocks,
-                cgmlp_hidden=2 * c.d_ff, kernel_size=c.kernel_size,
-                dropout_rate=c.dropout_rate,
-                interctc_layers=c.interctc_layers,
-                chunk_size=c.chunk_size, left_chunks=c.left_chunks,
-                dtype=c.jax_dtype, name="encoder")
-        elif c.encoder == "transformer":
-            self.encoder = TransformerEncoder(
-                c.d_model, c.n_head, c.d_ff, c.num_encoder_blocks,
-                c.dropout_rate, dtype=c.jax_dtype, name="encoder")
-        else:
-            raise ValueError(f"unknown encoder {c.encoder}")
+        self.encoder = build_encoder(c)
         self.ctc_proj = nn.Dense(c.vocab_size, dtype=c.jax_dtype, name="ctc")
         self.decoder = TransformerDecoder(
             c.vocab_size, c.d_model, c.n_head, c.decoder_d_ff,

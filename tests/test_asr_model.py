@@ -116,3 +116,32 @@ def test_ebranchformer_encoder():
     # branch structure present
     assert "cgmlp" in str(jax.tree_util.tree_structure(params))[:10000] or \
         any("cgmlp" in k for k in params["encoder"]["block_0"])
+
+
+def test_encoder_registry_extension():
+    """Third-party encoders plug in via the registry (ClassChoices)."""
+    import dataclasses
+    import flax.linen as nn
+    from espnet_slurp_tpu.utils.registry import encoders
+    from espnet_slurp_tpu.ops.masks import length_mask
+
+    if "toy" not in encoders:
+        @encoders.register("toy")
+        class ToyEncoder(nn.Module):
+            cfg: object
+
+            @nn.compact
+            def __call__(self, feats, feat_lengths, deterministic=True):
+                x = nn.Dense(self.cfg.d_model)(feats)
+                return x, feat_lengths, []
+
+    cfg = dataclasses.replace(TINY, encoder="toy")
+    model = ASRModel(cfg)
+    batch = tiny_batch(b=2)
+    params = model.init(
+        jax.random.PRNGKey(0), batch["speech"], batch["speech_lengths"],
+        batch["text"], batch["text_lengths"])["params"]
+    loss, _ = model.apply(
+        {"params": params}, batch["speech"], batch["speech_lengths"],
+        batch["text"], batch["text_lengths"])
+    assert np.isfinite(float(loss))
