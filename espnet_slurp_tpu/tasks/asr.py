@@ -238,7 +238,8 @@ class Speech2Text:
     def __init__(self, exp_dir: str, ckpt_name: Optional[str] = None,
                  max_len: int = 128, beam_size: int = 1,
                  ctc_weight: float = 0.0, biasing_words=None,
-                 tcpgen_smoothprob: float = 1.0):
+                 tcpgen_smoothprob: float = 1.0,
+                 lm_exp_dir: Optional[str] = None, lm_weight: float = 0.0):
         exp = Path(exp_dir)
         self.cfg = load_task_config(exp / "config.yaml")
         tokenizer, converter, model_cfg = ASRTask.prepare_vocab(self.cfg)
@@ -257,6 +258,17 @@ class Speech2Text:
         self.beam_size = beam_size
         self.ctc_weight = ctc_weight
         self._decode_jit = None
+        self.lm = None
+        self.lm_weight = lm_weight
+        if lm_exp_dir and lm_weight > 0:
+            # Shallow-fusion LM (asr_inference.py --lm_train_config analogue).
+            from ..tasks.lm import LMTask, build_lm, load_lm_config
+            lm_cfg = load_lm_config(Path(lm_exp_dir) / "config.yaml")
+            _, _, lm_model_cfg = LMTask.prepare_vocab(lm_cfg)
+            self.lm = build_lm(lm_model_cfg)
+            lm_mgr = CheckpointManager(Path(lm_exp_dir), lm_cfg.keep_nbest)
+            self.lm_params = lm_mgr.load_params(
+                f"{lm_mgr.latest_epoch()}epoch")
         self.biasing = None
         if biasing_words:
             # Build the biasing trie from raw words (decode-time KB,
@@ -299,8 +311,15 @@ class Speech2Text:
                                                self.max_len)
             bs_cfg = BeamSearchConfig(beam_size=self.beam_size,
                                       max_len=self.max_len,
-                                      ctc_weight=self.ctc_weight)
+                                      ctc_weight=self.ctc_weight,
+                                      lm_weight=self.lm_weight)
+            lm_step = lm_init = None
+            if self.lm is not None:
+                from ..tasks.lm import make_lm_fusion
+                lm_step, lm_init = make_lm_fusion(
+                    self.lm, self.lm_params, 0, self.max_len)
             return batch_beam_search(model, params, hs, h_lengths, bs_cfg,
+                                     lm_step=lm_step, lm_init=lm_init,
                                      biasing=self.biasing)
 
         return jax.jit(decode)

@@ -100,3 +100,55 @@ def test_collect_stats(tmp_path):
     assert mean.shape == (16,)
     assert np.isfinite(mean).all() and np.isfinite(inv_std).all()
     assert int(stats["count"]) == 3 * (26 + 13)
+
+
+def test_speech2text_with_lm_fusion(tmp_path):
+    """Speech2Text wires a trained LM into beam search end to end."""
+    import dataclasses
+    from espnet_slurp_tpu.data.mini_corpus import make_mini_corpus
+    from espnet_slurp_tpu.data.fileio import load_wav, read_2column_text
+    from espnet_slurp_tpu.models.asr_model import ASRConfig
+    from espnet_slurp_tpu.models.lm import LMConfig
+    from espnet_slurp_tpu.ops.frontend import FrontendConfig
+    from espnet_slurp_tpu.tasks.asr import (ASRTask, ASRTaskConfig,
+                                            DataConfig, Speech2Text)
+    from espnet_slurp_tpu.tasks.lm import LMDataConfig, LMTask, LMTaskConfig
+    from espnet_slurp_tpu.train.optim import OptimConfig
+
+    train_dir, dev_dir = make_mini_corpus(tmp_path / "c", n_train=6, n_dev=2)
+    asr_cfg = ASRTaskConfig(
+        exp_dir=str(tmp_path / "asr"),
+        model=ASRConfig(d_model=32, n_head=2, d_ff=64,
+                        num_encoder_blocks=1, num_decoder_blocks=1,
+                        decoder_d_ff=64, kernel_size=7, dropout_rate=0.0,
+                        ctc_weight=0.3,
+                        frontend=FrontendConfig(n_fft=128, hop_length=64,
+                                                n_mels=16),
+                        specaug=None),
+        optim=OptimConfig(lr=1e-3, scheduler="constant"),
+        data=DataConfig(train_dir=str(train_dir), valid_dir=str(dev_dir),
+                        token_type="word", batch_type="sorted", batch_size=6,
+                        speech_bucket_multiple=2048, text_bucket_multiple=4),
+        max_epoch=1, keep_nbest=1, nbest_average=1)
+    ASRTask.train(asr_cfg)
+    # LM trained on the SAME token list (copy tokens.txt so ids align).
+    lm_dir = tmp_path / "lm"
+    lm_dir.mkdir()
+    (lm_dir / "tokens.txt").write_text(
+        (tmp_path / "asr" / "tokens.txt").read_text())
+    lm_cfg = LMTaskConfig(
+        exp_dir=str(lm_dir),
+        model=LMConfig(d_model=16, n_head=2, d_ff=32, num_blocks=1),
+        optim=OptimConfig(lr=1e-2, scheduler="constant"),
+        data=LMDataConfig(train_text=str(train_dir / "text"),
+                          valid_text=str(dev_dir / "text"),
+                          token_type="word", batch_size=4),
+        max_epoch=1, keep_nbest=1)
+    LMTask.train(lm_cfg)
+
+    s2t = Speech2Text(str(tmp_path / "asr"), beam_size=3, ctc_weight=0.3,
+                      max_len=8, lm_exp_dir=str(lm_dir), lm_weight=0.3)
+    wavs = read_2column_text(dev_dir / "wav.scp")
+    wav, _ = load_wav(next(iter(wavs.values())))
+    out = s2t(wav)
+    assert isinstance(out, str)
