@@ -152,3 +152,32 @@ def test_speech2text_with_lm_fusion(tmp_path):
     wav, _ = load_wav(next(iter(wavs.values())))
     out = s2t(wav)
     assert isinstance(out, str)
+
+
+def test_attention_harvest(tmp_path):
+    """calculate_all_attentions analogue: sown attention maps collected."""
+    import jax
+    from espnet_slurp_tpu.models.asr_model import ASRConfig, ASRModel
+    from espnet_slurp_tpu.ops.frontend import FrontendConfig
+    from espnet_slurp_tpu.train.attention_plot import (
+        calculate_all_attentions, plot_attentions)
+
+    cfg = ASRConfig(vocab_size=20, d_model=32, n_head=2, d_ff=64,
+                    num_encoder_blocks=1, num_decoder_blocks=1,
+                    decoder_d_ff=64, kernel_size=7, dropout_rate=0.0,
+                    encoder="transformer",
+                    frontend=FrontendConfig(n_fft=128, hop_length=64,
+                                            n_mels=16),
+                    specaug=None)
+    model = ASRModel(cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "speech": jnp.asarray(rng.randn(1, 1600).astype(np.float32)),
+        "speech_lengths": jnp.asarray([1600]),
+        "text": jnp.asarray([[1, 2]]), "text_lengths": jnp.asarray([2]),
+    }
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+    atts = calculate_all_attentions(model, params, batch)
+    assert len(atts) >= 1  # transformer encoder sows attention
+    paths = plot_attentions(atts, tmp_path / "plots")
+    assert len(paths) >= 1
