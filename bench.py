@@ -36,7 +36,7 @@ def main():
                     decoder_d_ff=2048, dropout_rate=0.1, dtype="bfloat16")
     model = ASRModel(cfg)
 
-    b, secs, u = 32, 15, 64
+    b, secs, u = 64, 15, 64
     n = 16000 * secs
     rng = np.random.RandomState(0)
     batch = {
