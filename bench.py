@@ -52,16 +52,20 @@ def main():
     state = TrainState.create(params, tx, jax.random.PRNGKey(0))
     step = make_train_step(model, tx, donate=True)
 
-    # Warmup/compile.
+    # Warmup/compile. NOTE: synchronize via a VALUE fetch, not
+    # block_until_ready — some remote PJRT transports treat the latter as a
+    # no-op, which silently turns the timing into a dispatch benchmark.
     state, stats = step(state, batch)
-    jax.block_until_ready(stats["loss"])
+    float(stats["loss"])
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         state, stats = step(state, batch)
-    jax.block_until_ready(stats["loss"])
+    # One value fetch: the last step's loss depends on the whole state chain.
+    final_loss = float(stats["loss"])
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
 
     audio_sec_per_s = b * secs * iters / dt
     baseline = 1300.0  # V100 audio-sec/s (BASELINE.md note)
