@@ -1,0 +1,81 @@
+"""Training-throughput benchmark on the flagship LS-100-class Conformer.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md): the reference trains LS-100 Conformer at ~1.3k
+audio-seconds/s on one V100-32GB (derived from 57,072 s wall-clock for 70
+epochs x 300 h). We measure audio-sec/s of the full jitted train step
+(frontend + specaug + conformer + ctc/att losses + backward + adam update)
+on one TPU chip with synthetic 16 kHz audio at the reference's batch scale.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    # Persistent compilation cache: repeat runs skip the multi-minute
+    # XLA/Mosaic compile of the full train step.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from espnet_slurp_tpu.models.asr_model import ASRConfig, ASRModel
+    from espnet_slurp_tpu.train.optim import OptimConfig, build_optimizer
+    from espnet_slurp_tpu.train.state import TrainState, make_train_step
+
+    # Flagship config: LS-100 Conformer (12x256 enc, 6x2048 dec, bpe5000),
+    # bf16 compute. Batch sized to the reference's numel budget
+    # (batch_bins 16M @ 80 mels ~ hundreds of utts; on one chip we use
+    # B x 15 s which is ~ the per-GPU throughput-relevant scale).
+    cfg = ASRConfig(vocab_size=5000, d_model=256, n_head=4, d_ff=1024,
+                    num_encoder_blocks=12, num_decoder_blocks=6,
+                    decoder_d_ff=2048, dropout_rate=0.1, dtype="bfloat16")
+    model = ASRModel(cfg)
+
+    b, secs, u = 64, 15, 64
+    n = 16000 * secs
+    rng = np.random.RandomState(0)
+    batch = {
+        "speech": jnp.asarray(rng.randn(b, n).astype(np.float32) * 0.1),
+        "speech_lengths": jnp.full((b,), n, jnp.int32),
+        "text": jnp.asarray(rng.randint(1, 4999, size=(b, u)), jnp.int32),
+        "text_lengths": jnp.full((b,), u, jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch["speech"][:2],
+                        batch["speech_lengths"][:2], batch["text"][:2],
+                        batch["text_lengths"][:2])["params"]
+    tx = build_optimizer(OptimConfig(lr=1e-3, scheduler="constant"))
+    state = TrainState.create(params, tx, jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, donate=True)
+
+    # Warmup/compile. NOTE: synchronize via a VALUE fetch, not
+    # block_until_ready — some remote PJRT transports treat the latter as a
+    # no-op, which silently turns the timing into a dispatch benchmark.
+    state, stats = step(state, batch)
+    float(stats["loss"])
+
+    iters = 40
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, stats = step(state, batch)
+    # One value fetch: the last step's loss depends on the whole state chain.
+    final_loss = float(stats["loss"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
+
+    audio_sec_per_s = b * secs * iters / dt
+    baseline = 1300.0  # V100 audio-sec/s (BASELINE.md note)
+    print(json.dumps({
+        "metric": "train_throughput_ls100_conformer",
+        "value": round(audio_sec_per_s, 1),
+        "unit": "audio_sec/s/chip",
+        "vs_baseline": round(audio_sec_per_s / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
