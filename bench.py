@@ -45,9 +45,12 @@ def main():
         "text": jnp.asarray(rng.randint(1, 4999, size=(b, u)), jnp.int32),
         "text_lengths": jnp.full((b,), u, jnp.int32),
     }
-    params = model.init(jax.random.PRNGKey(0), batch["speech"][:2],
-                        batch["speech_lengths"][:2], batch["text"][:2],
-                        batch["text_lengths"][:2])["params"]
+    # One jitted init program (eager init pays per-op dispatch latency on
+    # remote transports).
+    params = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), batch["speech"][:2],
+                           batch["speech_lengths"][:2], batch["text"][:2],
+                           batch["text_lengths"][:2])["params"])()
     tx = build_optimizer(OptimConfig(lr=1e-3, scheduler="constant"))
     state = TrainState.create(params, tx, jax.random.PRNGKey(0))
     step = make_train_step(model, tx, donate=True)
