@@ -93,9 +93,13 @@ def ctc_loss(
 
 
 def ctc_loss_auto(log_probs, logit_lengths, labels, label_lengths,
-                  blank_id: int = 0) -> jnp.ndarray:
-    """Backend dispatch: Pallas kernel on TPU, lax.scan elsewhere."""
-    if jax.default_backend() == "tpu":
+                  blank_id: int = 0, impl: str = "scan") -> jnp.ndarray:
+    """CTC dispatch. Default is the lax.scan recursion: T sequential steps of
+    [B, S] batched VPU work. The Pallas kernel (impl='pallas') currently
+    grids over batch, serializing B*T tiny steps — measured SLOWER than the
+    scan on real v5e for B>=32, so it stays opt-in until the kernel is
+    batch-tiled (round-2 perf item)."""
+    if impl == "pallas" and jax.default_backend() == "tpu":
         from .pallas.ctc import ctc_loss_pallas
         return ctc_loss_pallas(log_probs, logit_lengths, labels,
                                label_lengths, blank_id)
