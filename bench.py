@@ -23,6 +23,10 @@ def main():
     # XLA/Mosaic compile of the full train step.
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Hardware RNG for dropout: threefry bit-generation accounted for the
+    # plurality of HBM traffic in the train step (XLA cost analysis); the
+    # TPU rbg generator removes it.
+    jax.config.update("jax_default_prng_impl", "rbg")
     from espnet_slurp_tpu.models.asr_model import ASRConfig, ASRModel
     from espnet_slurp_tpu.train.optim import OptimConfig, build_optimizer
     from espnet_slurp_tpu.train.state import TrainState, make_train_step
