@@ -49,6 +49,7 @@ class ASRConfig:
     use_mvn: str = "utterance"  # "global" | "utterance" | "none"
     chunk_size: int = 0      # >0: streaming chunk attention (frames after x4)
     left_chunks: int = -1
+    remat_encoder: bool = False
     use_tcpgen: bool = False
     tcpgen_gcn_layers: int = 2
     tcpgen_smoothprob: float = 1.0
@@ -127,7 +128,7 @@ def build_encoder(c: ASRConfig, name: str = "encoder"):
             c.d_model, c.n_head, c.d_ff, c.num_encoder_blocks,
             c.kernel_size, c.dropout_rate, c.interctc_layers,
             chunk_size=c.chunk_size, left_chunks=c.left_chunks,
-            dtype=c.jax_dtype, name=name)
+            remat=c.remat_encoder, dtype=c.jax_dtype, name=name)
     if c.encoder == "ebranchformer":
         from .branchformer import EBranchformerEncoder
         return EBranchformerEncoder(

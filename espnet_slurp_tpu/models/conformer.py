@@ -115,6 +115,10 @@ class ConformerEncoder(nn.Module):
     # ``left_chunks`` past chunks of context (0 disables; -1 left = all).
     chunk_size: int = 0
     left_chunks: int = -1
+    # Rematerialize blocks in backward: recompute instead of storing the
+    # large per-block intermediates (attention probs, FF hiddens) — a
+    # bandwidth win on TPU where the step is HBM-bound (PERF_NOTES.md).
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -131,8 +135,10 @@ class ConformerEncoder(nn.Module):
                 t, self.chunk_size, self.left_chunks)[None, None]
         bias = attention_bias(att_mask)  # (B,1,1|T',T')
         inter = []
+        block_cls = nn.remat(ConformerBlock, static_argnums=(5,)) \
+            if self.remat else ConformerBlock
         for i in range(self.num_blocks):
-            x = ConformerBlock(
+            x = block_cls(
                 self.d_model, self.n_head, self.d_ff, self.kernel_size,
                 self.dropout_rate, self.dtype, causal_conv=self.chunk_size > 0,
                 name=f"block_{i}")(
