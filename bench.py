@@ -37,8 +37,7 @@ def main():
     # B x 15 s which is ~ the per-GPU throughput-relevant scale).
     cfg = ASRConfig(vocab_size=5000, d_model=256, n_head=4, d_ff=1024,
                     num_encoder_blocks=12, num_decoder_blocks=6,
-                    decoder_d_ff=2048, dropout_rate=0.1, dtype="bfloat16",
-                    remat_encoder=True)
+                    decoder_d_ff=2048, dropout_rate=0.1, dtype="bfloat16")
     model = ASRModel(cfg)
 
     b, secs, u = 64, 15, 64
