@@ -57,3 +57,32 @@ def test_full_pipeline(tmp_path):
     out = unpack(archive, tmp_path / "unpacked")
     assert (out / "config.yaml").exists()
     assert (out / "tokens.txt").exists()
+
+
+def test_slu_pipeline(tmp_path):
+    from espnet_slurp_tpu.recipe.slu_pipeline import run_slu_pipeline
+    from espnet_slurp_tpu.slu.mini_corpus import make_slu_mini_corpus
+    from espnet_slurp_tpu.slu.model import SLUConfig
+    from espnet_slurp_tpu.tasks.slu import SLUTaskConfig
+
+    train_dir, dev_dir = make_slu_mini_corpus(tmp_path / "c", n_train=4,
+                                              n_dev=2)
+    cfg = SLUTaskConfig(
+        exp_dir=str(tmp_path / "exp"),
+        model=SLUConfig(
+            asr=ASRConfig(d_model=32, n_head=2, d_ff=64,
+                          num_encoder_blocks=1, num_decoder_blocks=1,
+                          decoder_d_ff=64, kernel_size=7, dropout_rate=0.0,
+                          ctc_weight=0.3,
+                          frontend=FrontendConfig(n_fft=128, hop_length=64,
+                                                  n_mels=16),
+                          specaug=None),
+            two_pass=True, text_encoder_blocks=1, text_encoder_d_ff=32),
+        optim=OptimConfig(lr=1e-3, scheduler="constant"),
+        data=DataConfig(train_dir=str(train_dir), valid_dir=str(dev_dir),
+                        batch_type="sorted", batch_size=4,
+                        speech_bucket_multiple=2048, text_bucket_multiple=4),
+        max_epoch=1, keep_nbest=1, nbest_average=1)
+    results = run_slu_pipeline(cfg, max_len=8)
+    assert "intent_acc_dev" in results and "slu_f1_dev" in results
+    assert 0.0 <= results["intent_acc_dev"] <= 1.0
