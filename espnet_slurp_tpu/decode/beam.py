@@ -66,8 +66,12 @@ def batch_beam_search(
     cfg: BeamSearchConfig,
     lm_step=None, lm_init=None, lm_weight: Optional[float] = None,
     biasing: Optional[dict] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_nbest: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Returns (tokens [B, max_len] eos-padded, lengths [B]) of best hyps.
+
+    With return_nbest=True, additionally returns the ranked beam
+    (nb_tokens [B, K, L], nb_lengths [B, K], nb_scores [B, K]).
 
     lm_step(y_prev [N], state) -> (logp [N, V], state) enables shallow fusion.
     biasing: {'trie': {trie_* arrays}, 'boundary_mask': [V+1] bool,
@@ -163,8 +167,11 @@ def batch_beam_search(
             lm_state = st.lm_state
             fused = att_lp * w_att
 
-        # Pre-beam: top-(P-1) by fused score + forced eos slot.
-        _, cand = lax.top_k(fused, p - 1)  # [N, P-1]
+        # Pre-beam: top-(P-1) by fused score + forced eos slot. eos is
+        # masked out of the top-k so the forced slot P-1 is the ONLY eos
+        # candidate — otherwise a top-ranked eos would occupy two candidate
+        # slots with identical totals and duplicate a beam entry.
+        _, cand = lax.top_k(fused.at[:, eos].set(neg), p - 1)  # [N, P-1]
         cand = jnp.concatenate(
             [cand, jnp.full((n, 1), eos, cand.dtype)], axis=1)  # [N, P]
         delta = jnp.take_along_axis(fused, cand, axis=1)  # [N, P]
@@ -260,4 +267,15 @@ def batch_beam_search(
         final.tokens, best[:, None, None], axis=1)[:, 0]  # [B, L]
     lengths = jnp.sum(
         jnp.cumprod((tokens != eos).astype(jnp.int32), axis=1), axis=1)
+    if return_nbest:
+        # Ranked n-best (beam_search.py:336-458 returns List[Hypothesis];
+        # here: fixed-shape [B, K, L] + per-hyp scores). top_k keeps rows
+        # sorted each step but argsort anyway for a hard guarantee.
+        order = jnp.argsort(-final.total, axis=1)  # [B, K]
+        nb_tokens = jnp.take_along_axis(final.tokens, order[..., None],
+                                        axis=1)  # [B, K, L]
+        nb_scores = jnp.take_along_axis(final.total, order, axis=1)
+        nb_lengths = jnp.sum(jnp.cumprod(
+            (nb_tokens != eos).astype(jnp.int32), axis=2), axis=2)
+        return tokens, lengths, nb_tokens, nb_lengths, nb_scores
     return tokens, lengths

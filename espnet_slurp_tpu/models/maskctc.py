@@ -114,17 +114,28 @@ class MaskCTCModel(nn.Module):
         valid = length_mask(lengths_j, max_len)
         to_mask = (jnp.asarray(confs) < threshold) & valid
         ys = jnp.where(to_mask, self.mask_id, tokens)
+        # Per-row fill budget: each of the K iterations reveals ~1/K of the
+        # initially-masked positions, highest predicted confidence first
+        # (reference maskctc_model: fill top ceil(n_mask/K) masked per pass).
+        n_masked0 = jnp.sum(to_mask, axis=1)  # [B]
         for _ in range(n_iterations):
             logits = self.asr.decoder(ys, lengths_j, hs, h_lengths,
                                       causal=False)
             probs = jax.nn.softmax(logits.astype(jnp.float32), -1)
             pred = jnp.argmax(probs, -1)
             pconf = jnp.max(probs, -1)
-            still_masked = ys == self.mask_id
-            # Fill the highest-confidence masked positions (top half).
-            fill = still_masked & (pconf >= jnp.median(
-                jnp.where(still_masked, pconf, 2.0)))
-            ys = jnp.where(fill & valid, pred, ys)
+            still_masked = (ys == self.mask_id) & valid
+            n_still = jnp.sum(still_masked, axis=1)  # [B]
+            k = jnp.minimum(
+                jnp.maximum(-(-n_masked0 // n_iterations), 1), n_still)
+            # Per-row confidence threshold over MASKED positions only: the
+            # k-th largest masked confidence (sentinel -1 never selected).
+            scores = jnp.where(still_masked, pconf, -1.0)
+            sorted_desc = -jnp.sort(-scores, axis=1)
+            kth = jnp.take_along_axis(
+                sorted_desc, jnp.maximum(k - 1, 0)[:, None], axis=1)
+            fill = still_masked & (scores >= kth) & (k > 0)[:, None]
+            ys = jnp.where(fill, pred, ys)
         # Final pass: fill any remaining masks.
         logits = self.asr.decoder(ys, lengths_j, hs, h_lengths, causal=False)
         pred = jnp.argmax(logits, -1)

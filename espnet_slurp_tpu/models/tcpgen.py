@@ -141,12 +141,16 @@ def tcpgen_final_logprobs(logits, ptr_dist, p_gen) -> jnp.ndarray:
 
 
 def trie_step(trie: Dict[str, jnp.ndarray], node, y, boundary_mask,
-              eos_id: int, dead: int):
+              eos_id: int, dead: int, root=0):
     """Vectorized decode-time walk: (node [N], chosen token y [N]) -> new node.
 
     boundary_mask: [V+1]-shaped bool lookup of word-boundary tokens
     (tokens ending in '▁' / <space>). Mirrors
     get_lextree_step_embs_inference (decoders.py:251-285).
+    root: reset target on eos / word boundary — the global trie root (0) for
+    ASR biasing lists, or a per-hypothesis [N] array of slot-ontology roots
+    for the KA2G forest (must match walk_forest's training-time reset,
+    otherwise pointer state diverges between train and decode).
     Returns (new_node [N], p_gen_mask [N]).
     """
     ct = trie["trie_children_tok"][node]   # [N, MB]
@@ -160,10 +164,11 @@ def trie_step(trie: Dict[str, jnp.ndarray], node, y, boundary_mask,
     child_nc = trie["trie_n_children"][child]
     is_eos = y == eos_id
     is_boundary = boundary_mask[y]
+    root = jnp.broadcast_to(jnp.asarray(root, jnp.int32), y.shape)
     # boundary: descend if child exists and has children, else root
-    boundary_node = jnp.where(found & (child_nc > 0), child, 0)
+    boundary_node = jnp.where(found & (child_nc > 0), child, root)
     in_tree_node = jnp.where(found, child, dead)
-    new_node = jnp.where(is_eos, 0,
+    new_node = jnp.where(is_eos, root,
                          jnp.where(is_boundary, boundary_node, in_tree_node))
     p_gen_mask = jnp.where(is_eos | is_boundary, 0,
                            jnp.where(found, 0, 1))

@@ -86,9 +86,11 @@ def ctc_loss(
     m = jnp.maximum(a_last, a_prev)
     ll = m + jnp.log(jnp.exp(a_last - m) + jnp.exp(a_prev - m))
     loss = -ll
-    # zero_infinity semantics (ctc.py:41 zero_infinity=True): infeasible
-    # alignments (U > T) contribute 0.
-    feasible = label_lengths <= logit_lengths
+    # zero_infinity semantics (ctc.py:41 zero_infinity=True): any infeasible
+    # alignment contributes 0. U > T is one case, but T < U + n_repeats is
+    # also infeasible (adjacent repeats need a blank between them); rather
+    # than enumerating cases, detect the saturated NEG_INF likelihood itself.
+    feasible = (label_lengths <= logit_lengths) & (ll > NEG_INF / 2)
     return jnp.where(feasible, loss, 0.0)
 
 

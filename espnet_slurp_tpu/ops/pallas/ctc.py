@@ -252,5 +252,8 @@ def ctc_loss_pallas(
     last = (2 * label_lengths).astype(jnp.int32)
     loss = _ctc_core(emit, skip[:, None, :], logit_lengths.astype(jnp.int32),
                      last)
-    feasible = label_lengths <= logit_lengths
+    # zero_infinity semantics: U > T is one infeasible case, but so is
+    # T < U + n_repeats (adjacent repeats need a separating blank); detect
+    # the saturated NEG likelihood directly rather than enumerating cases.
+    feasible = (label_lengths <= logit_lengths) & (loss < -NEG / 2)
     return jnp.where(feasible, loss, 0.0)

@@ -240,8 +240,13 @@ class SlotGenerator(nn.Module):
             y = jnp.argmax(logp, -1).astype(jnp.int32)
             ys = ys.at[:, t + 1].set(y)
             if use_ptr:
+                # Reset target is each hypothesis's SLOT root (not the global
+                # forest root, whose only children are virtual slot tokens) —
+                # matching walk_forest's training-time pointer state.
                 node, pmask = trie_step(trie, node, y, boundary_mask, -1,
-                                        dead)
+                                        dead,
+                                        root=jnp.tile(jnp.asarray(roots),
+                                                      (b,)))
         return slot_logits, ys[:, 1:].reshape(b, c.n_slots, l)
 
 

@@ -205,7 +205,8 @@ class ASRTask:
         params = cls.init_params(model, cfg.data.seed)
         tx = build_optimizer(cfg.optim)
         state = TrainState.create(params, tx,
-                                  jax.random.PRNGKey(cfg.data.seed))
+                                  jax.random.PRNGKey(cfg.data.seed),
+                                  ema=cfg.optim.ema_decay > 0)
         if mesh is not None:
             from ..parallel.mesh import replicated
             state = jax.device_put(state, replicated(mesh))
@@ -218,7 +219,9 @@ class ASRTask:
         mvn_stats = cls.load_mvn_stats(cfg)
         ckpt = CheckpointManager(exp, cfg.keep_nbest)
         trainer = Trainer(
-            make_train_step(model, tx, mvn_stats=mvn_stats),
+            make_train_step(model, tx, mvn_stats=mvn_stats,
+                            grad_noise_eta=cfg.optim.grad_noise_eta,
+                            ema_decay=cfg.optim.ema_decay),
             make_eval_step(model, mvn_stats=mvn_stats), ckpt,
             TrainerOptions(max_epoch=cfg.max_epoch, patience=cfg.patience,
                            keep_nbest=cfg.keep_nbest,

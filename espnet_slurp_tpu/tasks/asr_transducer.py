@@ -76,12 +76,15 @@ class ASRTransducerTask:
                             **batch0)["params"]
         tx = build_optimizer(cfg.optim)
         state = TrainState.create(params, tx,
-                                  jax.random.PRNGKey(cfg.data.seed))
+                                  jax.random.PRNGKey(cfg.data.seed),
+                                  ema=cfg.optim.ema_decay > 0)
         if mesh is not None:
             from ..parallel.mesh import replicated
             state = jax.device_put(state, replicated(mesh))
         ckpt = CheckpointManager(exp, cfg.keep_nbest)
-        trainer = Trainer(make_train_step(model, tx), make_eval_step(model),
+        trainer = Trainer(make_train_step(model, tx,
+                                          grad_noise_eta=cfg.optim.grad_noise_eta,
+                                          ema_decay=cfg.optim.ema_decay), make_eval_step(model),
                           ckpt,
                           TrainerOptions(max_epoch=cfg.max_epoch,
                                          patience=cfg.patience,

@@ -158,14 +158,17 @@ class SLUTask:
         params = model.init(rng, **{k: v for k, v in batch0.items()})["params"]
 
         tx = build_optimizer(cfg.optim)
-        state = TrainState.create(params, tx, rng)
+        state = TrainState.create(params, tx, rng,
+                                   ema=cfg.optim.ema_decay > 0)
         if mesh is not None:
             from ..parallel.mesh import replicated
             state = jax.device_put(state, replicated(mesh))
 
         from ..train.state import make_eval_step, make_train_step
         ckpt = CheckpointManager(exp, cfg.keep_nbest)
-        trainer = Trainer(make_train_step(model, tx),
+        trainer = Trainer(make_train_step(model, tx,
+                                          grad_noise_eta=cfg.optim.grad_noise_eta,
+                                          ema_decay=cfg.optim.ema_decay),
                           make_eval_step(model), ckpt,
                           TrainerOptions(max_epoch=cfg.max_epoch,
                                          patience=cfg.patience,

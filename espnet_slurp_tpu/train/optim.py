@@ -58,10 +58,11 @@ def build_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     else:
         raise ValueError(f"unknown optimizer {cfg.name}")
     parts = []
-    if cfg.grad_noise_eta > 0:
-        # Annealed gaussian gradient noise (torch_utils/add_gradient_noise.py:
-        # sigma^2 = eta / (1 + step)^0.55).
-        parts.append(optax.add_noise(cfg.grad_noise_eta, 0.55, seed=0))
+    # NOTE: grad_noise_eta and ema_decay are intentionally NOT part of this
+    # chain. Gradient noise needs the per-step train rng (a fixed optax seed
+    # would redraw identical noise every run) and EMA must be a shadow copy
+    # of params for eval — not a smoothing of applied updates. Both live in
+    # train/state.py:make_train_step.
     if cfg.grad_clip > 0:
         parts.append(optax.clip_by_global_norm(cfg.grad_clip))
     parts.append(core)
@@ -71,6 +72,4 @@ def build_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     tx = optax.chain(*parts)
     if cfg.accum_grad > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_grad)
-    if cfg.ema_decay > 0:
-        tx = optax.chain(tx, optax.ema(cfg.ema_decay))
     return tx

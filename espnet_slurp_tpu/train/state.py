@@ -27,11 +27,21 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     rng: jax.Array
+    # Shadow EMA copy of params for eval/checkpoint (v1 EMA wrapper analogue,
+    # asr.py:713-715). None unless ema_decay > 0; the live params and the
+    # update dynamics are untouched by it.
+    ema_params: Any = None
 
     @classmethod
-    def create(cls, params, tx: optax.GradientTransformation, rng: jax.Array):
+    def create(cls, params, tx: optax.GradientTransformation, rng: jax.Array,
+               ema: bool = False):
         return cls(step=jnp.zeros((), jnp.int32), params=params,
-                   opt_state=tx.init(params), rng=rng)
+                   opt_state=tx.init(params), rng=rng,
+                   ema_params=jax.tree.map(jnp.copy, params) if ema else None)
+
+    @property
+    def eval_params(self):
+        return self.params if self.ema_params is None else self.ema_params
 
 
 def make_train_step(
@@ -39,6 +49,8 @@ def make_train_step(
     tx: optax.GradientTransformation,
     mvn_stats=None,
     donate: bool = True,
+    grad_noise_eta: float = 0.0,
+    ema_decay: float = 0.0,
 ) -> Callable:
     """Build the jitted train step: (state, batch) -> (state, stats).
 
@@ -48,7 +60,8 @@ def make_train_step(
     """
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        rng, specaug_rng, dropout_rng = jax.random.split(state.rng, 3)
+        rng, specaug_rng, dropout_rng, noise_rng = jax.random.split(
+            state.rng, 4)
         # Fold in step so each step draws fresh augmentation noise even
         # though state.rng is only split per call.
         specaug_rng = jax.random.fold_in(specaug_rng, state.step)
@@ -61,6 +74,21 @@ def make_train_step(
 
         (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
+        if grad_noise_eta > 0:
+            # Annealed gaussian gradient noise, sigma^2 = eta/(1+step)^0.55
+            # (torch_utils/add_gradient_noise.py), drawn from the per-step
+            # train rng so each run/step sees fresh noise.
+            noise_rng = jax.random.fold_in(noise_rng, state.step)
+            sigma = jnp.sqrt(grad_noise_eta /
+                             (1.0 + state.step.astype(jnp.float32)) ** 0.55)
+            leaves = jax.tree.leaves(grads)
+            keys = jax.random.split(noise_rng, len(leaves))
+            key_tree = jax.tree.unflatten(jax.tree.structure(grads),
+                                          list(keys))
+            grads = jax.tree.map(
+                lambda g, k: g + sigma * jax.random.normal(k, g.shape,
+                                                           g.dtype),
+                grads, key_tree)
         # Skip non-finite updates (trainer.py:651-667 analogue).
         gnorm = optax.global_norm(grads)
         ok = jnp.isfinite(gnorm) & jnp.isfinite(loss)
@@ -72,19 +100,27 @@ def make_train_step(
             lambda new, old: jnp.where(ok, new, old) if
             isinstance(new, jnp.ndarray) and new.shape == old.shape else new,
             new_opt, state.opt_state)
+        new_ema = state.ema_params
+        if ema_decay > 0 and new_ema is not None:
+            new_ema = jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                new_ema, new_params)
         stats = dict(stats)
         stats["grad_norm"] = gnorm
         stats["skipped"] = 1.0 - ok.astype(jnp.float32)
         return state.replace(step=state.step + 1, params=new_params,
-                             opt_state=new_opt, rng=rng), stats
+                             opt_state=new_opt, rng=rng,
+                             ema_params=new_ema), stats
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model, mvn_stats=None) -> Callable:
     def step_fn(state: TrainState, batch):
+        # Evaluate the EMA shadow weights when enabled (live params
+        # otherwise) — matching the v1 EMA wrapper's eval semantics.
         loss, stats = model.apply(
-            {"params": state.params}, train=False, mvn_stats=mvn_stats,
+            {"params": state.eval_params}, train=False, mvn_stats=mvn_stats,
             **batch)
         return stats
     return jax.jit(step_fn)
