@@ -50,6 +50,8 @@ class ASRConfig:
     chunk_size: int = 0      # >0: streaming chunk attention (frames after x4)
     left_chunks: int = -1
     remat_encoder: bool = False
+    # Fused rel-pos flash attention: "auto" (TPU only) | "on" | "off".
+    flash_attention: str = "auto"
     use_tcpgen: bool = False
     tcpgen_gcn_layers: int = 2
     tcpgen_smoothprob: float = 1.0
@@ -128,7 +130,8 @@ def build_encoder(c: ASRConfig, name: str = "encoder"):
             c.d_model, c.n_head, c.d_ff, c.num_encoder_blocks,
             c.kernel_size, c.dropout_rate, c.interctc_layers,
             chunk_size=c.chunk_size, left_chunks=c.left_chunks,
-            remat=c.remat_encoder, dtype=c.jax_dtype, name=name)
+            remat=c.remat_encoder, flash=c.flash_attention,
+            dtype=c.jax_dtype, name=name)
     if c.encoder == "ebranchformer":
         from .branchformer import EBranchformerEncoder
         return EBranchformerEncoder(
@@ -221,17 +224,17 @@ class ASRModel(nn.Module):
         stats: Dict[str, jnp.ndarray] = {}
         loss = 0.0
         if c.ctc_weight > 0.0:
-            lp = self.ctc_logprobs(hs)
-            loss_ctc = ctc_ops.ctc_loss_mean(
-                lp, h_lengths, jnp.maximum(text, 0), text_lengths, c.blank_id)
+            # Fused gather+logsumexp CTC: no f32 [B,T,V] log-softmax buffer.
+            loss_ctc = ctc_ops.ctc_loss_mean_logits(
+                self.ctc_proj(hs), h_lengths, jnp.maximum(text, 0),
+                text_lengths, c.blank_id)
             stats["loss_ctc"] = loss_ctc
             if c.interctc_weight > 0.0 and inter:
                 inter_loss = 0.0
                 for _, xs in inter:
-                    ilp = self.ctc_logprobs(xs)
-                    inter_loss += ctc_ops.ctc_loss_mean(
-                        ilp, h_lengths, jnp.maximum(text, 0), text_lengths,
-                        c.blank_id)
+                    inter_loss += ctc_ops.ctc_loss_mean_logits(
+                        self.ctc_proj(xs), h_lengths, jnp.maximum(text, 0),
+                        text_lengths, c.blank_id)
                 inter_loss /= len(inter)
                 stats["loss_interctc"] = inter_loss
                 loss_ctc = ((1.0 - c.interctc_weight) * loss_ctc

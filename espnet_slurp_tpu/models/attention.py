@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -68,14 +69,23 @@ class RelPosMultiHeadAttention(nn.Module):
     Matches RelPositionMultiHeadedAttention (attention.py:212-308): learned
     per-head biases pos_bias_u/v, separate linear_pos on the positional
     embedding matrix, rel-shift to align positions.
+
+    With ``use_flash`` (and ``lengths`` provided, T % 128 == 0), the whole
+    score/softmax/dropout/value pipeline runs in the fused Pallas kernel
+    (ops/pallas/flash_attention.py) — no [B,H,T,T] or [B,H,T,2T-1] HBM
+    buffers. Padding and chunk restrictions are applied inside the kernel,
+    so ``mask_bias`` must carry no information beyond (lengths, chunk_size,
+    left_chunks) on that path.
     """
     n_head: int
     n_feat: int
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
-    def __call__(self, x, pos_emb, mask_bias=None, deterministic=True):
+    def __call__(self, x, pos_emb, mask_bias=None, deterministic=True,
+                 lengths=None, chunk_size=0, left_chunks=-1):
         h, d = self.n_head, self.n_feat
         dh = d // h
         b, t, _ = x.shape
@@ -84,15 +94,40 @@ class RelPosMultiHeadAttention(nn.Module):
         v = nn.Dense(d, dtype=self.dtype, name="linear_v")(x)
         p = nn.Dense(d, use_bias=False, dtype=self.dtype, name="linear_pos")(
             pos_emb)  # (1, 2T-1, D)
-        q = q.reshape(b, t, h, dh)
-        k = jnp.swapaxes(k.reshape(b, t, h, dh), 1, 2)
-        v = jnp.swapaxes(v.reshape(b, t, h, dh), 1, 2)
-        p = jnp.swapaxes(p.reshape(p.shape[0], -1, h, dh), 1, 2)  # (1,H,P,Dh)
-
         pos_bias_u = self.param("pos_bias_u", nn.initializers.zeros, (h, dh),
                                 self.dtype)
         pos_bias_v = self.param("pos_bias_v", nn.initializers.zeros, (h, dh),
                                 self.dtype)
+        q = q.reshape(b, t, h, dh)
+        scale = 1.0 / float(dh) ** 0.5
+
+        if self.use_flash and lengths is not None and t % 128 == 0:
+            from ..ops.pallas.flash_attention import rel_flash_attention
+            q_u = jnp.swapaxes(q + pos_bias_u[None, None], 1, 2)
+            q_v = jnp.swapaxes(q + pos_bias_v[None, None], 1, 2)
+            k4 = jnp.swapaxes(k.reshape(b, t, h, dh), 1, 2)
+            v4 = jnp.swapaxes(v.reshape(b, t, h, dh), 1, 2)
+            # p rows: (1, 2T-1, D) -> [H, 2T, Dh] with a trailing zero row
+            # (kernel slabs may touch index 2T-1, never used in valid cols).
+            p4 = jnp.swapaxes(p.reshape(2 * t - 1, h, dh), 0, 1)
+            p4 = jnp.pad(p4, ((0, 0), (0, 1), (0, 0)))
+            rate = self.dropout_rate if not deterministic else 0.0
+            seed = None
+            if rate > 0.0:
+                rng = self.make_rng("dropout")
+                seed = jax.random.randint(rng, (1,), 0, 2**31 - 1,
+                                          dtype=jnp.int32)
+            out = rel_flash_attention(
+                q_u, q_v, k4, v4, p4, lengths, seed, scale=scale,
+                dropout_rate=rate, chunk_size=chunk_size,
+                left_chunks=left_chunks)
+            out = jnp.swapaxes(out, 1, 2).reshape(b, t, d).astype(self.dtype)
+            return nn.Dense(d, dtype=self.dtype, name="linear_out")(out)
+
+        k = jnp.swapaxes(k.reshape(b, t, h, dh), 1, 2)
+        v = jnp.swapaxes(v.reshape(b, t, h, dh), 1, 2)
+        p = jnp.swapaxes(p.reshape(p.shape[0], -1, h, dh), 1, 2)  # (1,H,P,Dh)
+
         q_u = jnp.swapaxes(q + pos_bias_u[None, None], 1, 2)  # (B,H,T,Dh)
         q_v = jnp.swapaxes(q + pos_bias_v[None, None], 1, 2)
         ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k,
@@ -100,7 +135,7 @@ class RelPosMultiHeadAttention(nn.Module):
         bd = jnp.einsum("bhqd,bhkd->bhqk", q_v, p,
                         preferred_element_type=jnp.float32)
         bd = rel_shift(bd)
-        scores = (ac + bd) / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+        scores = (ac + bd) * scale
         if mask_bias is not None:
             scores = scores + mask_bias
         attn = nn.softmax(scores, axis=-1).astype(self.dtype)

@@ -75,9 +75,13 @@ class ConformerBlock(nn.Module):
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     causal_conv: bool = False
+    use_flash: bool = False
+    chunk_size: int = 0
+    left_chunks: int = -1
 
     @nn.compact
-    def __call__(self, x, pos_emb, mask_bias, pad_mask, deterministic=True):
+    def __call__(self, x, pos_emb, mask_bias, pad_mask, deterministic=True,
+                 lengths=None):
         # Macaron FF half 1 (encoder_layer.py:70-90).
         h = nn.LayerNorm(dtype=self.dtype, name="norm_ff1")(x)
         x = x + 0.5 * FeedForward(self.d_model, self.d_ff, self.dropout_rate,
@@ -86,7 +90,10 @@ class ConformerBlock(nn.Module):
         h = nn.LayerNorm(dtype=self.dtype, name="norm_mha")(x)
         x = x + RelPosMultiHeadAttention(
             self.n_head, self.d_model, self.dropout_rate, self.dtype,
-            name="self_attn")(h, pos_emb, mask_bias, deterministic)
+            use_flash=self.use_flash,
+            name="self_attn")(h, pos_emb, mask_bias, deterministic,
+                              lengths=lengths, chunk_size=self.chunk_size,
+                              left_chunks=self.left_chunks)
         # Convolution module.
         h = nn.LayerNorm(dtype=self.dtype, name="norm_conv")(x)
         x = x + ConvModule(self.d_model, self.kernel_size, self.causal_conv,
@@ -119,21 +126,37 @@ class ConformerEncoder(nn.Module):
     # large per-block intermediates (attention probs, FF hiddens) — a
     # bandwidth win on TPU where the step is HBM-bound (PERF_NOTES.md).
     remat: bool = False
+    # Fused rel-pos flash attention (ops/pallas/flash_attention.py):
+    # "auto" = on TPU backends, "on"/"off" force. Pads T' to a 128 multiple.
+    flash: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats, feat_lengths, deterministic=True):
+        import jax
+        use_flash = self.flash == "on" or (
+            self.flash == "auto" and jax.default_backend() == "tpu")
         x = Conv2dSubsampling(self.d_model, self.dtype, name="embed")(feats)
         olens = Conv2dSubsampling.out_length(feat_lengths)
         t = x.shape[1]
+        if use_flash and t % 256 != 0:
+            # Flash tiles want fat 256/512-aligned blocks (per-program
+            # overhead dominates at 128); pad frames are masked by olens
+            # everywhere downstream, so shapes stay static per bucket.
+            t_pad = ((t + 255) // 256) * 256
+            x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+            t = t_pad
         x = x * jnp.sqrt(jnp.asarray(self.d_model, x.dtype))  # xscale
         pos_emb = rel_positional_embedding(t, self.d_model, self.dtype)
         pad = length_mask(olens, t)  # (B, T')
-        att_mask = pad[:, None, None, :]
-        if self.chunk_size > 0:
-            att_mask = att_mask & chunk_mask(
-                t, self.chunk_size, self.left_chunks)[None, None]
-        bias = attention_bias(att_mask)  # (B,1,1|T',T')
+        if use_flash:
+            bias = None  # padding + chunking applied inside the kernel
+        else:
+            att_mask = pad[:, None, None, :]
+            if self.chunk_size > 0:
+                att_mask = att_mask & chunk_mask(
+                    t, self.chunk_size, self.left_chunks)[None, None]
+            bias = attention_bias(att_mask)  # (B,1,1|T',T')
         inter = []
         block_cls = nn.remat(ConformerBlock, static_argnums=(5,)) \
             if self.remat else ConformerBlock
@@ -141,8 +164,10 @@ class ConformerEncoder(nn.Module):
             x = block_cls(
                 self.d_model, self.n_head, self.d_ff, self.kernel_size,
                 self.dropout_rate, self.dtype, causal_conv=self.chunk_size > 0,
+                use_flash=use_flash, chunk_size=self.chunk_size,
+                left_chunks=self.left_chunks,
                 name=f"block_{i}")(
-                    x, pos_emb, bias, pad, deterministic)
+                    x, pos_emb, bias, pad, deterministic, lengths=olens)
             if (i + 1) in self.interctc_layers:
                 inter.append((i + 1, x))
         x = jnp.where(pad[..., None], x, 0.0)

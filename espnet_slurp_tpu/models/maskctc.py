@@ -47,9 +47,9 @@ class MaskCTCModel(nn.Module):
             mvn_stats=mvn_stats)
         stats: Dict[str, jnp.ndarray] = {}
         labels = jnp.maximum(text, 0)
-        lp = self.asr.ctc_logprobs(hs)
-        loss_ctc = ctc_ops.ctc_loss_mean(lp, h_lengths, labels, text_lengths,
-                                         c.blank_id)
+        loss_ctc = ctc_ops.ctc_loss_mean_logits(
+            self.asr.ctc_proj(hs), h_lengths, labels, text_lengths,
+            c.blank_id)
         stats["loss_ctc"] = loss_ctc
 
         # Random masking of targets (mask-predict training).

@@ -56,11 +56,9 @@ class STModel(nn.Module):
         loss = loss_att
         if self.asr_ctc_weight > 0 and self.src_vocab_size > 0 \
                 and src_text is not None:
-            lp = jax.nn.log_softmax(
-                self.src_ctc(hs).astype(jnp.float32), -1)
-            loss_ctc = ctc_ops.ctc_loss_mean(
-                lp, h_lengths, jnp.maximum(src_text, 0), src_text_lengths,
-                c.blank_id)
+            loss_ctc = ctc_ops.ctc_loss_mean_logits(
+                self.src_ctc(hs), h_lengths, jnp.maximum(src_text, 0),
+                src_text_lengths, c.blank_id)
             stats["loss_asr_ctc"] = loss_ctc
             loss = (1.0 - self.asr_ctc_weight) * loss \
                 + self.asr_ctc_weight * loss_ctc

@@ -186,10 +186,9 @@ class TransducerModel(nn.Module):
         stats: Dict[str, jnp.ndarray] = {"loss_transducer": loss}
         if self.cfg.aux_ctc_weight > 0:
             from ..ops import ctc as ctc_ops
-            lp = jax.nn.log_softmax(
-                self.ctc_proj(hs).astype(jnp.float32), -1)
-            loss_ctc = ctc_ops.ctc_loss_mean(lp, h_lengths, labels,
-                                             text_lengths, a.blank_id)
+            loss_ctc = ctc_ops.ctc_loss_mean_logits(
+                self.ctc_proj(hs), h_lengths, labels, text_lengths,
+                a.blank_id)
             stats["loss_ctc"] = loss_ctc
             loss = loss + self.cfg.aux_ctc_weight * loss_ctc
         stats["loss"] = loss

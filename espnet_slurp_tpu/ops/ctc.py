@@ -28,6 +28,53 @@ def _interleave_blanks(labels: jnp.ndarray, blank_id: int) -> jnp.ndarray:
     return ext.at[:, 1::2].set(labels)
 
 
+def _ctc_transitions(labels, label_lengths, blank_id):
+    """Shared setup: (ext [B,S], allow_skip [B,S])."""
+    s = 2 * labels.shape[1] + 1
+    ext = _interleave_blanks(labels, blank_id)  # (B, S)
+    # Transition mask: alpha[s] may come from s, s-1, and s-2 when
+    # ext[s] != blank and ext[s] != ext[s-2].
+    ext_prev2 = jnp.pad(ext, ((0, 0), (2, 0)), constant_values=blank_id)[:, :s]
+    allow_skip = (ext != blank_id) & (ext != ext_prev2)  # (B, S)
+    return ext, allow_skip
+
+
+def _fused_emit(logits: jnp.ndarray, ext: jnp.ndarray) -> jnp.ndarray:
+    """emit[b,t,s] = log_softmax(logits)[b,t,ext[b,s]] WITHOUT materializing
+    the f32 [B,T,V] log-probs (PERF_NOTES.md round-2 item 3).
+
+    Forward: per-frame logZ reduction (fused by XLA, no [B,T,V] f32 temp) +
+    an S-wide gather. Backward (custom): scatter of the cotangent at the
+    gathered positions minus softmax·rowsum, recomputed from the SAVED
+    native-dtype logits — the only [B,T,V] residual is the bf16 logits that
+    exist anyway.
+    """
+    b, t, v = logits.shape
+
+    @jax.custom_vjp
+    def emit_fn(lg):
+        return _emit_fwd(lg)[0]
+
+    def _emit_fwd(lg):
+        z = jax.nn.logsumexp(lg.astype(jnp.float32), axis=-1)  # [B, T]
+        g = jnp.take_along_axis(lg, ext[:, None, :].astype(jnp.int32),
+                                axis=2).astype(jnp.float32)
+        return g - z[..., None], (lg, z)
+
+    def _emit_bwd(res, de):
+        lg, z = res
+        soft = jnp.exp(lg.astype(jnp.float32) - z[..., None])  # recomputed
+        dsum = jnp.sum(de, axis=-1)  # [B, T]
+        dlg = -soft * dsum[..., None]
+        dlg = dlg.at[jnp.arange(b)[:, None, None],
+                     jnp.arange(t)[None, :, None],
+                     ext[:, None, :]].add(de)
+        return (dlg.astype(lg.dtype),)
+
+    emit_fn.defvjp(_emit_fwd, _emit_bwd)
+    return emit_fn(logits)
+
+
 def ctc_loss(
     log_probs: jnp.ndarray,
     logit_lengths: jnp.ndarray,
@@ -44,18 +91,33 @@ def ctc_loss(
       label_lengths: [B] valid label counts.
     Returns: [B] loss (0 for examples where U > T, mirroring zero_infinity).
     """
-    b, t, v = log_probs.shape
-    u = labels.shape[1]
-    s = 2 * u + 1
-    ext = _interleave_blanks(labels, blank_id)  # (B, S)
-    # Transition mask: alpha[s] may come from s, s-1, and s-2 when
-    # ext[s] != blank and ext[s] != ext[s-2].
-    ext_prev2 = jnp.pad(ext, ((0, 0), (2, 0)), constant_values=blank_id)[:, :s]
-    allow_skip = (ext != blank_id) & (ext != ext_prev2)  # (B, S)
-
+    ext, allow_skip = _ctc_transitions(labels, label_lengths, blank_id)
     emit = jnp.take_along_axis(
         log_probs, ext[:, None, :].astype(jnp.int32), axis=2
     )  # (B, T, S) — gathered once, outside the scan
+    return _ctc_from_emit(emit, logit_lengths, label_lengths, allow_skip)
+
+
+def ctc_loss_logits(
+    logits: jnp.ndarray,
+    logit_lengths: jnp.ndarray,
+    labels: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    blank_id: int = 0,
+) -> jnp.ndarray:
+    """CTC loss straight from projection logits with the fused
+    gather+logsumexp emit (never materializes f32 [B,T,V] log-probs)."""
+    ext, allow_skip = _ctc_transitions(labels, label_lengths, blank_id)
+    emit = _fused_emit(logits, ext)
+    return _ctc_from_emit(emit, logit_lengths, label_lengths, allow_skip)
+
+
+def _ctc_from_emit(emit, logit_lengths, label_lengths, allow_skip):
+    """Forward recursion over the blank-interleaved lattice.
+
+    emit: [B, T, S] per-frame log-probs of the extended label sequence.
+    """
+    b, t, s = emit.shape
     emit = jnp.swapaxes(emit, 0, 1)  # (T, B, S)
 
     alpha0 = jnp.full((b, s), NEG_INF)
@@ -106,6 +168,14 @@ def ctc_loss_auto(log_probs, logit_lengths, labels, label_lengths,
         return ctc_loss_pallas(log_probs, logit_lengths, labels,
                                label_lengths, blank_id)
     return ctc_loss(log_probs, logit_lengths, labels, label_lengths, blank_id)
+
+
+def ctc_loss_mean_logits(logits, logit_lengths, labels, label_lengths,
+                         blank_id: int = 0) -> jnp.ndarray:
+    """Batch-size-normalized fused-emit CTC loss (training hot path)."""
+    per = ctc_loss_logits(logits, logit_lengths, labels, label_lengths,
+                          blank_id)
+    return jnp.sum(per) / per.shape[0]
 
 
 def ctc_loss_mean(log_probs, logit_lengths, labels, label_lengths,

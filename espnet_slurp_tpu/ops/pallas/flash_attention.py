@@ -107,10 +107,15 @@ def _dropout_keep(seed, tile_id, shape, rate):
 
 
 def _recompute_scores(qu, qv, k, p_ref, h_idx, c0, scale, tq, tk):
-    """Shared fwd/bwd score tile: returns (scores [TQ,TK], slab [S,Dh])."""
+    """Shared fwd/bwd score tile: returns (scores [TQ,TK], slab [S,Dh]).
+
+    Matmuls run in the inputs' native dtype (bf16 on the fast path) with
+    f32 accumulation — casting operands to f32 would force slow f32 MXU
+    passes for no accuracy the softmax can use.
+    """
     ac = lax.dot_general(qu, k, (((1,), (1,)), ((), ())),
                          preferred_element_type=jnp.float32)
-    slab = p_ref[0, pl.ds(c0, tq + tk), :].astype(jnp.float32)
+    slab = p_ref[0, pl.ds(c0, tq + tk), :]
     raw = lax.dot_general(qv, slab, (((1,), (1,)), ((), ())),
                           preferred_element_type=jnp.float32)
     bd = _rel_collect(raw, tq, tk)
@@ -130,12 +135,12 @@ def _fwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    qu = qu_ref[0].astype(jnp.float32)
-    qv = qv_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    c0 = t - tq + kj * tk - qi * tq
+    qu = qu_ref[0]
+    qv = qv_ref[0]
+    k = k_ref[0]
+    c0 = pl.multiple_of(t - tq + kj * tk - qi * tq, 128)
     s, _ = _recompute_scores(qu, qv, k, p_ref, bh, c0, scale, tq, tk)
-    ok = _mask_tile(tq, tk, qi * tq, kj * tk, len_ref[0], chunk_size,
+    ok = _mask_tile(tq, tk, qi * tq, kj * tk, len_ref[bh, 0], chunk_size,
                     left_chunks)
     s = jnp.where(ok, s, NEG)
 
@@ -146,11 +151,11 @@ def _fwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref,
     l_scr[:] = l_scr[:] * alpha + jnp.sum(ptile, axis=1, keepdims=True)
     m_scr[:] = m_new
     if rate > 0.0:
-        keep = _dropout_keep(seed_ref[0], (bh * nq + qi) * nk + kj,
+        keep = _dropout_keep(seed_ref[0, 0], (bh * nq + qi) * nk + kj,
                              (tq, tk), rate)
         ptile = jnp.where(keep, ptile / (1.0 - rate), 0.0)
-    v = v_ref[0].astype(jnp.float32)
-    pv = lax.dot_general(ptile, v, (((1,), (0,)), ((), ())),
+    v = v_ref[0]
+    pv = lax.dot_general(ptile.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                          preferred_element_type=jnp.float32)
     acc_scr[:] = acc_scr[:] * alpha + pv
 
@@ -179,26 +184,27 @@ def _dkv_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref,
     def _():
         dp_ref[0] = jnp.zeros_like(dp_ref[0])
 
-    qu = qu_ref[0].astype(jnp.float32)
-    qv = qv_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    c0 = t - tq + kj * tk - qi * tq
+    qu = qu_ref[0]
+    qv = qv_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    c0 = pl.multiple_of(t - tq + kj * tk - qi * tq, 128)
     s, slab = _recompute_scores(qu, qv, k, p_ref, h, c0, scale, tq, tk)
-    ok = _mask_tile(tq, tk, qi * tq, kj * tk, len_ref[0], chunk_size,
+    ok = _mask_tile(tq, tk, qi * tq, kj * tk, len_ref[bh, 0], chunk_size,
                     left_chunks)
     s = jnp.where(ok, s, NEG)
     p_norm = jnp.exp(s - lse_ref[0, 0])  # [TQ, TK], normalized probs
 
     if rate > 0.0:
-        keep = _dropout_keep(seed_ref[0], (bh * nq + qi) * nk + kj,
+        keep = _dropout_keep(seed_ref[0, 0], (bh * nq + qi) * nk + kj,
                              (tq, tk), rate)
         inv = 1.0 / (1.0 - rate)
         pd = jnp.where(keep, p_norm * inv, 0.0)
     else:
         pd = p_norm
-    dv_ref[0] += lax.dot_general(pd, do, (((0,), (0,)), ((), ())),
+    dv_ref[0] += lax.dot_general(pd.astype(do.dtype), do,
+                                 (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32
                                  ).astype(dv_ref.dtype)
     dprob = lax.dot_general(do, v, (((1,), (1,)), ((), ())),
@@ -206,10 +212,12 @@ def _dkv_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref,
     if rate > 0.0:
         dprob = jnp.where(keep, dprob * inv, 0.0)
     ds = p_norm * (dprob - delta_ref[0, 0]) * scale  # [TQ, TK]
-    dk_ref[0] += lax.dot_general(ds, qu, (((0,), (0,)), ((), ())),
+    ds_c = ds.astype(qu.dtype)
+    dk_ref[0] += lax.dot_general(ds_c, qu, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32
                                  ).astype(dk_ref.dtype)
-    rawg = _rel_scatter(ds, tq, tk)  # [TQ, S]
+    # rolls only lower for 32-bit lanes: scatter in f32, cast for the MXU
+    rawg = _rel_scatter(ds, tq, tk).astype(qu.dtype)  # [TQ, S]
     dp_slab = lax.dot_general(rawg, qv, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     dp_ref[0, pl.ds(c0, tq + tk), :] += dp_slab.astype(dp_ref.dtype)
@@ -227,28 +235,29 @@ def _dq_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref,
         dqu_ref[0] = jnp.zeros_like(dqu_ref[0])
         dqv_ref[0] = jnp.zeros_like(dqv_ref[0])
 
-    qu = qu_ref[0].astype(jnp.float32)
-    qv = qv_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    c0 = t - tq + kj * tk - qi * tq
+    qu = qu_ref[0]
+    qv = qv_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    c0 = pl.multiple_of(t - tq + kj * tk - qi * tq, 128)
     s, slab = _recompute_scores(qu, qv, k, p_ref, bh, c0, scale, tq, tk)
-    ok = _mask_tile(tq, tk, qi * tq, kj * tk, len_ref[0], chunk_size,
+    ok = _mask_tile(tq, tk, qi * tq, kj * tk, len_ref[bh, 0], chunk_size,
                     left_chunks)
     s = jnp.where(ok, s, NEG)
     p_norm = jnp.exp(s - lse_ref[0, 0])
     dprob = lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     if rate > 0.0:
-        keep = _dropout_keep(seed_ref[0], (bh * nq + qi) * nk + kj,
+        keep = _dropout_keep(seed_ref[0, 0], (bh * nq + qi) * nk + kj,
                              (tq, tk), rate)
         dprob = jnp.where(keep, dprob / (1.0 - rate), 0.0)
     ds = p_norm * (dprob - delta_ref[0, 0]) * scale
-    dqu_ref[0] += lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+    ds_c = ds.astype(k.dtype)
+    dqu_ref[0] += lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32
                                   ).astype(dqu_ref.dtype)
-    rawg = _rel_scatter(ds, tq, tk)
+    rawg = _rel_scatter(ds, tq, tk).astype(k.dtype)
     dqv_ref[0] += lax.dot_general(rawg, slab, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32
                                   ).astype(dqv_ref.dtype)
@@ -259,7 +268,7 @@ def rel_flash_attention(
     p: jnp.ndarray, lengths: jnp.ndarray, seed=None, *,
     scale: float, dropout_rate: float = 0.0,
     chunk_size: int = 0, left_chunks: int = -1,
-    block_q: int = 128, block_k: int = 128,
+    block_q: int = 512, block_k: int = 512,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fused rel-pos attention. q_u/q_v/k/v: [B, H, T, Dh] (T % block == 0),
@@ -268,8 +277,16 @@ def rel_flash_attention(
     """
     bsz, h, t, dh = q_u.shape
     assert p.shape == (h, 2 * t, dh), (p.shape, (h, 2 * t, dh))
-    tq = min(block_q, t)
-    tk = min(block_k, t)
+
+    def pick(blk):
+        # Largest 128-multiple tile <= blk dividing t: fewer, fatter grid
+        # programs (per-program overhead dominated the 128-tile variant).
+        for cand in (blk, 256, 128):
+            if cand <= blk and t % cand == 0:
+                return min(cand, t)
+        raise ValueError(f"T={t} must be a multiple of 128")
+    tq = pick(min(block_q, t))
+    tk = pick(min(block_k, t))
     assert t % tq == 0 and t % tk == 0, (t, tq, tk)
     nq, nk = t // tq, t // tk
     bh = bsz * h
@@ -277,18 +294,16 @@ def rel_flash_attention(
         interpret = _interp()
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
-    seed = jnp.asarray(seed, jnp.int32).reshape(1)
-    lengths_bh = jnp.repeat(lengths.astype(jnp.int32), h)
+    seed = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    lengths_bh = jnp.repeat(lengths.astype(jnp.int32), h).reshape(bh, 1)
     shp = lambda x: x.reshape(bh, t, dh)
     dtype = q_u.dtype
     kw = dict(scale=float(scale), rate=float(dropout_rate), t=t, tq=tq,
               tk=tk, nq=nq, nk=nk, chunk_size=int(chunk_size),
               left_chunks=int(left_chunks))
 
-    len_spec = pl.BlockSpec((1,), lambda i, j, kk: (i,),
-                            memory_space=pltpu.SMEM)
-    seed_spec = pl.BlockSpec((1,), lambda i, j, kk: (0,),
-                             memory_space=pltpu.SMEM)
+    len_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     def q_spec():
         return pl.BlockSpec((1, tq, dh), lambda i, j, kk: (i, j, 0),
@@ -348,10 +363,8 @@ def rel_flash_attention(
             functools.partial(_dkv_kernel, **kw),
             grid=(h, bsz, nk, nq),
             in_specs=[
-                pl.BlockSpec((1,), m4(lambda i, j, kk: (i,)),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1,), lambda *_: (0,),
-                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, tq, dh), m4(lambda i, j, kk: (i, j, 0)),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, tq, dh), m4(lambda i, j, kk: (i, j, 0)),

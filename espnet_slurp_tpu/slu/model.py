@@ -162,9 +162,9 @@ class SLUModel(nn.Module):
         if c.ctc_weight > 0.0:
             # CTC attaches to the acoustic encoder output only (pre-fusion),
             # matching the reference loss path (espnet2/slu/espnet_model.py).
-            lp = self.asr.ctc_logprobs(hs)
-            loss_ctc = ctc_ops.ctc_loss_mean(
-                lp, h_lengths, jnp.maximum(text, 0), text_lengths, c.blank_id)
+            loss_ctc = ctc_ops.ctc_loss_mean_logits(
+                self.asr.ctc_proj(hs), h_lengths, jnp.maximum(text, 0),
+                text_lengths, c.blank_id)
             stats["loss_ctc"] = loss_ctc
             loss = loss + c.ctc_weight * loss_ctc
         if c.ctc_weight < 1.0:

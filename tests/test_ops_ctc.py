@@ -78,3 +78,45 @@ def test_ctc_grad_finite():
     # Padded label/frames of example 2 beyond length 10 get zero grad? —
     # frames past logit_lengths are frozen in the scan, so their grad is 0.
     assert np.abs(np.asarray(g)[1, 10:]).max() == 0.0
+
+
+def test_ctc_loss_logits_matches_logsoftmax_path():
+    """Fused gather+logsumexp emit == log_softmax-then-gather, value + grad."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from espnet_slurp_tpu.ops import ctc as C
+    rng = np.random.RandomState(0)
+    b, t, v, u = 4, 20, 30, 6
+    logits = jnp.asarray(rng.randn(b, t, v).astype(np.float32))
+    labels = jnp.asarray(rng.randint(1, v, (b, u)))
+    tl = jnp.asarray([20, 15, 10, 20])
+    ll = jnp.asarray([6, 4, 2, 0])
+    f1 = lambda lg: jnp.sum(C.ctc_loss(jax.nn.log_softmax(lg, -1), tl,
+                                       labels, ll))
+    f2 = lambda lg: jnp.sum(C.ctc_loss_logits(lg, tl, labels, ll))
+    v1, g1 = jax.value_and_grad(f1)(logits)
+    v2, g2 = jax.value_and_grad(f2)(logits)
+    assert abs(float(v1 - v2)) < 1e-4
+    assert float(jnp.max(jnp.abs(g1 - g2))) < 1e-5
+
+
+def test_ctc_infeasible_repeats_zeroed():
+    """T < U + n_repeats is infeasible: loss must be 0, matching torch
+    CTCLoss(zero_infinity=True) (reference espnet2/asr/ctc.py:38-41)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+    from espnet_slurp_tpu.ops import ctc as C
+    v, t = 5, 4
+    rng = np.random.RandomState(0)
+    lp = jax.nn.log_softmax(jnp.asarray(rng.randn(2, t, v)), -1)
+    labels = jnp.asarray([[1, 1, 1], [1, 2, 3]])  # ex0 needs T >= 5
+    loss = C.ctc_loss(lp, jnp.asarray([t, t]), labels, jnp.asarray([3, 3]))
+    tref = torch.nn.CTCLoss(blank=0, reduction="none", zero_infinity=True)(
+        torch.tensor(np.asarray(lp)).permute(1, 0, 2),
+        torch.tensor([[1, 1, 1], [1, 2, 3]]),
+        torch.tensor([t, t]), torch.tensor([3, 3]))
+    assert float(loss[0]) == 0.0 and float(tref[0]) == 0.0
+    assert abs(float(loss[1]) - float(tref[1])) < 1e-4
