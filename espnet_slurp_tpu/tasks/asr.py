@@ -33,6 +33,7 @@ from ..data.tokenizer import (BpeTokenizer, TokenIDConverter,
                               build_token_list, build_tokenizer)
 from ..models.asr_model import ASRConfig, ASRModel
 from ..train.checkpoint import CheckpointManager
+from ..train.mbr import MBRConfig, make_mbr_aux_loss
 from ..train.optim import OptimConfig, build_optimizer
 from ..train.state import TrainState, make_eval_step, make_train_step
 from ..train.trainer import Trainer, TrainerOptions
@@ -63,6 +64,10 @@ class ASRTaskConfig:
     model: ASRConfig = ASRConfig()
     optim: OptimConfig = OptimConfig()
     data: DataConfig = DataConfig()
+    # MBR / KB-MBR expected-risk training (train/mbr.py; reference
+    # e2e_asr.py:854-982). weight 0 disables; rare_weight > 0 adds the
+    # KB-token rare-error term fed by the biasing trie's token set.
+    mbr: MBRConfig = MBRConfig()
     max_epoch: int = 40
     patience: Optional[int] = None
     keep_nbest: int = 10
@@ -194,6 +199,16 @@ class ASRTask:
                           batch["text"], batch["text_lengths"])["params"]
 
     @classmethod
+    def _kb_token_mask(cls, cfg: ASRTaskConfig):
+        """[V] bool mask of KB-member subword ids for KB-MBR
+        (get_KBmbr_loss's KBwplist membership, token-level)."""
+        if cfg.mbr.rare_weight <= 0 or not cfg.mbr.kb_tokens:
+            return None
+        import jax.numpy as jnp
+        mask = jnp.zeros((cfg.model.vocab_size,), bool)
+        return mask.at[jnp.asarray(list(cfg.mbr.kb_tokens))].set(True)
+
+    @classmethod
     def train(cls, cfg: ASRTaskConfig, mesh=None) -> TrainState:
         exp = Path(cfg.exp_dir)
         exp.mkdir(parents=True, exist_ok=True)
@@ -221,7 +236,11 @@ class ASRTask:
         trainer = Trainer(
             make_train_step(model, tx, mvn_stats=mvn_stats,
                             grad_noise_eta=cfg.optim.grad_noise_eta,
-                            ema_decay=cfg.optim.ema_decay),
+                            ema_decay=cfg.optim.ema_decay,
+                            aux_loss_fn=(make_mbr_aux_loss(
+                                model, cfg.mbr, mvn_stats=mvn_stats,
+                                kb_token_mask=cls._kb_token_mask(cfg))
+                                if cfg.mbr.weight > 0 else None)),
             make_eval_step(model, mvn_stats=mvn_stats), ckpt,
             TrainerOptions(max_epoch=cfg.max_epoch, patience=cfg.patience,
                            keep_nbest=cfg.keep_nbest,

@@ -48,6 +48,9 @@ class MBRConfig:
     mwe_factor: float = 1.0        # e2e_asr.py mwe_factor
     include_gt: bool = True        # loss_sep path: GT as extra hypothesis
     rare_weight: float = 0.0       # >0 enables the KB-MBR rare-error term
+    # KB token ids for the rare-error term (subword ids appearing in the
+    # biasing list; built from the trie's token set or given in config).
+    kb_tokens: tuple = ()
 
 
 def edit_distance(hyp: jnp.ndarray, hyp_len: jnp.ndarray,
@@ -194,3 +197,23 @@ def mbr_loss(model, params, hs, h_lengths, text, text_lengths,
 
     stats["loss_mbr"] = loss
     return loss, stats
+
+
+def make_mbr_aux_loss(model, cfg: MBRConfig, *, mvn_stats=None,
+                      kb_token_mask=None):
+    """aux_loss_fn for train/state.py:make_train_step.
+
+    Re-encodes the batch (one extra encoder forward — the n-best decode +
+    rescore dominates MBR cost anyway, as in the reference where training
+    runs batch_decode_nbest per step) and adds ``cfg.weight *`` the
+    expected-risk term.
+    """
+    def fn(params, batch):
+        hs, h_lengths, _ = model.apply(
+            {"params": params}, batch["speech"], batch["speech_lengths"],
+            method=lambda m, s, sl: m.encode(s, sl, mvn_stats=mvn_stats))
+        loss, stats = mbr_loss(
+            model, params, hs, h_lengths, batch["text"],
+            batch["text_lengths"], cfg, kb_token_mask=kb_token_mask)
+        return cfg.weight * loss, stats
+    return fn

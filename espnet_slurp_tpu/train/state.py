@@ -51,12 +51,17 @@ def make_train_step(
     donate: bool = True,
     grad_noise_eta: float = 0.0,
     ema_decay: float = 0.0,
+    aux_loss_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build the jitted train step: (state, batch) -> (state, stats).
 
     ``batch`` is a dict of model.__call__ kwargs (speech, speech_lengths,
     text, text_lengths, [transcript, ...]), already device-side (sharded
     along the batch dim on a mesh, or single-device).
+
+    ``aux_loss_fn(params, batch) -> (loss, stats)`` composes an extra
+    differentiable objective into the same step (e.g. MBR expected risk,
+    train/mbr.py).
     """
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -70,6 +75,10 @@ def make_train_step(
             loss, stats = model.apply(
                 {"params": params}, train=True, specaug_rng=specaug_rng,
                 mvn_stats=mvn_stats, rngs={"dropout": dropout_rng}, **batch)
+            if aux_loss_fn is not None:
+                aux, aux_stats = aux_loss_fn(params, batch)
+                loss = loss + aux
+                stats = {**stats, **aux_stats, "loss": loss}
             return loss, stats
 
         (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
