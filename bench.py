@@ -75,12 +75,43 @@ def main():
     assert np.isfinite(final_loss)
 
     audio_sec_per_s = b * secs * iters / dt
+
+    # Decode RTF (reference tracks RTF via utils/calculate_rtf.py): batched
+    # joint CTC/attention beam search (B=8, beam 10) on the same model.
+    # Random weights never emit eos, so every search runs all max_len steps
+    # — a worst-case RTF.
+    from espnet_slurp_tpu.decode.beam import (BeamSearchConfig,
+                                              batch_beam_search)
+    db, dsecs = 8, 15
+    dn = 16000 * dsecs
+    dspeech = jnp.asarray(rng.randn(db, dn).astype(np.float32) * 0.1)
+    dlens = jnp.full((db,), dn, jnp.int32)
+    bs_cfg = BeamSearchConfig(beam_size=10, pre_beam_size=30, max_len=96,
+                              ctc_weight=0.3)
+
+    @jax.jit
+    def decode(params, speech, lens):
+        hs, hl, _ = model.apply({"params": params}, speech, lens,
+                                method=lambda m, s, sl: m.encode(s, sl))
+        return batch_beam_search(model, params, hs, hl, bs_cfg)
+
+    toks, lens_out = decode(state.params, dspeech, dlens)
+    int(lens_out[0])  # sync (block_until_ready is a no-op on this transport)
+    d_iters = 3
+    t0 = time.perf_counter()
+    for _ in range(d_iters):
+        toks, lens_out = decode(state.params, dspeech, dlens)
+    int(lens_out[0])
+    rtf = (time.perf_counter() - t0) / (d_iters * db * dsecs)
+
     baseline = 1300.0  # V100 audio-sec/s (BASELINE.md note)
     print(json.dumps({
         "metric": "train_throughput_ls100_conformer",
         "value": round(audio_sec_per_s, 1),
         "unit": "audio_sec/s/chip",
         "vs_baseline": round(audio_sec_per_s / baseline, 3),
+        "extra": {"decode_rtf_beam10_b8": round(rtf, 5),
+                  "decode_audio_sec_per_s": round(1.0 / rtf, 1)},
     }))
 
 

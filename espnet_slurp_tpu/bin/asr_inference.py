@@ -22,6 +22,8 @@ def get_parser():
     p.add_argument("--ctc_weight", type=float, default=0.3)
     p.add_argument("--max_len", type=int, default=128)
     p.add_argument("--nj", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="utterances per batched beam-search call")
     return p
 
 
@@ -40,14 +42,23 @@ def main(argv=None):
     hyps = {}
     audio_sec = 0.0
     decode_sec = 0.0
+    # Sort by duration and decode in batches: one batched beam-search call
+    # per group (length-sorted so pad waste inside a batch stays low).
+    loaded = []
+    for uid, path in wavs.items():
+        wav, sr = load_wav(path)
+        loaded.append((uid, wav, sr))
+    loaded.sort(key=lambda x: len(x[1]))
     with DatadirWriter(args.output_dir) as w:
-        for uid, path in wavs.items():
-            wav, sr = load_wav(path)
+        for i in range(0, len(loaded), args.batch_size):
+            chunk = loaded[i:i + args.batch_size]
             t0 = time.perf_counter()
-            hyps[uid] = s2t(wav)
+            texts = s2t.decode_batch([wav for _, wav, _ in chunk])
             decode_sec += time.perf_counter() - t0
-            audio_sec += len(wav) / sr
-            w["text"][uid] = hyps[uid]
+            for (uid, wav, sr), text in zip(chunk, texts):
+                hyps[uid] = text
+                audio_sec += len(wav) / sr
+                w["text"][uid] = text
     # RTF report (utils/calculate_rtf.py analogue).
     rtf = decode_sec / max(audio_sec, 1e-9)
     logging.info("decoded %.1fs audio in %.1fs (RTF %.4f)", audio_sec,

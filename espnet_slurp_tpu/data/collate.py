@@ -21,11 +21,15 @@ def common_collate(
     not_sequence: Sequence[str] = (),
     bucket_multiples: Dict[str, int] | None = None,
     bucket_growth: float = 1.25,
+    pad_to: Dict[str, int] | None = None,
 ) -> Tuple[List[str], Dict[str, np.ndarray]]:
     """[(uid, {name: array})] -> (uids, {name: [B, L*, ...], name_lengths: [B]}).
 
     bucket_multiples maps stream name -> padding multiple; streams not listed
-    are padded to exact batch max (collate_fn.py:41-99 behavior).
+    are padded to exact batch max (collate_fn.py:41-99 behavior). ``pad_to``
+    overrides the target length per stream — multi-process training collates
+    each rank's slice of a global batch to the GLOBAL bucketed length so the
+    per-process shards assemble into one consistent global array.
     """
     uids = [u for u, _ in items]
     names = items[0][1].keys()
@@ -41,6 +45,8 @@ def common_collate(
         if name in bucket_multiples:
             max_len = bucket_length(max_len, bucket_multiples[name],
                                     bucket_growth)
+        if pad_to and name in pad_to:
+            max_len = max(pad_to[name], max_len)
         pad_value = (int_pad_value
                      if np.issubdtype(arrays[0].dtype, np.integer)
                      else float_pad_value)

@@ -44,6 +44,17 @@ def load_wav(path: str) -> Tuple[np.ndarray, int]:
     return data, sr
 
 
+def wav_num_samples(path: str) -> int:
+    """Sample count from the RIFF header only (stdlib wave; scipy fallback
+    decodes as last resort for non-PCM containers)."""
+    import wave
+    try:
+        with wave.open(path, "rb") as f:
+            return int(f.getnframes())
+    except Exception:
+        return int(load_wav(path)[0].shape[0])
+
+
 def write_wav(path: str, wav: np.ndarray, sr: int = 16000) -> None:
     from scipy.io import wavfile
     wav16 = np.clip(wav * 32768.0, -32768, 32767).astype(np.int16)
@@ -61,6 +72,12 @@ class SoundScpReader(Mapping):
         wav, _sr = load_wav(self._map[key])
         return wav.astype(self.dtype)
 
+    def shape(self, key) -> int:
+        """Sample count from the file HEADER — no decode. Startup shape
+        collection over a big corpus must not read audio data; the
+        reference uses precomputed shape files (abs_task.py:1477-1553)."""
+        return wav_num_samples(self._map[key])
+
     def __len__(self):
         return len(self._map)
 
@@ -70,6 +87,10 @@ class SoundScpReader(Mapping):
 
 class NpyScpReader(Mapping):
     """feats.scp of .npy paths (espnet2/fileio/npy_scp.py)."""
+
+    def shape(self, key):
+        arr = np.load(self._map[key], mmap_mode="r")
+        return int(arr.shape[0])
 
     def __init__(self, path: str):
         self._map = read_2column_text(path)

@@ -46,8 +46,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Place a host batch dict onto the mesh, sharded along axis 0."""
+    """Place a host batch dict onto the mesh, sharded along axis 0.
+
+    Single-process: a plain device_put with the data sharding. Multi-process
+    (pod): ``batch`` holds each process's LOCAL rows (the iter factory
+    yields the rank's slice of the global batch); the global array is
+    assembled with jax.make_array_from_process_local_data, so no host ever
+    materializes the whole global batch (abs_task.py:1533-1542 rank-stride
+    analogue, but per-batch instead of per-batch-list).
+    """
     s = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                s, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 

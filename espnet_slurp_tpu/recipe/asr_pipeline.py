@@ -48,6 +48,7 @@ class PipelineOptions:
     decode_beam_size: int = 5
     decode_ctc_weight: float = 0.3
     decode_max_len: int = 128
+    decode_batch_size: int = 8
 
 
 def validate_data_dir(d: str | Path) -> int:
@@ -176,11 +177,19 @@ def run_pipeline(cfg: ASRTaskConfig, opts: PipelineOptions = PipelineOptions(),
             out = exp / f"decode_{dname.name}"
             wavs = read_2column_text(dname / "wav.scp")
             hyps = {}
+            # Length-sorted batched decode: batched beam search at B>1
+            # (asr.sh parallelizes with nj shell jobs; here one device
+            # runs the whole batch in a single search).
+            loaded = sorted(((uid, load_wav(path)[0])
+                             for uid, path in wavs.items()),
+                            key=lambda x: len(x[1]))
             with DatadirWriter(out) as w:
-                for uid, path in wavs.items():
-                    x, _ = load_wav(path)
-                    hyps[uid] = s2t(x)
-                    w["text"][uid] = hyps[uid]
+                for i in range(0, len(loaded), opts.decode_batch_size):
+                    chunk = loaded[i:i + opts.decode_batch_size]
+                    texts = s2t.decode_batch([x for _, x in chunk])
+                    for (uid, _), text in zip(chunk, texts):
+                        hyps[uid] = text
+                        w["text"][uid] = text
             if stage <= 13 <= stop_stage:
                 refs = read_2column_text(dname / "text")
                 wer, _ = error_rate(refs, hyps, "word")

@@ -36,19 +36,42 @@ class CheckpointManager:
     def latest_file(self) -> Path:
         return self.exp_dir / "latest.json"
 
+    @staticmethod
+    def _is_primary() -> bool:
+        return jax.process_index() == 0
+
+    @staticmethod
+    def _sync(tag: str):
+        """Cross-process barrier so non-primary hosts never read
+        half-written checkpoints (multi-host save is primary-only: state is
+        replicated numpy after device_get, so one writer suffices)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(tag)
+
     # -- save/load --
     def save_epoch(self, epoch: int, state, reporter: Reporter):
-        """Save full train state for resume + record latest epoch."""
+        """Save full train state for resume + record latest epoch.
+
+        Multi-process: the orbax save itself is COLLECTIVE (it runs its own
+        cross-process barriers), so every process calls it; only the
+        directory cleanup and the JSON sidecars are primary-only.
+        """
         path = self.epoch_dir(epoch)
-        if path.exists():
+        if self._is_primary() and path.exists():
             shutil.rmtree(path)
-        self._ckpt.save(path.absolute(), jax.device_get(
-            {"params": state.params, "opt_state": state.opt_state,
-             "step": state.step, "rng": state.rng}))
-        reporter.save(self.exp_dir / "reporter.json")
-        with open(self.latest_file, "w") as f:
-            json.dump({"epoch": epoch}, f)
-        self.prune(reporter)
+        self._sync(f"ckpt_rm_{epoch}")
+        tree = {"params": state.params, "opt_state": state.opt_state,
+                "step": state.step, "rng": state.rng}
+        if getattr(state, "ema_params", None) is not None:
+            tree["ema_params"] = state.ema_params
+        self._ckpt.save(path.absolute(), jax.device_get(tree))
+        if self._is_primary():
+            reporter.save(self.exp_dir / "reporter.json")
+            with open(self.latest_file, "w") as f:
+                json.dump({"epoch": epoch}, f)
+            self.prune(reporter)
+        self._sync(f"ckpt_epoch_{epoch}")
 
     def latest_epoch(self) -> Optional[int]:
         if not self.latest_file.exists():
@@ -58,11 +81,23 @@ class CheckpointManager:
 
     def restore(self, epoch: int, state):
         """Restore a TrainState saved at `epoch` (template = current state)."""
-        tpl = jax.device_get(
-            {"params": state.params, "opt_state": state.opt_state,
-             "step": state.step, "rng": state.rng})
-        restored = self._ckpt.restore(self.epoch_dir(epoch).absolute(),
-                                      item=tpl)
+        tpl = {"params": state.params, "opt_state": state.opt_state,
+               "step": state.step, "rng": state.rng}
+        path = self.epoch_dir(epoch).absolute()
+        if getattr(state, "ema_params", None) is not None:
+            # checkpoints written before EMA existed lack the subtree;
+            # fall back to restoring without it
+            try:
+                restored = self._ckpt.restore(
+                    path, item=jax.device_get(
+                        {**tpl, "ema_params": state.ema_params}))
+                return state.replace(
+                    params=restored["params"],
+                    opt_state=restored["opt_state"], step=restored["step"],
+                    rng=restored["rng"], ema_params=restored["ema_params"])
+            except Exception:
+                pass
+        restored = self._ckpt.restore(path, item=jax.device_get(tpl))
         return state.replace(params=restored["params"],
                              opt_state=restored["opt_state"],
                              step=restored["step"], rng=restored["rng"])
@@ -88,7 +123,10 @@ class CheckpointManager:
                 shutil.rmtree(p)
 
     def average_nbest(self, reporter: Reporter, n: int = 10) -> Any:
-        """Parameter-average the n best epochs (average_nbest_models.py:13)."""
+        """Parameter-average the n best epochs (average_nbest_models.py:13).
+
+        Collective in multi-process runs (orbax restore/save on every
+        process; primary cleans the output dir)."""
         phase, key, mode = self.criterion
         epochs = [e for e in reporter.sort_epochs(phase, key, mode)[:n]
                   if self.epoch_dir(e).exists()]
@@ -104,8 +142,9 @@ class CheckpointManager:
                                    avg, p)
         avg = jax.tree.map(lambda a: (a / len(epochs)).astype(np.float32), avg)
         out = self.exp_dir / f"{phase}.{key}.ave_{len(epochs)}best"
-        if out.exists():
+        if self._is_primary() and out.exists():
             shutil.rmtree(out)
+        self._sync("ave_nbest_rm")
         self._ckpt.save(out.absolute(), {"params": avg})
         return avg
 
