@@ -81,6 +81,45 @@ def build_ontology_forest(
     return trie, roots
 
 
+class GPT2JointText(nn.Module):
+    """GPT-2 hidden states over the (first-pass) transcript as the slot
+    generator's joint text representation — the KA2G GPT-2 path
+    (reference modality/roberta.py GPT2_encoder; SLUGenNet consumes its
+    hidden states, KB_utils/SLU.py:981). With ``hf_dir`` set, pretrained
+    weights import via models/hf_transformer.py:gpt2_params_from_torch
+    (graft the returned subtree under params['gpt2'])."""
+    vocab_size: int
+    d_model: int
+    hf_dir: Optional[str] = None
+    n_layer: int = 2
+    n_head: int = 4
+    n_embd: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens, lengths):
+        from ..models.hf_transformer import GPT2Config, GPT2Model
+        from ..ops.masks import length_mask
+        if self.hf_dir:
+            import json
+            from pathlib import Path as _P
+            hf = json.loads((_P(self.hf_dir) / "config.json").read_text())
+            gcfg = GPT2Config(
+                vocab_size=hf["vocab_size"], n_embd=hf["n_embd"],
+                n_layer=hf["n_layer"], n_head=hf["n_head"],
+                n_positions=hf["n_positions"],
+                layer_norm_epsilon=hf.get("layer_norm_epsilon", 1e-5))
+        else:
+            gcfg = GPT2Config(vocab_size=self.vocab_size,
+                              n_embd=self.n_embd, n_layer=self.n_layer,
+                              n_head=self.n_head, n_positions=512)
+        mask = length_mask(lengths, tokens.shape[1])
+        hs = GPT2Model(gcfg, dtype=self.dtype, name="gpt2")(
+            tokens, mask.astype(jnp.int32))
+        hs = nn.Dense(self.d_model, dtype=self.dtype, name="proj")(hs)
+        return jnp.where(mask[..., None], hs, 0.0), mask
+
+
 class SlotValueDecoder(nn.Module):
     """Tiny transformer decoder over the fused memory, batched per slot."""
     cfg: SlotGenConfig

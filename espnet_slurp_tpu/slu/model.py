@@ -41,6 +41,14 @@ class SLUConfig:
     text_encoder_d_ff: int = 1024
     deliberation_blocks: int = 0            # conformer blocks over fused memory
     deliberation_d_ff: int = 1024
+    # Postdecoder family (reference tasks/slu.py postdecoder choice):
+    # "transformer" = in-framework text encoder trained from scratch;
+    # "bert" = HF-architecture BERT (models/hf_transformer.py) whose weights
+    # can be imported from a local HF checkpoint dir (postdecoder_hf_dir) —
+    # the published 86.8 SLURP intent accuracy rests on this pretrained
+    # path (hugging_face_transformers_postdecoder.py:1-106).
+    postdecoder: str = "transformer"
+    postdecoder_hf_dir: Optional[str] = None
 
 
 class TextEncoder(nn.Module):
@@ -75,6 +83,46 @@ class TextEncoder(nn.Module):
         return jnp.where(mask[..., None], x, 0.0), mask
 
 
+class BertPostdecoder(nn.Module):
+    """HF-architecture BERT over the transcript + linear projection to
+    d_model (hugging_face_transformers_postdecoder.py: model(**encoded) ->
+    linear_out). Weights import via SLUTask.load_postdecoder_weights."""
+    vocab_size: int
+    d_model: int
+    hf_dir: Optional[str] = None
+    n_head: int = 4
+    d_ff: int = 1024
+    num_blocks: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens, lengths, deterministic=True):
+        from ..models.hf_transformer import BertConfig, BertModel
+        if self.hf_dir:
+            import json
+            from pathlib import Path
+            hf = json.loads((Path(self.hf_dir) / "config.json").read_text())
+            bcfg = BertConfig(
+                vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+                num_hidden_layers=hf["num_hidden_layers"],
+                num_attention_heads=hf["num_attention_heads"],
+                intermediate_size=hf["intermediate_size"],
+                max_position_embeddings=hf["max_position_embeddings"],
+                type_vocab_size=hf.get("type_vocab_size", 2),
+                layer_norm_eps=hf.get("layer_norm_eps", 1e-12))
+        else:
+            bcfg = BertConfig(
+                vocab_size=self.vocab_size, hidden_size=self.d_model,
+                num_hidden_layers=self.num_blocks,
+                num_attention_heads=self.n_head,
+                intermediate_size=self.d_ff, max_position_embeddings=512)
+        mask = length_mask(lengths, tokens.shape[1])
+        hs = BertModel(bcfg, dtype=self.dtype, name="bert")(
+            tokens, mask.astype(jnp.int32))
+        hs = nn.Dense(self.d_model, dtype=self.dtype, name="linear_out")(hs)
+        return jnp.where(mask[..., None], hs, 0.0), mask
+
+
 class DeliberationEncoder(nn.Module):
     """Conformer blocks over the fused memory (reference deliberationencoder
     choice, tasks/slu.py:233-239)."""
@@ -107,10 +155,18 @@ class SLUModel(nn.Module):
         c = self.cfg
         self.asr = ASRModel(c.asr, name="asr")
         if c.two_pass:
-            self.text_encoder = TextEncoder(
-                c.transcript_vocab_size, c.asr.d_model, c.asr.n_head,
-                c.text_encoder_d_ff, c.text_encoder_blocks,
-                dtype=c.asr.jax_dtype, name="text_encoder")
+            if c.postdecoder == "bert":
+                self.text_encoder = BertPostdecoder(
+                    c.transcript_vocab_size, c.asr.d_model,
+                    hf_dir=c.postdecoder_hf_dir, n_head=c.asr.n_head,
+                    d_ff=c.text_encoder_d_ff,
+                    num_blocks=c.text_encoder_blocks,
+                    dtype=c.asr.jax_dtype, name="text_encoder")
+            else:
+                self.text_encoder = TextEncoder(
+                    c.transcript_vocab_size, c.asr.d_model, c.asr.n_head,
+                    c.text_encoder_d_ff, c.text_encoder_blocks,
+                    dtype=c.asr.jax_dtype, name="text_encoder")
             if c.deliberation_blocks > 0:
                 self.deliberation = DeliberationEncoder(
                     c.asr.d_model, c.asr.n_head, c.deliberation_d_ff,

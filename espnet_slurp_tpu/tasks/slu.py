@@ -138,6 +138,22 @@ class SLUTask:
 
         return factory
 
+    @staticmethod
+    def load_postdecoder_weights(params, model_cfg):
+        """Graft pretrained HF BERT weights into the postdecoder subtree
+        (the round-1 missing pretrained-LM bridge; reference loads the torch
+        model directly in hugging_face_transformers_postdecoder.py)."""
+        if model_cfg.postdecoder != "bert" or not model_cfg.postdecoder_hf_dir:
+            return params
+        from ..models.hf_transformer import load_bert_from_dir
+        _, bert_params = load_bert_from_dir(model_cfg.postdecoder_hf_dir,
+                                            dtype=model_cfg.asr.jax_dtype)
+        params = dict(params)
+        te = dict(params["text_encoder"])
+        te["bert"] = bert_params
+        params["text_encoder"] = te
+        return params
+
     @classmethod
     def train(cls, cfg: SLUTaskConfig, mesh=None) -> TrainState:
         exp = Path(cfg.exp_dir)
@@ -156,6 +172,7 @@ class SLUTask:
         batch0 = next(iter(factory(1)))
         rng = jax.random.PRNGKey(cfg.data.seed)
         params = model.init(rng, **{k: v for k, v in batch0.items()})["params"]
+        params = cls.load_postdecoder_weights(params, model_cfg)
 
         tx = build_optimizer(cfg.optim)
         state = TrainState.create(params, tx, rng,
