@@ -52,6 +52,11 @@ class _BeamState(NamedTuple):
     lm_state: Optional[dict]
     node: Optional[jnp.ndarray]       # [B, K] TCPGen trie node
     pmask: Optional[jnp.ndarray]      # [B, K] TCPGen p_gen disable mask
+    # selection-LM KB choice (biasing['selection']): per-hyp class root +
+    # word-trie node + selection LM state
+    bias_root: Optional[jnp.ndarray]  # [B, K]
+    word_node: Optional[jnp.ndarray]  # [B, K]
+    sel_state: Optional[dict]
 
 
 def _gather_beam(x, parent):
@@ -76,6 +81,14 @@ def batch_beam_search(
     lm_step(y_prev [N], state) -> (logp [N, V], state) enables shallow fusion.
     biasing: {'trie': {trie_* arrays}, 'boundary_mask': [V+1] bool,
     'dead': int, 'smoothprob': float} enables TCPGen contextual biasing.
+    An optional biasing['selection'] enables automatic KB-class choice
+    (asr_recog.py --select --classlm topk=1, decoders.py:1074-1097): a
+    selection LM with a class head runs at each word boundary on the word
+    id from a word-trie walk, and the hypothesis's TCPGen reset root
+    switches to the chosen class's subtree root:
+      {'word_trie': decode/word_lm.py WordTrie, 'word_unk': int,
+       'sel_step': (word_ids [N], state) -> (class_logits [N, C], state),
+       'sel_init': n -> state, 'class_roots': [C] int}
     """
     mcfg = model.cfg
     b, t_enc, _ = hs.shape
@@ -108,6 +121,7 @@ def batch_beam_search(
     lm_state0 = lm_init(n) if lm_init is not None else None
 
     use_bias = biasing is not None
+    use_sel = use_bias and biasing.get("selection") is not None
     if use_bias:
         from ..models.tcpgen import tcpgen_final_logprobs, trie_step
         trie = biasing["trie"]
@@ -118,6 +132,19 @@ def batch_beam_search(
     else:
         node0 = None
         pmask0 = None
+    if use_sel:
+        from .word_lm import _trie_as_jnp, _walk
+        sel = biasing["selection"]
+        wtrie_j = _trie_as_jnp(sel["word_trie"])
+        class_roots = jnp.asarray(sel["class_roots"])
+        root0 = jnp.zeros((b, k), jnp.int32)
+        wnode0 = jnp.zeros((b, k), jnp.int32)
+        sel_state0 = sel["sel_init"](n)
+        node0 = jnp.broadcast_to(root0, (b, k))
+    else:
+        root0 = None
+        wnode0 = None
+        sel_state0 = None
 
     neg = jnp.float32(-1e30)
     total0 = jnp.tile(jnp.concatenate(
@@ -130,7 +157,8 @@ def batch_beam_search(
         ended=jnp.zeros((b, k), bool),
         y_prev=jnp.full((b, k), sos, jnp.int32),
         cache=cache0, ctc=ctc0, lm_state=lm_state0, node=node0,
-        pmask=pmask0)
+        pmask=pmask0, bias_root=root0, word_node=wnode0,
+        sel_state=sel_state0)
 
     def dec_step(mdl, y_t, idx, cache):
         return mdl.decoder.step(y_t, idx, cache, mem_kv, h_lengths_beam, l,
@@ -247,10 +275,39 @@ def batch_beam_search(
             new_ctc = None
         if lm_state is not None:
             lm_state = jax.tree.map(gather_n, lm_state)
+        new_root, new_wnode, sel_state = st.bias_root, st.word_node, \
+            st.sel_state
+        if use_sel:
+            # word-trie walk + per-boundary selection-LM class choice
+            tok_n = tok.reshape(n)
+            wnode_g = gather_n(st.word_node.reshape(n))
+            is_b = biasing["boundary_mask"][tok_n]
+            wid_here = wtrie_j["wid"][wnode_g]
+            w = jnp.where(wid_here >= 0, wid_here,
+                          sel["word_unk"]).astype(jnp.int32)
+            sel_state_g = jax.tree.map(gather_n, st.sel_state)
+            cls_logits, sel_new = sel["sel_step"](w, sel_state_g)
+            sel_state = jax.tree.map(
+                lambda a, o: jnp.where(
+                    is_b.reshape((n,) + (1,) * (a.ndim - 1)), a, o),
+                sel_new, sel_state_g)
+            from .word_lm import select_class_roots
+            root_g = gather_n(st.bias_root.reshape(n))
+            new_root = jnp.where(
+                is_b, select_class_roots(cls_logits, class_roots),
+                root_g).astype(jnp.int32)
+            child, found = _walk(wtrie_j, wnode_g, tok_n)
+            new_wnode = jnp.where(
+                is_b, 0, jnp.where(found, child,
+                                   sel["word_trie"].dead)).astype(jnp.int32)
+            new_root = new_root.reshape(b, k)
+            new_wnode = new_wnode.reshape(b, k)
         if use_bias:
+            root_arg = new_root.reshape(n) if use_sel else 0
             new_node, new_pmask = trie_step(
                 trie, gather_n(st.node.reshape(n)), tok.reshape(n),
-                biasing["boundary_mask"], eos, biasing["dead"])
+                biasing["boundary_mask"], eos, biasing["dead"],
+                root=root_arg)
             new_node = new_node.reshape(b, k)
             new_pmask = new_pmask.reshape(b, k)
         else:
@@ -259,7 +316,8 @@ def batch_beam_search(
         return _BeamState(
             i=st.i + 1, tokens=tokens, total=new_total,
             att=att_new, ended=ended, y_prev=tok, cache=cache,
-            ctc=new_ctc, lm_state=lm_state, node=new_node, pmask=new_pmask)
+            ctc=new_ctc, lm_state=lm_state, node=new_node, pmask=new_pmask,
+            bias_root=new_root, word_node=new_wnode, sel_state=sel_state)
 
     final = lax.while_loop(cond, body, state0)
     best = jnp.argmax(final.total, axis=1)  # [B]

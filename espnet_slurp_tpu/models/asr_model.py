@@ -54,6 +54,7 @@ class ASRConfig:
     flash_attention: str = "auto"
     use_tcpgen: bool = False
     tcpgen_gcn_layers: int = 2
+    tcpgen_tree_encoder: str = "gcn"  # gcn | gat | sage | treelstm
     tcpgen_smoothprob: float = 1.0
     frontend: FrontendConfig = FrontendConfig()
     specaug: Optional[SpecAugConfig] = SpecAugConfig()
@@ -171,6 +172,7 @@ class ASRModel(nn.Module):
             from .tcpgen import TCPGen
             self.tcpgen = TCPGen(c.d_model, c.vocab_size,
                                  c.tcpgen_gcn_layers, c.dropout_rate,
+                                 tree_encoder=c.tcpgen_tree_encoder,
                                  dtype=c.jax_dtype, name="tcpgen")
 
     def encode(self, speech, speech_lengths, *, train=False, specaug_rng=None,

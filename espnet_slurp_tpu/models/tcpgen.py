@@ -49,16 +49,135 @@ class GCNTreeEncoder(nn.Module):
         return h
 
 
+class GATTreeEncoder(nn.Module):
+    """Graph attention over the trie (reference GAT.py:GATLayerImp3).
+
+    Neighborhood of node i = {i} ∪ children(i) (same adjacency as the GCN);
+    per head: e_ij = leakyrelu(a_src·Wh_j + a_tgt·Wh_i), softmax over the
+    fixed [1+MB] neighbor slots (invalid slots masked), heads concatenated
+    with a skip projection — all batched gathers, no edge lists.
+    """
+    d_model: int
+    num_layers: int = 2
+    n_head: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, node_feats, children_node, n_children):
+        mb = children_node.shape[1]
+        h = node_feats.astype(self.dtype)
+        nh = self.n_head
+        f = self.d_model // nh
+        valid = jnp.arange(mb)[None, :] < n_children[:, None]  # [N, MB]
+        for li in range(self.num_layers):
+            proj = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                            name=f"proj_l{li}")(h).reshape(-1, nh, f)
+            a_src = self.param(f"a_src_l{li}", nn.initializers.normal(0.1),
+                               (nh, f), self.dtype)
+            a_tgt = self.param(f"a_tgt_l{li}", nn.initializers.normal(0.1),
+                               (nh, f), self.dtype)
+            s_src = jnp.sum(proj * a_src[None], -1)   # [N, NH]
+            s_tgt = jnp.sum(proj * a_tgt[None], -1)
+            nbr = jnp.concatenate(
+                [jax.lax.broadcasted_iota(jnp.int32, (h.shape[0], 1), 0),
+                 children_node], axis=1)              # [N, 1+MB]
+            ok = jnp.concatenate(
+                [jnp.ones((h.shape[0], 1), bool), valid], axis=1)
+            e = nn.leaky_relu(s_src[nbr] + s_tgt[:, None, :], 0.2)
+            e = jnp.where(ok[..., None], e, -1e9)
+            alpha = jax.nn.softmax(e, axis=1)         # [N, 1+MB, NH]
+            out = jnp.einsum("nkh,nkhf->nhf", alpha.astype(self.dtype),
+                             proj[nbr])
+            out = out.reshape(-1, self.d_model)
+            skip = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                            name=f"skip_l{li}")(h)
+            h = nn.elu(out + skip)
+        return h
+
+
+class SageTreeEncoder(nn.Module):
+    """GraphSAGE max-pool over children (reference decoders.py:forward_sage):
+    pooled_i = max_k relu(pool(h_child_k)) (zeros if leaf);
+    h_i' = relu(merge([h_i; pooled_i]))."""
+    d_model: int
+    num_layers: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, node_feats, children_node, n_children):
+        mb = children_node.shape[1]
+        h = node_feats.astype(self.dtype)
+        valid = (jnp.arange(mb)[None, :]
+                 < n_children[:, None])[..., None]    # [N, MB, 1]
+        for li in range(self.num_layers):
+            pooled = nn.relu(nn.Dense(self.d_model, dtype=self.dtype,
+                                      name=f"sage_pool_{li+1}")(h))
+            child = jnp.where(valid, pooled[children_node], -1e9)
+            pooled = jnp.max(child, axis=1)
+            pooled = jnp.where(n_children[:, None] > 0, pooled, 0.0)
+            h = nn.relu(nn.Dense(self.d_model, dtype=self.dtype,
+                                 name=f"sage_merge_{li+1}")(
+                jnp.concatenate([h, pooled], axis=-1)))
+        return h
+
+
+class TreeLSTMEncoder(nn.Module):
+    """Child-sum Tree-LSTM, bottom-up (reference forward_treelstm_cell,
+    decoders.py:355-397): i/o/u gates from [Σ_k h_k; x_j], per-child forget
+    gates from [h_k; x_j], c_j = i·u + Σ f_k·c_k, h_j = o·tanh(c_j).
+
+    The recursive bottom-up traversal becomes ``n_iters`` synchronous
+    message-passing sweeps over the flat trie — after depth(T) sweeps every
+    node holds its exact recursive value (leaves stabilize on sweep 1, their
+    parents on sweep 2, ...), with no data-dependent recursion.
+    """
+    d_model: int
+    n_iters: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, node_feats, children_node, n_children):
+        mb = children_node.shape[1]
+        n = node_feats.shape[0]
+        x = node_feats.astype(self.dtype)
+        valid = (jnp.arange(mb)[None, :]
+                 < n_children[:, None])[..., None]    # [N, MB, 1]
+        iou = nn.Dense(3 * self.d_model, dtype=self.dtype, name="iou_gate")
+        fgate = nn.Dense(self.d_model, dtype=self.dtype, name="forget_gate")
+        h = jnp.zeros((n, self.d_model), self.dtype)
+        c = jnp.zeros((n, self.d_model), self.dtype)
+        for _ in range(self.n_iters):
+            h_k = jnp.where(valid, h[children_node], 0.0)  # [N, MB, D]
+            c_k = jnp.where(valid, c[children_node], 0.0)
+            h_sum = jnp.sum(h_k, axis=1)
+            g = iou(jnp.concatenate([h_sum, x], axis=-1))
+            i_j, o_j, u_j = jnp.split(g, 3, axis=-1)
+            i_j, o_j = nn.sigmoid(i_j), nn.sigmoid(o_j)
+            u_j = nn.tanh(u_j)
+            f_k = nn.sigmoid(fgate(jnp.concatenate(
+                [h_k, jnp.broadcast_to(x[:, None], h_k.shape)], axis=-1)))
+            c = i_j * u_j + jnp.sum(jnp.where(valid, f_k * c_k, 0.0), axis=1)
+            h = o_j * nn.tanh(c)
+        return h
+
+
+TREE_ENCODERS = {"gcn": GCNTreeEncoder, "gat": GATTreeEncoder,
+                 "sage": SageTreeEncoder, "treelstm": TreeLSTMEncoder}
+
+
 class TCPGen(nn.Module):
     """Pointer network over current-node children + OOKB sink.
 
     __call__ is position-batched: queries [..., D] and node ids [...] of any
     leading shape (e.g. [B, U] for training, [N_hyps] for decoding).
+    ``tree_encoder`` selects the GNN family over the trie (reference:
+    GCN/GAT/GraphSAGE/TreeLSTM, decoders.py:355-571 + GAT.py).
     """
     d_model: int
     vocab_size: int
     gcn_layers: int = 2
     dropout_rate: float = 0.0
+    tree_encoder: str = "gcn"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -67,8 +186,13 @@ class TCPGen(nn.Module):
         self.gate = nn.Dense(1, dtype=self.dtype, name="pointer_gate")
         self.ookb = self.param("ooKBemb", nn.initializers.normal(0.02),
                                (1, self.d_model), self.dtype)
-        self.gcn = GCNTreeEncoder(self.d_model, self.gcn_layers, self.dtype,
-                                  name="tree_encoder")
+        enc_cls = TREE_ENCODERS[self.tree_encoder]
+        if self.tree_encoder == "treelstm":
+            self.gcn = enc_cls(self.d_model, dtype=self.dtype,
+                               name="tree_encoder")
+        else:
+            self.gcn = enc_cls(self.d_model, self.gcn_layers,
+                               dtype=self.dtype, name="tree_encoder")
 
     def encode_tree(self, token_embs, trie) -> jnp.ndarray:
         """Pre-encode all trie nodes once per batch.

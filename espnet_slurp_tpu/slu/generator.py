@@ -45,6 +45,7 @@ class SlotGenConfig:
     max_value_len: int = 16
     use_tcpgen: bool = True
     gcn_layers: int = 2
+    tree_encoder: str = "gcn"  # gcn | gat | sage | treelstm
     dtype: str = "float32"
 
     @property
@@ -175,8 +176,9 @@ class SlotGenerator(nn.Module):
         self.value_decoder = SlotValueDecoder(c, name="value_decoder")
         if c.use_tcpgen:
             self.tcpgen = TCPGen(c.d_model, c.value_vocab_size,
-                                 c.gcn_layers, 0.0, dtype=c.jax_dtype,
-                                 name="tcpgen")
+                                 c.gcn_layers, 0.0,
+                                 tree_encoder=c.tree_encoder,
+                                 dtype=c.jax_dtype, name="tcpgen")
 
     def classify(self, memory, memory_mask):
         """[B, T, D] -> slot presence logits [B, n_slots]."""

@@ -201,3 +201,79 @@ def test_beam_search_with_biasing_runs():
                          ctc_weight=0.3), biasing=biasing)
     assert tokens.shape == (1, 6)
     assert 0 <= int(lengths[0]) <= 6
+
+
+def test_tree_encoder_family():
+    """GAT/GraphSAGE/TreeLSTM tree encoders: config-switchable, finite,
+    distinct; TreeLSTM matches a recursive python child-sum reference."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from espnet_slurp_tpu.models.tcpgen import (TREE_ENCODERS, TCPGen,
+                                                TreeLSTMEncoder)
+    from espnet_slurp_tpu.slu.kb import build_trie
+    trie = build_trie([[3, 4], [3, 5, 6], [7, 8]])
+    cn = jnp.asarray(trie.children_node)
+    nc = jnp.asarray(trie.n_children)
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(trie.token.shape[0], 16).astype(np.float32))
+
+    outs = {}
+    for name, cls in TREE_ENCODERS.items():
+        enc = cls(16) if name == "treelstm" else cls(16, 1)
+        p = enc.init(jax.random.PRNGKey(1), feats, cn, nc)["params"]
+        out = enc.apply({"params": p}, feats, cn, nc)
+        assert out.shape == (feats.shape[0], 16)
+        assert np.isfinite(np.asarray(out)).all(), name
+        outs[name] = np.asarray(out)
+    assert not np.allclose(outs["gcn"], outs["gat"])
+    assert not np.allclose(outs["sage"], outs["treelstm"])
+
+    # TreeLSTM: message-passing sweeps == recursive bottom-up child-sum
+    enc = TreeLSTMEncoder(16, n_iters=8)
+    p = enc.init(jax.random.PRNGKey(2), feats, cn, nc)["params"]
+    got = np.asarray(enc.apply({"params": p}, feats, cn, nc))
+
+    iou_k = np.asarray(p["iou_gate"]["kernel"])
+    iou_b = np.asarray(p["iou_gate"]["bias"])
+    f_k = np.asarray(p["forget_gate"]["kernel"])
+    f_b = np.asarray(p["forget_gate"]["bias"])
+    x_np = np.asarray(feats)
+    sig = lambda v: 1 / (1 + np.exp(-v))
+
+    def rec(node):
+        kids = [int(trie.children_node[node, j])
+                for j in range(int(trie.n_children[node]))]
+        hs, cs = zip(*[rec(k) for k in kids]) if kids else ((), ())
+        h_sum = np.sum(hs, axis=0) if kids else np.zeros(16)
+        g = np.concatenate([h_sum, x_np[node]]) @ iou_k + iou_b
+        i, o, u = sig(g[:16]), sig(g[16:32]), np.tanh(g[32:])
+        c = i * u
+        for hk, ck in zip(hs, cs):
+            f = sig(np.concatenate([hk, x_np[node]]) @ f_k + f_b)
+            c = c + f * ck
+        h = o * np.tanh(c)
+        return h, c
+
+    want, _ = rec(0)
+    assert np.max(np.abs(got[0] - want)) < 1e-5
+
+    # config-switchable through TCPGen
+    tg = TCPGen(16, 10, 1, tree_encoder="gat")
+    td = {"trie_token": jnp.asarray(trie.token),
+          "trie_children_tok": jnp.asarray(trie.children_tok),
+          "trie_children_node": jnp.asarray(trie.children_node),
+          "trie_n_children": jnp.asarray(trie.n_children)}
+    q = jnp.asarray(rng.randn(2, 16).astype(np.float32))
+    node = jnp.asarray([0, 1])
+
+    def full(m, q, node, t, f):
+        encs = m.encode_tree(f, t)
+        return m(q, node, t, encs)
+
+    params = tg.init(jax.random.PRNGKey(3), q, node, td, feats,
+                     method=full)["params"]
+    encs = tg.apply({"params": params}, feats, td,
+                    method=lambda m, f, t: m.encode_tree(f, t))
+    ptr, kb = tg.apply({"params": params}, q, node, td, encs)
+    assert np.isfinite(np.asarray(ptr)).all()
