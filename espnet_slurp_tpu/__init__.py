@@ -15,3 +15,17 @@ biasing for SLURP SLU).  Layer map mirrors SURVEY.md §1:
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS even when a site-level PJRT plugin (e.g. a remote TPU
+# tunnel) registers itself as the default backend after env processing:
+# an explicit `JAX_PLATFORMS=cpu python -m espnet_slurp_tpu.bin...` must run
+# on CPU, not silently dispatch to the remote accelerator.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass

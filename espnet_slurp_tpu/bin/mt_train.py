@@ -1,0 +1,24 @@
+"""mt training CLI (reference espnet2/bin/mt_train.py analogue)."""
+from __future__ import annotations
+
+import argparse
+import logging
+
+from ..tasks.mt import load_mt_config
+from ..tasks.mt import MTTask
+from .asr_train import parse_overrides
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser(description="Train mt (TPU-native)")
+    p.add_argument("--config", default=None)
+    p.add_argument("--set", nargs="*", dest="overrides")
+    args = p.parse_args(argv)
+    cfg = load_mt_config(args.config, parse_overrides(args.overrides))
+    MTTask.train(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

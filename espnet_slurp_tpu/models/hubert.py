@@ -78,6 +78,13 @@ class HubertModel(nn.Module):
         if pad > 0:
             m4 = jnp.pad(m4, ((0, 0), (0, pad)))
         masked_enc = m4.reshape(b, t_enc, 4).any(-1)
+        # pseudo-label streams may be a few frames short of the encoder
+        # length (k-means ran on a slightly different frame count) — pad
+        # with -1 so those frames fall out of `valid`.
+        if cluster_ids.shape[1] < t_enc:
+            cluster_ids = jnp.pad(
+                cluster_ids, ((0, 0), (0, t_enc - cluster_ids.shape[1])),
+                constant_values=-1)
         tgt = jnp.clip(cluster_ids[:, :t_enc], 0, c.n_clusters - 1)
         valid = masked_enc & length_mask(h_lengths, t_enc) & \
             (cluster_ids[:, :t_enc] >= 0)

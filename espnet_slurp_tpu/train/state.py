@@ -52,6 +52,7 @@ def make_train_step(
     grad_noise_eta: float = 0.0,
     ema_decay: float = 0.0,
     aux_loss_fn: Optional[Callable] = None,
+    apply_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build the jitted train step: (state, batch) -> (state, stats).
 
@@ -62,6 +63,10 @@ def make_train_step(
     ``aux_loss_fn(params, batch) -> (loss, stats)`` composes an extra
     differentiable objective into the same step (e.g. MBR expected risk,
     train/mbr.py).
+
+    ``apply_fn(params, batch, dropout_rng, specaug_rng) -> (loss, stats)``
+    overrides the default model.apply call for models whose __call__ does
+    not take the ASR kwargs (enh/diar/hubert/mt tasks).
     """
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -72,9 +77,14 @@ def make_train_step(
         specaug_rng = jax.random.fold_in(specaug_rng, state.step)
 
         def loss_fn(params):
-            loss, stats = model.apply(
-                {"params": params}, train=True, specaug_rng=specaug_rng,
-                mvn_stats=mvn_stats, rngs={"dropout": dropout_rng}, **batch)
+            if apply_fn is not None:
+                loss, stats = apply_fn(params, batch, dropout_rng,
+                                       specaug_rng)
+            else:
+                loss, stats = model.apply(
+                    {"params": params}, train=True, specaug_rng=specaug_rng,
+                    mvn_stats=mvn_stats, rngs={"dropout": dropout_rng},
+                    **batch)
             if aux_loss_fn is not None:
                 aux, aux_stats = aux_loss_fn(params, batch)
                 loss = loss + aux
@@ -124,12 +134,16 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, mvn_stats=None) -> Callable:
+def make_eval_step(model, mvn_stats=None, apply_fn: Optional[Callable] = None
+                   ) -> Callable:
     def step_fn(state: TrainState, batch):
         # Evaluate the EMA shadow weights when enabled (live params
         # otherwise) — matching the v1 EMA wrapper's eval semantics.
-        loss, stats = model.apply(
-            {"params": state.eval_params}, train=False, mvn_stats=mvn_stats,
-            **batch)
+        if apply_fn is not None:
+            loss, stats = apply_fn(state.eval_params, batch)
+        else:
+            loss, stats = model.apply(
+                {"params": state.eval_params}, train=False,
+                mvn_stats=mvn_stats, **batch)
         return stats
     return jax.jit(step_fn)
