@@ -11,11 +11,14 @@ def main(argv=None):
     p.add_argument("--data_dir", required=True)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--beam_size", type=int, default=5)
+    p.add_argument("--search", default="alsa",
+                   choices=("greedy", "alsa", "maes"))
     args = p.parse_args(argv)
     from ..data.fileio import DatadirWriter, load_wav, read_2column_text
     from ..tasks.asr_transducer import Speech2TextTransducer
     from ..utils.metrics import error_rate
-    s2t = Speech2TextTransducer(args.exp_dir, beam_size=args.beam_size)
+    s2t = Speech2TextTransducer(args.exp_dir, beam_size=args.beam_size,
+                                search=args.search)
     wavs = read_2column_text(Path(args.data_dir) / "wav.scp")
     hyps = {}
     with DatadirWriter(args.output_dir) as w:

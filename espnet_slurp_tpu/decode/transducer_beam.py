@@ -165,3 +165,141 @@ def transducer_beam_search(
                                  axis=1)[:, 0]
     lengths = jnp.take_along_axis(fin.n_emit, best[:, None], axis=1)[:, 0]
     return tokens, lengths
+
+
+@dataclasses.dataclass(frozen=True)
+class MAESConfig:
+    """modified Adaptive Expansion Search options
+    (beam_search_transducer.py:720-877)."""
+    beam_size: int = 5
+    nstep: int = 2               # expansion rounds per frame
+    max_candidates: int = 5      # candidates considered per round (incl blank)
+    expansion_gamma: float = 2.3  # prune-by-value window per hypothesis
+    max_len: int = 128
+
+
+def maes_search(
+    model: TransducerModel, params, hs: jnp.ndarray, h_lengths: jnp.ndarray,
+    cfg: MAESConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched mAES: frame-synchronous with up to ``nstep`` label-expansion
+    rounds per frame and per-hypothesis prune-by-value
+    (select_k_expansions: keep candidates within expansion_gamma of each
+    hypothesis's best — asr_transducer/beam_search_transducer.py:223-262).
+
+    TPU shape discipline: the reference's per-frame python lists (list_b /
+    list_exp with dedup) become a fixed [B, K] beam with a per-hyp
+    ``settled`` flag — a settled hypothesis took blank this frame and only
+    proposes a zero-delta carry for the remaining rounds; after the last
+    round, still-active hypotheses are settled with a forced blank. The
+    reference's prefix merge (prefix_search) and exact duplicate check are
+    omitted (both need dynamic hypothesis identity; at these beam sizes
+    they change scores marginally — documented deviation).
+
+    Returns (tokens [B, max_len] blank-padded, lengths [B]).
+    """
+    a = model.cfg.asr
+    b, t_max, d = hs.shape
+    k, l = cfg.beam_size, cfg.max_len
+    mc = min(cfg.max_candidates, a.vocab_size)
+    blank = a.blank_id
+    n = b * k
+    neg = jnp.float32(-1e30)
+
+    hs_beam = jnp.repeat(hs, k, axis=0)
+    h_len_beam = jnp.repeat(h_lengths, k, axis=0)
+
+    def pred_step(mdl, y, carry):
+        return mdl.prediction.step(y, carry)
+
+    carry0 = model.apply({"params": params},
+                         method=lambda m: m.prediction.init_carry(n))
+    g0, carry0 = model.apply({"params": params},
+                             jnp.full((n,), blank, jnp.int32), carry0,
+                             method=pred_step)
+    score0 = jnp.tile(jnp.concatenate(
+        [jnp.zeros((1,)), jnp.full((k - 1,), neg)])[None], (b, 1)
+    ).astype(jnp.float32)
+
+    def joint_lp(t, g):
+        h_t = jnp.take_along_axis(
+            hs_beam, jnp.full((n, 1, 1), 0) + t, axis=1)[:, 0]
+        logits = model.apply({"params": params}, h_t, g,
+                             method=lambda m, h, gg: m.joint(h, gg))
+        return jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+
+    def frame_body(t, st):
+        tokens, n_emit, score, g, carry = st
+        frame_ok = (t < h_len_beam).reshape(b, k)  # this frame exists
+        settled = ~frame_ok  # out-of-range hyps only carry
+
+        def round_step(state):
+            tokens, n_emit, score, g, carry, settled = state
+            lp = joint_lp(t, g)  # [N, V]
+            blank_lp = lp[:, blank]
+            nb = lp.at[:, blank].set(neg)
+            topv, topi = lax.top_k(nb, mc)  # [N, mc]
+            # prune-by-value per hyp: best candidate INCLUDES blank
+            best = jnp.maximum(topv[:, 0], blank_lp)
+            keep = topv >= (best - cfg.expansion_gamma)[:, None]
+            can_emit = (n_emit.reshape(n) < l)[:, None]
+            exp_delta = jnp.where(keep & can_emit, topv, neg)
+            settle_delta = jnp.where(
+                blank_lp >= best - cfg.expansion_gamma, blank_lp, neg)
+            s_n = settled.reshape(n)
+            # slot 0: settled-carry (0) or settle-via-blank; 1..mc: expand
+            slot0 = jnp.where(s_n, 0.0, settle_delta)
+            deltas = jnp.concatenate([slot0[:, None],
+                                      jnp.where(s_n[:, None], neg,
+                                                exp_delta)], 1)
+            totals = score.reshape(n)[:, None] + deltas
+            new_score, idx = lax.top_k(totals.reshape(b, k * (mc + 1)), k)
+            parent = idx // (mc + 1)
+            choice = idx % (mc + 1)
+            parent_n = (parent + jnp.arange(b)[:, None] * k).reshape(n)
+
+            gn = lambda x: x[parent_n]
+            is_carry = (choice == 0).reshape(n)
+            settled_new = gn(s_n) | is_carry
+            tok = jnp.take_along_axis(
+                gn(topi), jnp.maximum(choice.reshape(n) - 1, 0)[:, None],
+                1)[:, 0]
+            emit = ~is_carry
+            tokens_g = tokens.reshape(n, l)[parent_n]
+            n_emit_g = gn(n_emit.reshape(n))
+            wp = jnp.minimum(n_emit_g, l - 1)
+            tokens_new = jnp.where(
+                emit[:, None] & (jnp.arange(l)[None, :] == wp[:, None]),
+                tok[:, None], tokens_g)
+            n_emit_new = n_emit_g + emit.astype(jnp.int32)
+            g_g = gn(g)
+            carry_g = jax.tree.map(gn, carry)
+            g_upd, carry_upd = model.apply(
+                {"params": params}, jnp.where(emit, tok, blank), carry_g,
+                method=pred_step)
+            g_new = jnp.where(emit[:, None], g_upd, g_g)
+            carry_new = jax.tree.map(
+                lambda nw, od: jnp.where(
+                    emit.reshape((n,) + (1,) * (nw.ndim - 1)), nw, od),
+                carry_upd, carry_g)
+            return (tokens_new.reshape(b, k, l), n_emit_new.reshape(b, k),
+                    new_score, g_new, carry_new, settled_new.reshape(b, k))
+
+        state = (tokens, n_emit, score, g, carry, settled)
+        for r in range(cfg.nstep):
+            state = round_step(state)
+        tokens, n_emit, score, g, carry, settled = state
+        # Remaining active hyps settle with a forced blank (the reference's
+        # final beam_logp[:, 0] addition after the last round).
+        lp = joint_lp(t, g)
+        score = score + jnp.where(settled, 0.0,
+                                  lp[:, blank].reshape(b, k))
+        return (tokens, n_emit, score, g, carry)
+
+    st = (jnp.full((b, k, l), blank, jnp.int32), jnp.zeros((b, k), jnp.int32),
+          score0, g0, carry0)
+    tokens, n_emit, score, g, carry = lax.fori_loop(0, t_max, frame_body, st)
+    best = jnp.argmax(score, axis=1)
+    out = jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]
+    lengths = jnp.take_along_axis(n_emit, best[:, None], axis=1)[:, 0]
+    return out, lengths

@@ -89,3 +89,39 @@ def count_sharded(params, mesh, rules=DEFAULT_RULES) -> Tuple[int, int]:
     leaves = jax.tree.leaves(sh)
     n_sharded = sum(1 for s in leaves if s.spec != P())
     return n_sharded, len(leaves)
+
+
+def zero_opt_shardings(opt_state: Any, params_shardings: Any, mesh: Mesh,
+                       min_size: int = 16384):
+    """ZeRO-1-style optimizer-state sharding over the DATA axis.
+
+    Parity target: the reference's fairscale OSS optimizer
+    (abs_task.py:869-874, trainer.py:215-219) — each data-parallel rank
+    holds a shard of the Adam moments. Here it is pure GSPMD: moment
+    tensors mirroring a parameter take the parameter's TP sharding with the
+    largest replicated dim additionally partitioned over ``data``; small or
+    indivisible leaves replicate. XLA inserts the gather at update time.
+    """
+    n_data = mesh.shape[DATA_AXIS]
+
+    # Matching optax tree leaves back to parameter paths is fragile across
+    # optimizer chains; shard ANY large leaf by its first data-divisible
+    # dim instead (moments mirror parameter shapes, so this lines up).
+    def assign(x):
+        if not hasattr(x, "ndim") or x.ndim == 0 or x.size < min_size:
+            return NamedSharding(mesh, P())
+        for dim in range(x.ndim):
+            if x.shape[dim] % n_data == 0:
+                spec = [None] * x.ndim
+                spec[dim] = DATA_AXIS
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(assign, opt_state)
+
+
+def shard_opt_state(opt_state: Any, params_shardings: Any, mesh: Mesh,
+                    min_size: int = 16384):
+    """device_put the optimizer state with ZeRO-1 data-axis shardings."""
+    sh = zero_opt_shardings(opt_state, params_shardings, mesh, min_size)
+    return jax.tree.map(jax.device_put, opt_state, sh)

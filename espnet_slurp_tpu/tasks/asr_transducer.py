@@ -107,7 +107,10 @@ class Speech2TextTransducer:
     """Transducer inference wrapper (asr_transducer_inference.py analogue)."""
 
     def __init__(self, exp_dir: str, ckpt_name: Optional[str] = None,
-                 beam_size: int = 1, max_len: int = 128):
+                 beam_size: int = 1, max_len: int = 128,
+                 search: str = "alsa"):
+        # search: greedy | alsa | maes (beam_search_transducer.py algos;
+        # greedy forced when beam_size <= 1)
         exp = Path(exp_dir)
         self.cfg = load_transducer_config(exp / "config.yaml")
         asr_like = dataclasses.replace(_as_asr_cfg(self.cfg),
@@ -122,6 +125,7 @@ class Speech2TextTransducer:
         self.params = mgr.load_params(ckpt_name)
         self.beam_size = beam_size
         self.max_len = max_len
+        self.search = search
         self._jit = None
 
     def __call__(self, speech: np.ndarray) -> str:
@@ -138,6 +142,13 @@ class Speech2TextTransducer:
                 hs, h_lengths, _ = model.apply(
                     {"params": params}, speech, lengths,
                     method=lambda m, s, sl: m.encode(s, sl))
+                if self.beam_size > 1 and self.search == "maes":
+                    from ..decode.transducer_beam import (MAESConfig,
+                                                          maes_search)
+                    return maes_search(
+                        model, params, hs, h_lengths,
+                        MAESConfig(beam_size=self.beam_size,
+                                   max_len=self.max_len))
                 if self.beam_size > 1:
                     from ..decode.transducer_beam import (
                         TransducerBeamConfig, transducer_beam_search)

@@ -1,0 +1,84 @@
+"""Observability sinks: tensorboard scalars + jax.profiler traces.
+
+Parity target: reference reporter sinks (espnet2/train/reporter.py:539
+tensorboard_add_scalar, trainer.py:247-257 SummaryWriter wiring) and the
+SURVEY §5 TPU plan (jax.profiler trace hooks in place of torch.profiler).
+wandb is not available in this image; the sink interface is the extension
+point for it.
+"""
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Dict, Optional
+
+log = logging.getLogger("espnet_slurp_tpu")
+
+
+class TensorboardSink:
+    """Scalar sink writing exp_dir/tensorboard/{train,valid} event files."""
+
+    def __init__(self, exp_dir: str | Path):
+        self._writers = {}
+        self._root = Path(exp_dir) / "tensorboard"
+        try:
+            from tensorboardX import SummaryWriter
+            self._cls = SummaryWriter
+        except Exception:  # pragma: no cover - optional dependency
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._cls = SummaryWriter
+            except Exception:
+                self._cls = None
+                log.info("tensorboard writer unavailable; scalars disabled")
+
+    def _writer(self, phase: str):
+        if self._cls is None:
+            return None
+        if phase not in self._writers:
+            self._writers[phase] = self._cls(str(self._root / phase))
+        return self._writers[phase]
+
+    def scalars(self, phase: str, stats: Dict[str, float], step: int):
+        w = self._writer(phase)
+        if w is None:
+            return
+        for k, v in stats.items():
+            if isinstance(v, (int, float)):
+                w.add_scalar(k, v, step)
+
+    def close(self):
+        for w in self._writers.values():
+            w.close()
+
+
+class ProfilerHook:
+    """jax.profiler trace over a step window (torch.profiler analogue).
+
+    Produces a TensorBoard-viewable trace under exp_dir/profile covering
+    steps [start, stop).
+    """
+
+    def __init__(self, exp_dir: str | Path, start_step: int, stop_step: int):
+        self.dir = str(Path(exp_dir) / "profile")
+        self.start_step = start_step
+        self.stop_step = stop_step
+        self._active = False
+
+    def step(self, global_step: int):
+        import jax
+        if not self._active and global_step == self.start_step:
+            jax.profiler.start_trace(self.dir)
+            self._active = True
+            log.info("jax.profiler trace started (step %d) -> %s",
+                     global_step, self.dir)
+        elif self._active and global_step >= self.stop_step:
+            jax.profiler.stop_trace()
+            self._active = False
+            log.info("jax.profiler trace stopped (step %d)", global_step)
+
+    def close(self):
+        if self._active:
+            import jax
+            jax.profiler.stop_trace()
+            self._active = False

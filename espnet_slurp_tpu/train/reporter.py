@@ -15,10 +15,17 @@ from typing import Dict, List, Optional
 
 
 class SubReporter:
-    """Accumulates weighted stats within one epoch phase (train/valid)."""
+    """Accumulates weighted stats within one epoch phase (train/valid).
+
+    Values may be jax device scalars: accumulation stays ON DEVICE (no
+    float() per step — that would force a host sync every step and
+    serialize the async dispatch pipeline); conversion happens once in
+    mean() (trainer.py:502-555 section-timer role is covered by the
+    iter/step wall timers the Trainer registers).
+    """
 
     def __init__(self):
-        self._sum: Dict[str, float] = defaultdict(float)
+        self._sum: Dict[str, object] = {}
         self._weight: Dict[str, float] = defaultdict(float)
         self._count = 0
         self._t0 = time.perf_counter()
@@ -27,7 +34,8 @@ class SubReporter:
         for k, v in stats.items():
             if v is None:
                 continue
-            self._sum[k] += float(v) * weight
+            prev = self._sum.get(k)
+            self._sum[k] = v * weight if prev is None else prev + v * weight
             self._weight[k] += weight
         self._count += 1
 
@@ -36,7 +44,7 @@ class SubReporter:
         return self._count
 
     def mean(self) -> Dict[str, float]:
-        out = {k: self._sum[k] / max(self._weight[k], 1e-12)
+        out = {k: float(self._sum[k]) / max(self._weight[k], 1e-12)
                for k in self._sum}
         out["time_s"] = time.perf_counter() - self._t0
         out["steps"] = self._count

@@ -31,6 +31,11 @@ class TrainerOptions:
     log_interval: int = 50
     resume: bool = True
     nbest_average: int = 10
+    # Observability (SURVEY §5): tensorboard scalar sink + jax.profiler
+    # trace window ([start, stop) global steps; None disables).
+    tensorboard: bool = True
+    profile_start_step: Optional[int] = None
+    profile_stop_step: Optional[int] = None
 
 
 class Trainer:
@@ -53,6 +58,7 @@ class Trainer:
     def run(self, state: TrainState,
             train_iter_factory: Callable[[int], Iterable],
             valid_iter_factory: Callable[[int], Iterable]) -> TrainState:
+        import time as _time
         o = self.options
         reporter = Reporter()
         start_epoch = 1
@@ -64,24 +70,51 @@ class Trainer:
                 start_epoch = latest + 1
                 log.info("resumed from epoch %d", latest)
 
+        from .observe import ProfilerHook, TensorboardSink
+        tb = TensorboardSink(self.ckpt.exp_dir) if o.tensorboard else None
+        prof = None
+        if o.profile_start_step is not None:
+            prof = ProfilerHook(self.ckpt.exp_dir, o.profile_start_step,
+                                o.profile_stop_step
+                                or o.profile_start_step + 5)
+
         phase, key, mode = o.criterion
+        global_step = 0
         for epoch in range(start_epoch, o.max_epoch + 1):
             sub = SubReporter()
+            t_prev = _time.perf_counter()
             for batch in train_iter_factory(epoch):
-                state, stats = self.train_step(state, self._place(batch))
-                sub.register({k: v for k, v in stats.items()})
+                t_data = _time.perf_counter()
+                batch = self._place(batch)
+                if prof is not None:
+                    prof.step(global_step)
+                state, stats = self.train_step(state, batch)
+                t_step = _time.perf_counter()
+                # Section wall timers (trainer.py:502-555 measure_time
+                # analogue: fwd/bwd/optim are one fused jitted step here,
+                # so the split is data-vs-device-dispatch).
+                sub.register({**stats,
+                              "iter_time": t_data - t_prev,
+                              "step_time": t_step - t_data})
+                t_prev = t_step
+                global_step += 1
                 if sub.steps % o.log_interval == 0:
                     m = sub.mean()
                     log.info("epoch %d step %d loss=%.4f", epoch, sub.steps,
                              m.get("loss", float("nan")))
-            reporter.observe(epoch, "train", sub.mean())
+            train_mean = sub.mean()
+            reporter.observe(epoch, "train", train_mean)
 
             sub = SubReporter()
             for batch in valid_iter_factory(epoch):
                 stats = self.eval_step(state, self._place(batch))
                 sub.register({k: v for k, v in stats.items()})
-            reporter.observe(epoch, "valid", sub.mean())
+            valid_mean = sub.mean()
+            reporter.observe(epoch, "valid", valid_mean)
             log.info(reporter.log_line(epoch))
+            if tb is not None:
+                tb.scalars("train", train_mean, epoch)
+                tb.scalars("valid", valid_mean, epoch)
 
             self.ckpt.save_epoch(epoch, state, reporter)
             if o.patience is not None and reporter.check_early_stopping(
@@ -89,6 +122,10 @@ class Trainer:
                 log.info("early stopping at epoch %d", epoch)
                 break
 
+        if prof is not None:
+            prof.close()
+        if tb is not None:
+            tb.close()
         if o.nbest_average > 1:
             try:
                 self.ckpt.average_nbest(reporter, o.nbest_average)

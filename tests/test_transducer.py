@@ -244,3 +244,108 @@ def test_kb_aware_transducer():
     assert np.isfinite(float(loss))
     assert any(float(jnp.abs(x).max()) > 0
                for x in jax.tree.leaves(grads["tcpgen"]))
+
+
+def _toy_transducer():
+    from espnet_slurp_tpu.models.asr_model import ASRConfig
+    from espnet_slurp_tpu.models.transducer import (TransducerConfig,
+                                                    TransducerModel)
+    from espnet_slurp_tpu.ops.frontend import FrontendConfig
+    cfg = TransducerConfig(
+        asr=ASRConfig(vocab_size=12, d_model=32, n_head=2, d_ff=64,
+                      num_encoder_blocks=1, kernel_size=7, dropout_rate=0.0,
+                      frontend=FrontendConfig(n_fft=128, hop_length=64,
+                                              n_mels=16),
+                      specaug=None),
+        pred_dim=32, joint_dim=32)
+    model = TransducerModel(cfg)
+    rng = np.random.RandomState(4)
+    batch = {
+        "speech": jnp.asarray(rng.randn(1, 1600).astype(np.float32) * 0.3),
+        "speech_lengths": jnp.asarray([1600]),
+        "text": jnp.asarray(rng.randint(1, 11, size=(1, 4))),
+        "text_lengths": jnp.asarray([4]),
+    }
+    params = model.init(jax.random.PRNGKey(1), **batch)["params"]
+    hs, h_lengths, _ = model.apply(
+        {"params": params}, batch["speech"], batch["speech_lengths"],
+        method=lambda m, s, sl: m.encode(s, sl))
+    return model, params, hs, h_lengths
+
+
+def test_maes_matches_serial_reference():
+    """Batched mAES == a serial python port of the reference algorithm
+    (beam_search_transducer.py:720-877, without prefix merge/dedup —
+    the same documented deviations as the batched kernel)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from espnet_slurp_tpu.decode.transducer_beam import (MAESConfig,
+                                                         maes_search)
+
+    model, params, hs, h_lengths = _toy_transducer()
+    cfg = MAESConfig(beam_size=3, nstep=2, max_candidates=3,
+                     expansion_gamma=2.3, max_len=8)
+    got_t, got_l = maes_search(model, params, hs, h_lengths, cfg)
+
+    # serial reference
+    a = model.cfg.asr
+    blank = a.blank_id
+    n_frames = int(h_lengths[0])
+
+    def pred(y, carry):
+        g, c = model.apply({"params": params},
+                           jnp.asarray([y], jnp.int32), carry,
+                           method=lambda m, yy, cc: m.prediction.step(yy, cc))
+        return g, c
+
+    def joint(t, g):
+        h_t = hs[0:1, t]
+        logits = model.apply({"params": params}, h_t, g,
+                             method=lambda m, h, gg: m.joint(h, gg))
+        return np.asarray(jax.nn.log_softmax(
+            logits.astype(jnp.float32), -1))[0]
+
+    carry0 = model.apply({"params": params},
+                         method=lambda m: m.prediction.init_carry(1))
+    g0, carry0 = pred(blank, carry0)
+    hyps = [([], 0.0, g0, carry0)]  # (tokens, score, g, carry)
+    for t in range(n_frames):
+        settled = []
+        active = hyps
+        for r in range(cfg.nstep):
+            cand_settled = []
+            cand_active = []
+            for toks, score, g, carry in active:
+                lp = joint(t, g)
+                nb = lp.copy()
+                nb[blank] = -1e30
+                top = np.argsort(-nb)[:cfg.max_candidates]
+                best = max(nb[top[0]], lp[blank])
+                if lp[blank] >= best - cfg.expansion_gamma:
+                    cand_settled.append((toks, score + lp[blank], g, carry))
+                for v in top:
+                    if nb[v] >= best - cfg.expansion_gamma \
+                            and len(toks) < cfg.max_len:
+                        g2, c2 = pred(int(v), carry)
+                        cand_active.append((toks + [int(v)],
+                                            score + nb[v], g2, c2))
+            # joint top-K over settled-carry + new candidates
+            pool = [(s, "s") for s in settled] + \
+                   [(s, "s") for s in cand_settled] + \
+                   [(x, "a") for x in cand_active]
+            pool.sort(key=lambda x: -x[0][1])
+            pool = pool[:cfg.beam_size]
+            settled = [h for h, kind in pool if kind == "s"]
+            active = [h for h, kind in pool if kind == "a"]
+            if not active:
+                break
+        # force-settle remaining actives with blank
+        for toks, score, g, carry in active:
+            lp = joint(t, g)
+            settled.append((toks, score + lp[blank], g, carry))
+        settled.sort(key=lambda x: -x[1])
+        hyps = settled[:cfg.beam_size]
+    want = max(hyps, key=lambda x: x[1])[0]
+    got = list(np.asarray(got_t)[0][: int(got_l[0])])
+    assert got == want, (got, want)
