@@ -29,3 +29,16 @@ if _os.environ.get("JAX_PLATFORMS"):
         _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
     except Exception:
         pass
+
+# Persistent XLA compilation cache by default: on remote-compile TPU
+# transports a cold full-model compile costs minutes; re-runs and resumed
+# trainings must not pay it twice. Override/disable via the standard
+# JAX_COMPILATION_CACHE_DIR env var (empty string disables).
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

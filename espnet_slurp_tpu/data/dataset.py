@@ -34,6 +34,78 @@ def _load_npy(path):
     return NpyScpReader(path)
 
 
+class _KaldiArkLoader(Mapping):
+    """feats.scp of 'ark_path:offset' entries, binary float/double matrices
+    (reference uses kaldiio for espnet2/train/dataset.py 'kaldi_ark'; this
+    is a minimal in-framework reader for the \0B BFM/BDM format)."""
+
+    def __init__(self, path):
+        self._map = read_2column_text(path)
+
+    @staticmethod
+    def _read_matrix(f):
+        binmark = f.read(2)
+        if binmark != b"\x00B":
+            raise ValueError("only binary kaldi archives are supported")
+        kind = f.read(3)
+        if kind not in (b"FM ", b"DM "):
+            raise ValueError(f"unsupported kaldi matrix type {kind!r}")
+        dtype = np.float32 if kind == b"FM " else np.float64
+
+        def read_int():
+            size = f.read(1)[0]
+            return int.from_bytes(f.read(size), "little")
+
+        rows = read_int()
+        cols = read_int()
+        buf = f.read(rows * cols * np.dtype(dtype).itemsize)
+        return np.frombuffer(buf, dtype=dtype).reshape(rows, cols)
+
+    def __getitem__(self, key) -> np.ndarray:
+        entry = self._map[key]
+        ark, _, offset = entry.rpartition(":")
+        with open(ark, "rb") as f:
+            f.seek(int(offset))
+            return np.ascontiguousarray(self._read_matrix(f))
+
+    def __len__(self):
+        return len(self._map)
+
+    def __iter__(self):
+        return iter(self._map)
+
+
+DATA_TYPES["kaldi_ark"] = _KaldiArkLoader
+
+
+class _Hdf5Loader(Mapping):
+    """'file.h5:dataset_key' entries (espnet2 'hdf5' loader)."""
+
+    def __init__(self, path):
+        self._map = read_2column_text(path)
+        self._files = {}
+
+    def _file(self, fname):
+        if fname not in self._files:
+            import h5py
+            self._files[fname] = h5py.File(fname, "r")
+        return self._files[fname]
+
+    def __getitem__(self, key) -> np.ndarray:
+        entry = self._map[key]
+        fname, _, dkey = entry.rpartition(":")
+        return np.asarray(self._file(fname)[dkey])
+
+    def __len__(self):
+        return len(self._map)
+
+    def __iter__(self):
+        return iter(self._map)
+
+
+DATA_TYPES["hdf5"] = _Hdf5Loader
+
+
 class _TextIntLoader(Mapping):
     def __init__(self, path):
         self._map = read_2column_text(path)
@@ -81,15 +153,58 @@ class CommonPreprocessor:
                  converter: Optional[TokenIDConverter] = None,
                  text_names: Sequence[str] = ("text",),
                  extra: Optional[Dict[str, Tuple[AbsTokenizer,
-                                                 TokenIDConverter]]] = None):
+                                                 TokenIDConverter]]] = None,
+                 rir_scp: Optional[str] = None,
+                 rir_apply_prob: float = 1.0,
+                 noise_scp: Optional[str] = None,
+                 noise_apply_prob: float = 1.0,
+                 noise_db_range: Tuple[float, float] = (13.0, 30.0),
+                 speech_name: str = "speech",
+                 seed: int = 0):
         self.tokenizer = tokenizer
         self.converter = converter
         self.text_names = tuple(text_names)
         self.extra = extra or {}
+        # RIR convolution + noise mixing (preprocessor.py:123-332): applied
+        # host-side per utterance before collation, like the reference.
+        self.speech_name = speech_name
+        self.rir_apply_prob = rir_apply_prob
+        self.noise_apply_prob = noise_apply_prob
+        self.noise_db_range = noise_db_range
+        self._rng = np.random.RandomState(seed)
+        self._rirs = list(read_2column_text(rir_scp).values()) \
+            if rir_scp else []
+        self._noises = list(read_2column_text(noise_scp).values()) \
+            if noise_scp else []
+
+    def _augment_speech(self, x: np.ndarray) -> np.ndarray:
+        from .fileio import load_wav
+        rng = self._rng
+        power = float(np.mean(x ** 2)) + 1e-12
+        if self._rirs and rng.rand() < self.rir_apply_prob:
+            rir, _ = load_wav(self._rirs[rng.randint(len(self._rirs))])
+            x = np.convolve(x, rir, mode="full")[: len(x)]
+            # renormalize to the dry power (preprocessor.py:197-205)
+            x = x * np.sqrt(power / (np.mean(x ** 2) + 1e-12))
+        if self._noises and rng.rand() < self.noise_apply_prob:
+            noise, _ = load_wav(self._noises[rng.randint(len(self._noises))])
+            if len(noise) < len(x):
+                noise = np.tile(noise, -(-len(x) // len(noise)))
+            off = rng.randint(len(noise) - len(x) + 1)
+            noise = noise[off:off + len(x)]
+            snr = rng.uniform(*self.noise_db_range)
+            n_power = float(np.mean(noise ** 2)) + 1e-12
+            scale = np.sqrt(power / (10 ** (snr / 10) * n_power))
+            x = x + scale * noise
+        return x.astype(np.float32)
 
     def __call__(self, uid: str, data: Dict[str, object]) -> Dict[str, np.ndarray]:
         out = {}
         for name, value in data.items():
+            if name == self.speech_name and not isinstance(value, str) \
+                    and (self._rirs or self._noises):
+                out[name] = self._augment_speech(np.asarray(value))
+                continue
             if isinstance(value, str):
                 if name in self.extra:
                     tok, conv = self.extra[name]
@@ -134,3 +249,40 @@ class SpeechDataset:
         if self.preprocess is not None:
             data = self.preprocess(uid, data)
         return uid, data
+
+
+class IterableSpeechDataset:
+    """Order-following streaming dataset (espnet2/train/iterable_dataset.py
+    IterableESPnetDataset analogue): iterates manifests line-by-line in file
+    order without building an index — for inference/collect-stats over
+    corpora too large to enumerate up front."""
+
+    def __init__(self,
+                 path_name_type_list: Sequence[Tuple[str, str, str]],
+                 preprocess: Optional[Callable] = None):
+        self.specs = list(path_name_type_list)
+        self.preprocess = preprocess
+
+    def __iter__(self):
+        files = [open(path, encoding="utf-8") for path, _, _ in self.specs]
+        loaders = [DATA_TYPES[typ](path)
+                   for path, _, typ in self.specs]
+        try:
+            for lines in zip(*files):
+                uid = None
+                data = {}
+                for (path, name, typ), line, loader in zip(
+                        self.specs, lines, loaders):
+                    key = line.split(maxsplit=1)[0]
+                    if uid is None:
+                        uid = key
+                    elif key != uid:
+                        raise RuntimeError(
+                            f"stream order mismatch: {key} != {uid}")
+                    data[name] = loader[key]
+                if self.preprocess is not None:
+                    data = self.preprocess(uid, data)
+                yield uid, data
+        finally:
+            for f in files:
+                f.close()

@@ -9,7 +9,7 @@ number of distinct compiled shapes stays small.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence, Tuple
+from typing import Optional, Dict, List, Sequence, Tuple
 
 import numpy as np
 
@@ -35,16 +35,40 @@ def build_batches(
     sort_in_batch: str = "descending",
     min_batch_size: int = 1,
     drop_last: bool = False,
+    fold_length: Optional[Sequence[int]] = None,
+    utt2category: Optional[Dict[str, str]] = None,
 ) -> List[List[str]]:
     """Build the global batch list (rank sharding happens later, like
     abs_task.py:1533-1542 but per-host slices of each batch).
 
     shapes: one dict per stream (speech first). Keys must agree.
-    batch_type:
+    batch_type (samplers/build_batch_sampler.py:12-69 BATCH_TYPES):
       - 'unsorted'/'sorted': fixed batch_size
+      - 'folded': batch size shrinks with length — bs_i =
+        batch_size // max(1, ceil(len_i / fold_length)) per stream
+        (folded_batch_sampler semantics; fold_length defaults to the
+        stream's mean length)
+      - 'length': bins by sum of FIRST-dim lengths (batch_bins budget,
+        length_batch_sampler)
       - 'numel': greedy bins by sum of padded elements (batch_bins budget)
+    utt2category: optional {uttid: category} — batches never mix
+    categories (samplers/category_balanced_sampler / utt2category file).
     """
     keys = sorted(shapes[0], key=lambda k: -shapes[0][k][0])
+    if utt2category is not None:
+        # Partition keys by category, batch each partition independently.
+        cats: Dict[str, list] = {}
+        for k in keys:
+            cats.setdefault(utt2category.get(k, ""), []).append(k)
+        out: List[List[str]] = []
+        for cat in sorted(cats):
+            sub_shapes = [{k: sh[k] for k in cats[cat]} for sh in shapes]
+            out.extend(build_batches(
+                sub_shapes, batch_type=batch_type, batch_size=batch_size,
+                batch_bins=batch_bins, sort_in_batch=sort_in_batch,
+                min_batch_size=min_batch_size, drop_last=drop_last,
+                fold_length=fold_length))
+        return out
     if batch_type == "unsorted":
         keys = sorted(shapes[0])
         return [keys[i:i + batch_size]
@@ -52,6 +76,37 @@ def build_batches(
     if batch_type == "sorted":
         return [keys[i:i + batch_size]
                 for i in range(0, len(keys), batch_size)]
+    if batch_type == "folded":
+        folds = fold_length or [
+            max(1, int(np.mean([v[0] for v in sh.values()])))
+            for sh in shapes]
+        batches = []
+        cur: List[str] = []
+        for k in keys:
+            factor = max(
+                -(-sh[k][0] // f) for sh, f in zip(shapes, folds))
+            bs = max(min_batch_size, batch_size // max(1, factor))
+            cur.append(k)
+            if len(cur) >= bs:
+                batches.append(cur)
+                cur = []
+        if cur and not drop_last:
+            batches.append(cur)
+        return batches
+    if batch_type == "length":
+        batches = []
+        cur = []
+        for k in keys:
+            cand = cur + [k]
+            total = sum(len(cand) * sh[cand[0]][0] for sh in shapes)
+            if total > batch_bins and len(cur) >= min_batch_size:
+                batches.append(cur)
+                cur = [k]
+            else:
+                cur = cand
+        if cur and not drop_last:
+            batches.append(cur)
+        return batches
     if batch_type != "numel":
         raise ValueError(f"unknown batch_type {batch_type}")
 

@@ -117,7 +117,8 @@ def batch_beam_search(
     else:
         ctc0 = None
 
-    cache0 = init_decoder_cache(mcfg, n, l)
+    cache0 = init_decoder_cache(mcfg, n, l, t_enc=t_enc,
+                                memory_lengths=h_lengths_beam)
     lm_state0 = lm_init(n) if lm_init is not None else None
 
     use_bias = biasing is not None

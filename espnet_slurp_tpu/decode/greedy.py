@@ -17,7 +17,22 @@ from jax import lax
 from ..models.asr_model import ASRModel
 
 
-def init_decoder_cache(cfg, batch: int, max_len: int):
+def init_decoder_cache(cfg, batch: int, max_len: int, t_enc: int = 0,
+                       memory_lengths=None):
+    if getattr(cfg, "decoder", "transformer") == "rnn":
+        # LAS decoder: LSTM states + previous attention weights/context.
+        z = lambda: jnp.zeros((batch, cfg.rnn_decoder_units), cfg.jax_dtype)
+        cache = {f"layer_{i}": {"c": z(), "h": z()}
+                 for i in range(cfg.rnn_decoder_layers)}
+        if memory_lengths is not None:
+            from ..ops.masks import length_mask
+            m = length_mask(memory_lengths, t_enc)
+            cache["att_prev"] = (m / jnp.maximum(
+                jnp.sum(m, -1, keepdims=True), 1)).astype(jnp.float32)
+        else:
+            cache["att_prev"] = jnp.full((batch, t_enc),
+                                         1.0 / max(t_enc, 1), jnp.float32)
+        return cache
     dh = cfg.d_model // cfg.n_head
     z = lambda: jnp.zeros((batch, max_len, cfg.n_head, dh), cfg.jax_dtype)
     return {f"layer_{i}": {"k": z(), "v": z()}
@@ -38,7 +53,9 @@ def attention_greedy_decode(
 
     mem_kv = model.apply({"params": params}, hs,
                          method=lambda m, x: m.decoder.precompute_memory(x))
-    cache = init_decoder_cache(cfg, b, max_len)
+    cache = init_decoder_cache(cfg, b, max_len,
+                               t_enc=hs.shape[1],
+                               memory_lengths=h_lengths)
 
     def step_fn(mdl, y_t, idx, cache, mem_kv, h_lengths):
         return mdl.decoder.step(y_t, idx, cache, mem_kv, h_lengths, max_len)

@@ -31,6 +31,9 @@ IGNORE_ID = -1
 class ASRConfig:
     vocab_size: int = 5000
     encoder: str = "conformer"  # conformer | ebranchformer | transformer
+    decoder: str = "transformer"  # transformer | rnn (LAS, location-aware)
+    rnn_decoder_units: int = 320
+    rnn_decoder_layers: int = 1
     d_model: int = 256
     n_head: int = 4
     d_ff: int = 2048
@@ -164,10 +167,17 @@ class ASRModel(nn.Module):
         c = self.cfg
         self.encoder = build_encoder(c)
         self.ctc_proj = nn.Dense(c.vocab_size, dtype=c.jax_dtype, name="ctc")
-        self.decoder = TransformerDecoder(
-            c.vocab_size, c.d_model, c.n_head, c.decoder_d_ff,
-            c.num_decoder_blocks, c.dropout_rate, dtype=c.jax_dtype,
-            name="decoder")
+        if c.decoder == "rnn":
+            from .rnn_decoder import RNNDecoder
+            self.decoder = RNNDecoder(
+                c.vocab_size, c.d_model, units=c.rnn_decoder_units,
+                num_layers=c.rnn_decoder_layers, dtype=c.jax_dtype,
+                name="decoder")
+        else:
+            self.decoder = TransformerDecoder(
+                c.vocab_size, c.d_model, c.n_head, c.decoder_d_ff,
+                c.num_decoder_blocks, c.dropout_rate, dtype=c.jax_dtype,
+                name="decoder")
         if c.use_tcpgen:
             from .tcpgen import TCPGen
             self.tcpgen = TCPGen(c.d_model, c.vocab_size,

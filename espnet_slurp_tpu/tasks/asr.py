@@ -175,10 +175,16 @@ class ASRTask:
         """
         data = cfg.data
         speech_shapes, text_shapes = cls.collect_shapes(dataset)
+        # utt2category file next to the data keeps categories unmixed
+        # within batches (samplers/build_batch_sampler.py utt2category).
+        u2c = None
+        data_dir = getattr(dataset, "data_dir", None)
+        if data_dir and (Path(data_dir) / "utt2category").exists():
+            u2c = read_2column_text(Path(data_dir) / "utt2category")
         batches = build_batches(
             [speech_shapes, text_shapes], batch_type=data.batch_type,
             batch_size=data.batch_size, batch_bins=data.batch_bins,
-            min_batch_size=world)
+            min_batch_size=world, utt2category=u2c)
         divisor = max(batch_divisor, world)
         if divisor > 1:
             def align(b):

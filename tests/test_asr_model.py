@@ -145,3 +145,51 @@ def test_encoder_registry_extension():
         {"params": params}, batch["speech"], batch["speech_lengths"],
         batch["text"], batch["text_lengths"])
     assert np.isfinite(float(loss))
+
+
+def test_rnn_las_decoder_train_and_decode():
+    """ASRModel with decoder='rnn' (LAS + location-aware attention): loss,
+    grads, greedy and beam decode through the shared interfaces
+    (reference espnet2/asr/decoder/rnn_decoder.py / decoders.py:55-195)."""
+    from espnet_slurp_tpu.decode.beam import (BeamSearchConfig,
+                                              batch_beam_search)
+    from espnet_slurp_tpu.decode.greedy import attention_greedy_decode
+    cfg = ASRConfig(
+        vocab_size=20, d_model=32, n_head=2, d_ff=64, num_encoder_blocks=1,
+        num_decoder_blocks=1, decoder_d_ff=64, kernel_size=7,
+        dropout_rate=0.0, ctc_weight=0.3, decoder="rnn",
+        rnn_decoder_units=32, rnn_decoder_layers=2,
+        frontend=FrontendConfig(n_fft=128, hop_length=64, n_mels=16),
+        specaug=None)
+    model = ASRModel(cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "speech": jnp.asarray(rng.randn(2, 1600).astype(np.float32) * 0.1),
+        "speech_lengths": jnp.asarray([1600, 800]),
+        "text": jnp.asarray(rng.randint(1, 18, size=(2, 5))),
+        "text_lengths": jnp.asarray([5, 3]),
+    }
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+
+    def loss_fn(p):
+        return model.apply({"params": p}, **batch)
+
+    (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads))
+    # location-attention conv got gradients (the LAS-specific part)
+    g_att = grads["decoder"]["att"]["loc_conv"]["kernel"]
+    assert float(jnp.sum(jnp.abs(g_att))) > 0
+
+    hs, hl, _ = model.apply(
+        {"params": params}, batch["speech"], batch["speech_lengths"],
+        method=lambda m, s, sl: m.encode(s, sl))
+    toks, lens = attention_greedy_decode(model, params, hs, hl, max_len=6)
+    assert toks.shape == (2, 6)
+    bt, bl = batch_beam_search(
+        model, params, hs, hl,
+        BeamSearchConfig(beam_size=3, pre_beam_size=10, max_len=6,
+                         ctc_weight=0.3))
+    assert bt.shape == (2, 6)
+    assert (np.asarray(bl) <= 6).all()
