@@ -24,6 +24,14 @@ def get_parser():
     p.add_argument("--nj", type=int, default=1)
     p.add_argument("--batch_size", type=int, default=8,
                    help="utterances per batched beam-search call")
+    p.add_argument("--lm_exp_dir", default=None,
+                   help="trained LM exp dir for shallow fusion")
+    p.add_argument("--lm_weight", type=float, default=0.0)
+    p.add_argument("--ngram_file", default=None,
+                   help="ARPA n-gram LM for shallow fusion (KenLM analogue)")
+    p.add_argument("--ngram_weight", type=float, default=0.0)
+    p.add_argument("--ctc_timesync", action="store_true",
+                   help="frame-synchronous CTC prefix beam search")
     return p
 
 
@@ -37,7 +45,11 @@ def main(argv=None):
     import time
     s2t = Speech2Text(args.exp_dir, ckpt_name=args.ckpt,
                       max_len=args.max_len, beam_size=args.beam_size,
-                      ctc_weight=args.ctc_weight)
+                      ctc_weight=args.ctc_weight,
+                      lm_exp_dir=args.lm_exp_dir, lm_weight=args.lm_weight,
+                      ngram_file=args.ngram_file,
+                      ngram_weight=args.ngram_weight,
+                      ctc_timesync=args.ctc_timesync)
     wavs = read_2column_text(Path(args.data_dir) / "wav.scp")
     hyps = {}
     audio_sec = 0.0

@@ -339,7 +339,9 @@ class Speech2Text:
                  max_len: int = 128, beam_size: int = 1,
                  ctc_weight: float = 0.0, biasing_words=None,
                  tcpgen_smoothprob: float = 1.0,
-                 lm_exp_dir: Optional[str] = None, lm_weight: float = 0.0):
+                 lm_exp_dir: Optional[str] = None, lm_weight: float = 0.0,
+                 ngram_file: Optional[str] = None,
+                 ngram_weight: float = 0.0, ctc_timesync: bool = False):
         exp = Path(exp_dir)
         self.cfg = load_task_config(exp / "config.yaml")
         tokenizer, converter, model_cfg = ASRTask.prepare_vocab(self.cfg)
@@ -369,6 +371,18 @@ class Speech2Text:
             lm_mgr = CheckpointManager(Path(lm_exp_dir), lm_cfg.keep_nbest)
             self.lm_params = lm_mgr.load_params(
                 f"{lm_mgr.latest_epoch()}epoch")
+        self.ctc_timesync = ctc_timesync
+        self.ngram = None
+        self.ngram_weight = ngram_weight
+        if ngram_file and ngram_weight > 0:
+            # ARPA n-gram shallow fusion (asr_recog.py --ngram-model /
+            # scorers/ngram.py KenLM analogue, in-framework).
+            from ..decode.ngram import ArpaLM
+            mcfg = self.model.cfg
+            tok2id = {t: i for i, t in enumerate(converter.token_list)}
+            tok2id.setdefault("<s>", mcfg.sos_id)
+            tok2id.setdefault("</s>", mcfg.eos_id)
+            self.ngram = ArpaLM(ngram_file, tok2id, mcfg.vocab_size)
         self.biasing = None
         if biasing_words:
             # Build the biasing trie from raw words (decode-time KB,
@@ -406,18 +420,48 @@ class Speech2Text:
                 {"params": params}, speech, speech_lengths,
                 method=lambda m, s, sl: m.encode(s, sl, train=False,
                                                  mvn_stats=mvn_stats))
+            if self.ctc_timesync:
+                # Frame-synchronous CTC prefix beam
+                # (beam_search_timesync.py analogue).
+                from ..decode.timesync import (TimeSyncConfig,
+                                               ctc_timesync_beam_search)
+                return ctc_timesync_beam_search(
+                    model, params, hs, h_lengths,
+                    TimeSyncConfig(beam_size=self.beam_size,
+                                   max_len=self.max_len))
             if self.beam_size <= 1:
                 return attention_greedy_decode(model, params, hs, h_lengths,
                                                self.max_len)
+            # Compose shallow-fusion scorers (NN LM and/or ARPA n-gram),
+            # each pre-scaled by its own weight; beam applies w_lm=1.
+            scorers = []
+            if self.lm is not None:
+                from ..tasks.lm import make_lm_fusion
+                scorers.append((self.lm_weight,) + make_lm_fusion(
+                    self.lm, self.lm_params, 0, self.max_len))
+            if self.ngram is not None:
+                from ..decode.ngram import make_ngram_fusion
+                scorers.append((self.ngram_weight,) + make_ngram_fusion(
+                    self.ngram, model.cfg.sos_id))
+            lm_step = lm_init = None
+            w_lm = 0.0
+            if scorers:
+                w_lm = 1.0
+
+                def lm_init(n):
+                    return [s[2](n) for s in scorers]
+
+                def lm_step(y_prev, states):
+                    rows, new_states = [], []
+                    for (w, step, _), st in zip(scorers, states):
+                        row, st2 = step(y_prev, st)
+                        rows.append(w * row)
+                        new_states.append(st2)
+                    return sum(rows), new_states
             bs_cfg = BeamSearchConfig(beam_size=self.beam_size,
                                       max_len=self.max_len,
                                       ctc_weight=self.ctc_weight,
-                                      lm_weight=self.lm_weight)
-            lm_step = lm_init = None
-            if self.lm is not None:
-                from ..tasks.lm import make_lm_fusion
-                lm_step, lm_init = make_lm_fusion(
-                    self.lm, self.lm_params, 0, self.max_len)
+                                      lm_weight=w_lm)
             return batch_beam_search(model, params, hs, h_lengths, bs_cfg,
                                      lm_step=lm_step, lm_init=lm_init,
                                      biasing=self.biasing)

@@ -110,3 +110,85 @@ def test_ctc_prefix_respects_lengths():
         st_trunc, lp_full[:, :6], jnp.array([6]), cand, jnp.asarray(0))
     np.testing.assert_allclose(np.asarray(psi_f), np.asarray(psi_t),
                                rtol=1e-4)
+
+
+def test_ctc_timesync_beam_matches_serial():
+    """Time-sync CTC prefix beam vs a serial python CTC prefix beam
+    (Hannun-style; same no-cross-parent-merge semantics)."""
+    import jax
+    from espnet_slurp_tpu.decode.timesync import (TimeSyncConfig,
+                                                  ctc_timesync_beam_search)
+    from espnet_slurp_tpu.models.asr_model import ASRConfig, ASRModel
+    from espnet_slurp_tpu.ops.frontend import FrontendConfig
+    cfg = ASRConfig(
+        vocab_size=8, d_model=32, n_head=2, d_ff=64, num_encoder_blocks=1,
+        num_decoder_blocks=1, decoder_d_ff=64, kernel_size=7,
+        dropout_rate=0.0, ctc_weight=0.5,
+        frontend=FrontendConfig(n_fft=128, hop_length=64, n_mels=16),
+        specaug=None)
+    model = ASRModel(cfg)
+    rng = np.random.RandomState(6)
+    batch = {"speech": jnp.asarray(rng.randn(1, 1600).astype(np.float32)),
+             "speech_lengths": jnp.asarray([1600]),
+             "text": jnp.asarray([[1, 2, 3]]),
+             "text_lengths": jnp.asarray([3])}
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+    hs, hl, _ = model.apply(
+        {"params": params}, batch["speech"], batch["speech_lengths"],
+        method=lambda m, s, sl: m.encode(s, sl))
+    toks, lens = ctc_timesync_beam_search(
+        model, params, hs, hl, TimeSyncConfig(beam_size=4, pre_beam_size=7,
+                                              max_len=8))
+    got = list(np.asarray(toks)[0][: int(lens[0])])
+
+    # serial reference
+    lp = np.asarray(model.apply({"params": params}, hs,
+                                method=lambda m, x: m.ctc_logprobs(x)))[0]
+    t_max = int(hl[0])
+
+    def lse(a, b):
+        m = max(a, b)
+        if m < -1e29:
+            return -1e30
+        return m + np.log(np.exp(a - m) + np.exp(b - m))
+
+    hyps = [((), 0.0, -1e30)]  # (prefix, p_b, p_nb)
+    for t in range(t_max):
+        cand = []
+        for prefix, p_b, p_nb in hyps:
+            tot = lse(p_b, p_nb)
+            stay_b = tot + lp[t, 0]
+            stay_nb = (p_nb + lp[t, prefix[-1]]) if prefix else -1e30
+            cand.append((prefix, stay_b, stay_nb))
+            top = np.argsort(-lp[t, 1:])[:7] + 1
+            for c in top:
+                if len(prefix) >= 8:
+                    continue
+                base = p_b if (prefix and c == prefix[-1]) else tot
+                cand.append((prefix + (int(c),), -1e30, base + lp[t, c]))
+        cand.sort(key=lambda x: -lse(x[1], x[2]))
+        hyps = cand[:4]
+    best = max(hyps, key=lambda x: lse(x[1], x[2]))
+    assert got == list(best[0]), (got, best[0])
+
+
+def test_ctc_viterbi_align():
+    """Forced alignment on a constructed posterior: tokens land on their
+    high-probability frame spans."""
+    from espnet_slurp_tpu.decode.ctc_segmentation import (align_words,
+                                                          ctc_viterbi_align)
+    t, v = 12, 5
+    lp = np.full((t, v), np.log(0.05))
+    # blank elsewhere; token 1 strong on frames 2-4; token 2 on 7-9
+    lp[:, 0] = np.log(0.8)
+    lp[2:5, 1] = np.log(0.9)
+    lp[2:5, 0] = np.log(0.02)
+    lp[7:10, 2] = np.log(0.9)
+    lp[7:10, 0] = np.log(0.02)
+    out = ctc_viterbi_align(lp, [1, 2], blank_id=0)
+    (s1, e1, c1), (s2, e2, c2) = out
+    assert 2 <= s1 <= 3 and 4 <= e1 <= 5
+    assert 7 <= s2 <= 8 and 9 <= e2 <= 10
+    assert c1 > 0.5 and c2 > 0.5
+    words = align_words(out, ["he▁", "yo▁"])
+    assert [w for _, _, _, w in words] == ["he", "yo"]
