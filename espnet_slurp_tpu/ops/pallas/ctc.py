@@ -257,3 +257,42 @@ def ctc_loss_pallas(
     # the saturated NEG likelihood directly rather than enumerating cases.
     feasible = (label_lengths <= logit_lengths) & (loss < -NEG / 2)
     return jnp.where(feasible, loss, 0.0)
+
+
+def ctc_loss_pallas_logits(
+    logits: jnp.ndarray,
+    logit_lengths: jnp.ndarray,
+    labels: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    blank_id: int = 0,
+) -> jnp.ndarray:
+    """CTC straight from projection logits: per-frame logsumexp + S-wide
+    gather (never materializes f32 [B,T,V] log-probs) feeding the Pallas
+    forward-backward lattice kernel. Deliberately plain-autodiff emit: the
+    transpose of take_along_axis is a one-axis scatter XLA lowers well,
+    whereas a hand-written 3-index scatter-add measured 6x slower on v5e
+    (95 ms vs 16 ms fwd+bwd at B=64/T=468/V=5000). The training hot path
+    on TPU (PERF_NOTES.md round-2)."""
+    b, t, v = logits.shape
+    u = labels.shape[1]
+    s = 2 * u + 1
+    s_pad = _round_up(s, 128)
+    ext = jnp.full((b, s_pad), blank_id, labels.dtype)
+    ext = ext.at[:, 1:s:2].set(jnp.maximum(labels, 0))
+    ext_prev2 = jnp.pad(ext[:, :s], ((0, 0), (2, 0)),
+                        constant_values=blank_id)[:, :s]
+    allow = (ext[:, :s] != blank_id) & (ext[:, :s] != ext_prev2)
+    skip = jnp.zeros((b, s_pad), jnp.float32).at[:, :s].set(
+        allow.astype(jnp.float32))
+    z = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)  # [B, T]
+    emit = jnp.take_along_axis(
+        logits, ext[:, None, :].astype(jnp.int32), axis=2
+    ).astype(jnp.float32) - z[..., None]  # [B, T, S_pad]
+    col = jnp.arange(s_pad)[None, :]
+    smax = 2 * label_lengths + 1
+    emit = jnp.where((col < smax[:, None])[:, None, :], emit, NEG)
+    last = (2 * label_lengths).astype(jnp.int32)
+    loss = _ctc_core(emit, skip[:, None, :], logit_lengths.astype(jnp.int32),
+                     last)
+    feasible = (label_lengths <= logit_lengths) & (loss < -NEG / 2)
+    return jnp.where(feasible, loss, 0.0)

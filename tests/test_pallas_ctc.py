@@ -61,3 +61,31 @@ def test_pallas_ctc_infeasible_zero():
     loss = ctc_loss_pallas(lp, jnp.array([3]), jnp.asarray([[1, 2, 3, 4]]),
                            jnp.array([4]))
     assert float(loss[0]) == 0.0
+
+
+def test_pallas_ctc_logits_matches_scan_logits():
+    """ctc_loss_pallas_logits (the TPU training hot path: fused emit ->
+    Pallas lattice) vs the fused-emit scan, value + grad, with varied
+    lengths, a repeated label, and an infeasible row."""
+    from espnet_slurp_tpu.ops.ctc import ctc_loss_logits
+    from espnet_slurp_tpu.ops.pallas.ctc import ctc_loss_pallas_logits
+    rng = np.random.RandomState(11)
+    b, t, v, u = 4, 23, 17, 6
+    logits = jnp.asarray(rng.randn(b, t, v), jnp.float32)
+    labels_np = rng.randint(1, v, (b, u))
+    labels_np[0, 1] = labels_np[0, 2]  # adjacent repeat
+    labels = jnp.asarray(labels_np)
+    ilens = jnp.asarray([23, 15, 9, 4])
+    olens = jnp.asarray([6, 5, 6, 6])  # row 3: U > T -> zeroed
+
+    per_p = ctc_loss_pallas_logits(logits, ilens, labels, olens)
+    per_s = ctc_loss_logits(logits, ilens, labels, olens)
+    np.testing.assert_allclose(np.asarray(per_p), np.asarray(per_s),
+                               rtol=1e-4)
+    assert float(per_p[3]) == 0.0
+
+    g_p = jax.grad(lambda lg: ctc_loss_pallas_logits(
+        lg, ilens, labels, olens).sum())(logits)
+    g_s = jax.grad(lambda lg: ctc_loss_logits(
+        lg, ilens, labels, olens).sum())(logits)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_s), atol=2e-4)
