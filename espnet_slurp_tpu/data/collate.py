@@ -61,9 +61,15 @@ def common_collate(
 
 def asr_batch(uids, data) -> Dict[str, np.ndarray]:
     """Rename streams to the ASRModel argument names."""
-    return {
+    out = {
         "speech": data["speech"].astype(np.float32),
         "speech_lengths": data["speech_lengths"],
         "text": np.maximum(data["text"], 0).astype(np.int32),
         "text_lengths": data["text_lengths"],
     }
+    # Multi-speaker PIT references (pit_espnet_model.py text_spk{n} keys).
+    for name in data:
+        if name.startswith("text_spk"):
+            out[name] = (np.maximum(data[name], 0).astype(np.int32)
+                         if not name.endswith("_lengths") else data[name])
+    return out

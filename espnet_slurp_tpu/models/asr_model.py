@@ -30,7 +30,16 @@ IGNORE_ID = -1
 @dataclasses.dataclass(frozen=True)
 class ASRConfig:
     vocab_size: int = 5000
-    encoder: str = "conformer"  # conformer | ebranchformer | transformer
+    # conformer | ebranchformer | transformer | longformer |
+    # contextual_block_conformer (streaming, block-parallel context carry)
+    encoder: str = "conformer"
+    # Longformer sliding-window half-width (frames after x4 subsampling).
+    attention_window: int = 64
+    # Contextual-block encoder geometry (contextual_block_conformer_encoder
+    # block_size/hop_size/look_ahead, in post-subsampling frames).
+    block_size: int = 40
+    hop_size: int = 16
+    look_ahead: int = 16
     decoder: str = "transformer"  # transformer | rnn (LAS, location-aware)
     rnn_decoder_units: int = 320
     rnn_decoder_layers: int = 1
@@ -55,6 +64,10 @@ class ASRConfig:
     remat_encoder: bool = False
     # Fused rel-pos flash attention: "auto" (TPU only) | "on" | "off".
     flash_attention: str = "auto"
+    # Multi-speaker PIT (pit_espnet_model.py num_inf/num_ref): >= 2 selects
+    # PITASRModel (models/pit_asr.py) with this many speaker streams.
+    num_ref: int = 1
+    pit_branch_blocks: int = 2
     use_tcpgen: bool = False
     tcpgen_gcn_layers: int = 2
     tcpgen_tree_encoder: str = "gcn"  # gcn | gat | sage | treelstm
@@ -148,6 +161,21 @@ def build_encoder(c: ASRConfig, name: str = "encoder"):
         return TransformerEncoder(
             c.d_model, c.n_head, c.d_ff, c.num_encoder_blocks,
             c.dropout_rate, dtype=c.jax_dtype, name=name)
+    if c.encoder == "longformer":
+        # Sliding-window conformer (longformer_encoder.py analogue): the
+        # band restriction is an additive mask over one dense attention.
+        return ConformerEncoder(
+            c.d_model, c.n_head, c.d_ff, c.num_encoder_blocks,
+            c.kernel_size, c.dropout_rate, c.interctc_layers,
+            attention_window=c.attention_window, remat=c.remat_encoder,
+            flash="off", dtype=c.jax_dtype, name=name)
+    if c.encoder == "contextual_block_conformer":
+        from .contextual_block import ContextualBlockConformerEncoder
+        return ContextualBlockConformerEncoder(
+            c.d_model, c.n_head, c.d_ff, c.num_encoder_blocks,
+            c.kernel_size, c.dropout_rate, block_size=c.block_size,
+            hop_size=c.hop_size, look_ahead=c.look_ahead,
+            dtype=c.jax_dtype, name=name)
     # Registered third-party encoders: constructed with the full config.
     if c.encoder in encoders:
         return encoders.get(c.encoder)(c, name=name)

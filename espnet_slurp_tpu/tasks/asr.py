@@ -119,12 +119,19 @@ class ASRTask:
     # ---------- data ----------
 
     @staticmethod
-    def build_dataset(data_dir: str, tokenizer, converter) -> SpeechDataset:
-        pre = CommonPreprocessor(tokenizer, converter)
-        ds = SpeechDataset(
-            [(str(Path(data_dir) / "wav.scp"), "speech", "sound"),
-             (str(Path(data_dir) / "text"), "text", "text")],
-            preprocess=pre)
+    def build_dataset(data_dir: str, tokenizer, converter,
+                      num_ref: int = 1) -> SpeechDataset:
+        streams = [(str(Path(data_dir) / "wav.scp"), "speech", "sound"),
+                   (str(Path(data_dir) / "text"), "text", "text")]
+        text_names = ["text"]
+        # Multi-speaker references (pit_espnet_model.py text_spk{n} keys).
+        for k in range(2, num_ref + 1):
+            streams.append((str(Path(data_dir) / f"text_spk{k}"),
+                            f"text_spk{k}", "text"))
+            text_names.append(f"text_spk{k}")
+        pre = CommonPreprocessor(tokenizer, converter,
+                                 text_names=tuple(text_names))
+        ds = SpeechDataset(streams, preprocess=pre)
         ds.data_dir = data_dir
         return ds
 
@@ -235,7 +242,11 @@ class ASRTask:
     # ---------- model/training ----------
 
     @staticmethod
-    def build_model(model_cfg: ASRConfig) -> ASRModel:
+    def build_model(model_cfg: ASRConfig):
+        if model_cfg.num_ref >= 2:
+            # Multi-speaker PIT (pit_espnet_model.py analogue).
+            from ..models.pit_asr import PITASRModel
+            return PITASRModel(model_cfg)
         return ASRModel(model_cfg)
 
     @staticmethod
@@ -254,18 +265,18 @@ class ASRTask:
         return (jnp.asarray(mean), jnp.asarray(inv_std))
 
     @staticmethod
-    def init_params(model: ASRModel, seed: int = 0):
+    def init_params(model, seed: int = 0):
         cfg = model.cfg
         b, n, u = 2, max(cfg.frontend.n_fft * 2, 512), 4
         rng = jax.random.PRNGKey(seed)
-        batch = {
-            "speech": np.zeros((b, n), np.float32),
-            "speech_lengths": np.full((b,), n, np.int32),
-            "text": np.ones((b, u), np.int32),
-            "text_lengths": np.full((b,), u, np.int32),
-        }
-        return model.init(rng, batch["speech"], batch["speech_lengths"],
-                          batch["text"], batch["text_lengths"])["params"]
+        spk = {}
+        for k in range(2, cfg.num_ref + 1):
+            spk[f"text_spk{k}"] = np.ones((b, u), np.int32)
+            spk[f"text_spk{k}_lengths"] = np.full((b,), u, np.int32)
+        return model.init(rng, np.zeros((b, n), np.float32),
+                          np.full((b,), n, np.int32),
+                          np.ones((b, u), np.int32),
+                          np.full((b,), u, np.int32), **spk)["params"]
 
     @classmethod
     def _kb_token_mask(cls, cfg: ASRTaskConfig):
@@ -295,8 +306,10 @@ class ASRTask:
             from ..parallel.mesh import replicated
             state = jax.device_put(state, replicated(mesh))
 
-        train_ds = cls.build_dataset(cfg.data.train_dir, tokenizer, converter)
-        valid_ds = cls.build_dataset(cfg.data.valid_dir, tokenizer, converter)
+        train_ds = cls.build_dataset(cfg.data.train_dir, tokenizer, converter,
+                                     num_ref=model_cfg.num_ref)
+        valid_ds = cls.build_dataset(cfg.data.valid_dir, tokenizer, converter,
+                                     num_ref=model_cfg.num_ref)
         # Per-process data sharding on pods: every process builds the same
         # global batch list and loads only its rank's slice of each batch
         # (weak #2 fix: multi-host wiring is real, not just mesh math).
