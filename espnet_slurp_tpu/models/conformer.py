@@ -17,7 +17,7 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.masks import attention_bias, chunk_mask, length_mask
+from ..ops.masks import attention_bias, band_mask, chunk_mask, length_mask
 from .attention import RelPosMultiHeadAttention
 from .embedding import Conv2dSubsampling, rel_positional_embedding
 
@@ -122,6 +122,10 @@ class ConformerEncoder(nn.Module):
     # ``left_chunks`` past chunks of context (0 disables; -1 left = all).
     chunk_size: int = 0
     left_chunks: int = -1
+    # Longformer-style symmetric sliding-window attention: frame i attends
+    # to |i-j| <= attention_window (0 disables). Mutually exclusive with
+    # chunk_size; forces the masked-bias attention path.
+    attention_window: int = 0
     # Rematerialize blocks in backward: recompute instead of storing the
     # large per-block intermediates (attention probs, FF hiddens) — a
     # bandwidth win on TPU where the step is HBM-bound (PERF_NOTES.md).
@@ -136,6 +140,8 @@ class ConformerEncoder(nn.Module):
         import jax
         use_flash = self.flash == "on" or (
             self.flash == "auto" and jax.default_backend() == "tpu")
+        if self.attention_window > 0:
+            use_flash = False  # band restriction lives in the mask bias
         x = Conv2dSubsampling(self.d_model, self.dtype, name="embed")(feats)
         olens = Conv2dSubsampling.out_length(feat_lengths)
         t = x.shape[1]
@@ -156,6 +162,9 @@ class ConformerEncoder(nn.Module):
             if self.chunk_size > 0:
                 att_mask = att_mask & chunk_mask(
                     t, self.chunk_size, self.left_chunks)[None, None]
+            if self.attention_window > 0:
+                att_mask = att_mask & band_mask(
+                    t, self.attention_window)[None, None]
             bias = attention_bias(att_mask)  # (B,1,1|T',T')
         inter = []
         block_cls = nn.remat(ConformerBlock, static_argnums=(5,)) \

@@ -37,6 +37,21 @@ def attention_bias(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.where(mask, jnp.zeros((), dtype), jnp.full((), -1e9, dtype))
 
 
+def band_mask(size: int, window: int) -> jnp.ndarray:
+    """[size, size] bool sliding-window (banded) attention mask.
+
+    Frame i attends to frames j with |i - j| <= window — the symmetric
+    sliding-window attention of the Longformer encoder (reference
+    espnet2/asr/encoder/longformer_encoder.py attention_window). The
+    restriction lives in an additive mask over one dense attention; XLA
+    still tiles the masked matmul onto the MXU, and O(T*W) kernels only
+    pay off at sequence lengths far beyond post-subsampling speech T'.
+    """
+    row = lax.broadcasted_iota(jnp.int32, (size, size), 0)
+    col = lax.broadcasted_iota(jnp.int32, (size, size), 1)
+    return jnp.abs(row - col) <= window
+
+
 def chunk_mask(size: int, chunk_size: int, left_chunks: int = -1
                ) -> jnp.ndarray:
     """[size, size] bool chunk-wise streaming attention mask.

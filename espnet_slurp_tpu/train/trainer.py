@@ -71,9 +71,15 @@ class Trainer:
                 log.info("resumed from epoch %d", latest)
 
         from .observe import ProfilerHook, TensorboardSink
-        tb = TensorboardSink(self.ckpt.exp_dir) if o.tensorboard else None
+        # Sinks are primary-process-only on pods (the reference's rank-0-only
+        # trainer sinks, trainer.py:247-257): secondary processes racing on
+        # the same event-file dir is both wasteful and a makedirs crash.
+        import jax as _jax
+        primary = _jax.process_index() == 0
+        tb = TensorboardSink(self.ckpt.exp_dir) \
+            if (o.tensorboard and primary) else None
         prof = None
-        if o.profile_start_step is not None:
+        if o.profile_start_step is not None and primary:
             prof = ProfilerHook(self.ckpt.exp_dir, o.profile_start_step,
                                 o.profile_stop_step
                                 or o.profile_start_step + 5)
