@@ -24,7 +24,9 @@ from ..train.optim import OptimConfig, build_optimizer
 from ..train.reporter import Reporter, SubReporter
 from ..train.state import TrainState
 from ..tts.fastspeech2 import FastSpeech2, FastSpeech2Config
+from ..tts.hifigan import HiFiGANConfig, HiFiGANDiscriminator
 from ..tts.tacotron2 import Tacotron2, Tacotron2Config
+from ..tts.vits import VITSConfig, VITSGenerator, make_vits_train_step
 from ..utils.config import from_dict, load_yaml, merge_dicts, save_yaml
 
 log = logging.getLogger("espnet_slurp_tpu")
@@ -44,9 +46,11 @@ class TTSDataConfig:
 @dataclasses.dataclass(frozen=True)
 class TTSTaskConfig:
     exp_dir: str = "exp/tts"
-    arch: str = "tacotron2"  # tacotron2 | fastspeech2
+    arch: str = "tacotron2"  # tacotron2 | fastspeech2 | vits
     tacotron2: Tacotron2Config = Tacotron2Config()
     fastspeech2: FastSpeech2Config = FastSpeech2Config()
+    vits: VITSConfig = VITSConfig()
+    discriminator: HiFiGANConfig = HiFiGANConfig(in_channels=1)
     optim: OptimConfig = OptimConfig(lr=1e-3, scheduler="constant")
     data: TTSDataConfig = TTSDataConfig()
     max_epoch: int = 20
@@ -98,11 +102,29 @@ class TTSTask:
                     for u in chunk]
             wavs_np = [load_wav(wavs[u])[0] for u in chunk]
             n_max = bucket_length(max(len(w) for w in wavs_np), 4096)
+            if cfg.arch == "vits":
+                # GAN path consumes the raw waveform; the linear spectrogram
+                # is extracted on-device inside the jitted train step.
+                n_max = max(n_max,
+                            cfg.vits.segment_size * cfg.vits.hop_length)
             sp = np.zeros((len(chunk), n_max), np.float32)
             sl = np.zeros((len(chunk),), np.int32)
             for r, w in enumerate(wavs_np):
                 sp[r, :len(w)] = w
                 sl[r] = len(w)
+            l_max0 = bucket_length(max(len(t) for t in toks),
+                                   cfg.data.text_bucket_multiple)
+            if cfg.arch == "vits":
+                text = np.zeros((len(chunk), l_max0), np.int32)
+                tlens = np.zeros((len(chunk),), np.int32)
+                for r, t in enumerate(toks):
+                    text[r, :len(t)] = t
+                    tlens[r] = len(t)
+                yield {"speech": jnp.asarray(sp),
+                       "speech_lengths": jnp.asarray(sl),
+                       "text": jnp.asarray(text),
+                       "text_lengths": jnp.asarray(tlens)}
+                continue
             mel, mel_lens = mel_fn(jnp.asarray(sp), jnp.asarray(sl))
             t_max = bucket_length(int(mel_lens.max()),
                                   cfg.data.mel_bucket_multiple)
@@ -141,6 +163,9 @@ class TTSTask:
 
     @classmethod
     def build_model(cls, cfg: TTSTaskConfig, vocab_size: int):
+        if cfg.arch == "vits":
+            mcfg = dataclasses.replace(cfg.vits, vocab_size=vocab_size)
+            return VITSGenerator(mcfg), dataclasses.replace(cfg, vits=mcfg)
         if cfg.arch == "tacotron2":
             mcfg = dataclasses.replace(
                 cfg.tacotron2, vocab_size=vocab_size,
@@ -158,6 +183,8 @@ class TTSTask:
         tokenizer, conv = cls.prepare_vocab(cfg)
         model, cfg = cls.build_model(cfg, conv.vocab_size)
         save_yaml(cfg, exp / "config.yaml")
+        if cfg.arch == "vits":
+            return cls._train_vits(cfg, model, tokenizer, conv)
         batch0 = next(cls.batches(cfg, cfg.data.train_dir, tokenizer, conv,
                                   1, False))
         params = model.init(jax.random.PRNGKey(cfg.data.seed),
@@ -207,6 +234,76 @@ class TTSTask:
             ckpt.save_epoch(epoch, state, reporter)
         return state
 
+    @classmethod
+    def _train_vits(cls, cfg: TTSTaskConfig, gen: VITSGenerator, tokenizer,
+                    conv):
+        """GAN training loop for arch=vits (gan_trainer.py:77-309 analogue,
+        VITS aux losses composed into the generator objective)."""
+        from ..train.gan_trainer import (GANTrainState, pack_gan_state,
+                                         unpack_gan_state)
+        from ..tts.vits import linear_spectrogram, make_vits_train_step
+        exp = Path(cfg.exp_dir)
+        vcfg = cfg.vits
+        disc = HiFiGANDiscriminator(cfg.discriminator)
+        batch0 = next(cls.batches(cfg, cfg.data.train_dir, tokenizer, conv,
+                                  1, False))
+        spec0, spec_lens0 = linear_spectrogram(
+            batch0["speech"], batch0["speech_lengths"], vcfg)
+        key = jax.random.PRNGKey(cfg.data.seed)
+        gp = gen.init(key, batch0["text"], batch0["text_lengths"], spec0,
+                      spec_lens0, key)["params"]
+        fake0 = jnp.zeros(
+            (1, vcfg.segment_size * vcfg.hop_length), jnp.float32)
+        dp = disc.init(jax.random.PRNGKey(cfg.data.seed + 1), fake0)["params"]
+        gen_tx = build_optimizer(cfg.optim)
+        disc_tx = build_optimizer(cfg.optim)
+        state = GANTrainState.create(gp, dp, gen_tx, disc_tx,
+                                     jax.random.PRNGKey(cfg.data.seed + 2))
+        step = make_vits_train_step(gen, disc, gen_tx, disc_tx, vcfg)
+
+        @jax.jit
+        def eval_step(gen_params, batch):
+            spec, spec_lens = linear_spectrogram(
+                batch["speech"], batch["speech_lengths"], vcfg)
+            fake, starts, aux = gen.apply(
+                {"params": gen_params}, batch["text"],
+                batch["text_lengths"], spec, spec_lens,
+                jax.random.PRNGKey(0))
+            from ..tts.hifigan import mel_l1_loss
+            from ..tts.vits import slice_wav
+            real = slice_wav(batch["speech"], starts, vcfg.segment_size,
+                             vcfg.hop_length)
+            mel = mel_l1_loss(fake, real, vcfg.n_fft, vcfg.hop_length,
+                              vcfg.n_mels, vcfg.sample_rate)
+            return {"loss": mel + aux["kl_loss"] + aux["dur_loss"],
+                    "mel_loss": mel, **aux}
+
+        ckpt = CheckpointManager(exp, cfg.keep_nbest)
+        reporter = Reporter()
+        start = 1
+        if cfg.resume and ckpt.latest_epoch() is not None:
+            restored = ckpt.restore(ckpt.latest_epoch(),
+                                    pack_gan_state(state))
+            state = unpack_gan_state(restored)
+            reporter = ckpt.load_reporter()
+            start = ckpt.latest_epoch() + 1
+        for epoch in range(start, cfg.max_epoch + 1):
+            sub = SubReporter()
+            for batch in cls.batches(cfg, cfg.data.train_dir, tokenizer,
+                                     conv, epoch, True):
+                state, stats = step(state, batch)
+                sub.register({k: float(v) for k, v in stats.items()})
+            reporter.observe(epoch, "train", sub.mean())
+            sub = SubReporter()
+            for batch in cls.batches(cfg, cfg.data.valid_dir, tokenizer,
+                                     conv, epoch, False):
+                sub.register({k: float(v) for k, v in eval_step(
+                    state.gen_params, batch).items()})
+            reporter.observe(epoch, "valid", sub.mean())
+            log.info(reporter.log_line(epoch))
+            ckpt.save_epoch(epoch, pack_gan_state(state), reporter)
+        return state
+
 
 class Text2Speech:
     """Inference wrapper (tts_inference.py analogue): text -> (mel, wav)."""
@@ -221,12 +318,21 @@ class Text2Speech:
         mgr = CheckpointManager(exp, self.cfg.keep_nbest)
         self.params = mgr.load_params(
             ckpt_name or f"{mgr.latest_epoch()}epoch")
+        if self.cfg.arch == "vits" and "gen" in self.params:
+            self.params = self.params["gen"]  # packed GAN checkpoint
         self.use_griffin_lim = use_griffin_lim
 
     def __call__(self, text: str, max_frames: int = 500):
         ids = self.converter.tokens2ids(self.tokenizer.text2tokens(text))
         t = jnp.asarray(np.asarray(ids, np.int32)[None])
         tl = jnp.asarray([len(ids)], np.int32)
+        if self.cfg.arch == "vits":
+            # end-to-end waveform model: no mel / Griffin-Lim stage
+            wav, wav_lens = self.model.apply(
+                {"params": self.params}, t, tl, jax.random.PRNGKey(0),
+                method=lambda m, x, xl, r: m.infer(x, xl, r,
+                                                   max_frames=max_frames))
+            return None, np.asarray(wav)[0][: int(wav_lens[0])]
         if self.cfg.arch == "tacotron2":
             mel, lens = self.model.apply(
                 {"params": self.params}, t, tl, max_frames,

@@ -31,6 +31,29 @@ class GANTrainState(struct.PyTreeNode):
                    disc_opt=disc_tx.init(disc_params), rng=rng)
 
 
+class PackedGANState(struct.PyTreeNode):
+    """TrainState-shaped view of a GANTrainState so CheckpointManager
+    (which persists params/opt_state/step/rng) can save/restore GAN runs."""
+    params: Any
+    opt_state: Any
+    step: Any
+    rng: Any
+
+
+def pack_gan_state(state: GANTrainState) -> PackedGANState:
+    return PackedGANState(
+        params={"gen": state.gen_params, "disc": state.disc_params},
+        opt_state={"gen": state.gen_opt, "disc": state.disc_opt},
+        step=state.step, rng=state.rng)
+
+
+def unpack_gan_state(packed: PackedGANState) -> GANTrainState:
+    return GANTrainState(
+        step=packed.step, gen_params=packed.params["gen"],
+        disc_params=packed.params["disc"], gen_opt=packed.opt_state["gen"],
+        disc_opt=packed.opt_state["disc"], rng=packed.rng)
+
+
 def make_gan_train_step(
     generator_apply: Callable,      # (gen_params, batch) -> fake wav
     discriminator_apply: Callable,  # (disc_params, wav) -> disc outs

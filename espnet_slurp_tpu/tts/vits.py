@@ -1,0 +1,460 @@
+"""VITS: end-to-end conditional-VAE TTS with flow prior + GAN decoder.
+
+Parity target: reference espnet2/gan_tts/vits/ (generator.py, vits.py,
+posterior_encoder.py, residual_coupling.py, duration_predictor.py,
+monotonic_align/). TPU redesign notes:
+
+- Monotonic alignment search (the reference ships a *Cython* kernel,
+  monotonic_align/core.pyx) is a lax.scan Viterbi over spectrogram frames
+  with an in-jit backtrack — no host round-trip, batched over B.
+- The per-frame Gaussian log-likelihood table [B, T_spec, L_text] is
+  assembled from three einsums (z^2 @ e^{-2s}, z @ m e^{-2s}, const) so the
+  MAS input rides the MXU instead of broadcasting [B,T,L,C] temporaries.
+- Random windowed training (rand_slice_segments) is a vmapped
+  dynamic_slice; wav and latent slices share one start index drawn from the
+  step rng.
+- The waveform decoder is the in-framework HiFiGAN generator (tts/hifigan.py)
+  fed with latent slices instead of mels; discriminators/adv losses are
+  shared with the HiFiGAN task.
+- Deterministic duration predictor (use_sdp=False path of the reference);
+  the stochastic-flow duration predictor is not implemented.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.masks import attention_bias, length_mask
+from ..ops.stft import stft, stft_out_lengths
+from .hifigan import (HiFiGANConfig, HiFiGANDiscriminator, HiFiGANGenerator,
+                      discriminator_adv_loss, feature_matching_loss,
+                      generator_adv_loss, mel_l1_loss)
+
+
+@dataclasses.dataclass(frozen=True)
+class VITSConfig:
+    vocab_size: int = 100
+    d_model: int = 192          # hidden/latent channels
+    n_head: int = 2
+    d_ff: int = 768
+    text_blocks: int = 6
+    posterior_wn_layers: int = 16
+    posterior_wn_kernel: int = 5
+    posterior_wn_dilation: int = 1
+    flow_layers: int = 4
+    flow_wn_layers: int = 4
+    flow_wn_kernel: int = 5
+    dur_kernel: int = 3
+    dur_channels: int = 256
+    segment_size: int = 32      # latent frames per training window
+    n_fft: int = 1024
+    hop_length: int = 256
+    win_length: int = 1024
+    sample_rate: int = 22050
+    n_mels: int = 80
+    dropout_rate: float = 0.1
+    hifigan: HiFiGANConfig = HiFiGANConfig(
+        in_channels=192, upsample_rates=(8, 8, 2, 2),
+        upsample_kernels=(16, 16, 4, 4))
+    dtype: str = "float32"
+
+    @property
+    def jax_dtype(self):
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.dtype]
+
+    @property
+    def spec_bins(self) -> int:
+        return self.n_fft // 2 + 1
+
+
+# ---------------------------------------------------------------------------
+# modules
+# ---------------------------------------------------------------------------
+
+class TextEncoder(nn.Module):
+    """Token ids -> (hidden h, prior stats m_p/logs_p). generator.py text_encoder."""
+    cfg: VITSConfig
+
+    @nn.compact
+    def __call__(self, tokens, token_lengths, deterministic=True):
+        c = self.cfg
+        d = c.d_model
+        x = nn.Embed(c.vocab_size, d, dtype=c.jax_dtype, name="embed")(tokens)
+        x = x * jnp.sqrt(jnp.asarray(d, x.dtype))
+        t = x.shape[1]
+        pos = jnp.arange(t)[None, :, None]
+        div = jnp.exp(jnp.arange(0, d, 2) * (-jnp.log(10000.0) / d))
+        pe = jnp.zeros((1, t, d))
+        pe = pe.at[..., 0::2].set(jnp.sin(pos * div))
+        pe = pe.at[..., 1::2].set(jnp.cos(pos * div))
+        x = x + pe.astype(x.dtype)
+        pad = length_mask(token_lengths, t)
+        bias = attention_bias(pad[:, None, None, :])
+        from ..models.attention import MultiHeadAttention
+        for i in range(c.text_blocks):
+            h = nn.LayerNorm(dtype=c.jax_dtype, name=f"norm1_{i}")(x)
+            x = x + MultiHeadAttention(c.n_head, d, c.dropout_rate,
+                                       c.jax_dtype, name=f"attn_{i}")(
+                h, h, h, bias, deterministic)
+            h = nn.LayerNorm(dtype=c.jax_dtype, name=f"norm2_{i}")(x)
+            h = nn.Dense(c.d_ff, dtype=c.jax_dtype, name=f"ff1_{i}")(h)
+            h = nn.relu(h)
+            x = x + nn.Dense(d, dtype=c.jax_dtype, name=f"ff2_{i}")(h)
+        x = nn.LayerNorm(dtype=c.jax_dtype, name="after_norm")(x)
+        x = jnp.where(pad[..., None], x, 0.0)
+        stats = nn.Dense(2 * d, dtype=c.jax_dtype, name="proj")(x)
+        m_p, logs_p = jnp.split(stats, 2, axis=-1)
+        return x, m_p, logs_p
+
+
+class WN(nn.Module):
+    """Non-causal WaveNet stack: dilated conv -> gated tanh -> res+skip.
+
+    posterior_encoder.py / residual_coupling.py shared WN block.
+    """
+    channels: int
+    kernel: int
+    layers: int
+    dilation_base: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pad_mask):
+        skip_acc = 0.0
+        for i in range(self.layers):
+            dil = self.dilation_base ** i if self.dilation_base > 1 else 1
+            h = nn.Conv(2 * self.channels, (self.kernel,),
+                        kernel_dilation=(dil,), padding="SAME",
+                        dtype=self.dtype, name=f"in_{i}")(x)
+            a, b = jnp.split(h, 2, axis=-1)
+            h = jnp.tanh(a) * nn.sigmoid(b)
+            h = nn.Conv(2 * self.channels, (1,), dtype=self.dtype,
+                        name=f"rs_{i}")(h)
+            res, skip = jnp.split(h, 2, axis=-1)
+            x = (x + res) * jnp.where(pad_mask[..., None], 1.0, 0.0)
+            skip_acc = skip_acc + skip
+        return skip_acc * jnp.where(pad_mask[..., None], 1.0, 0.0)
+
+
+class PosteriorEncoder(nn.Module):
+    """Linear spectrogram -> (z, m_q, logs_q). posterior_encoder.py."""
+    cfg: VITSConfig
+
+    @nn.compact
+    def __call__(self, spec, spec_lengths, rng):
+        c = self.cfg
+        pad = length_mask(spec_lengths, spec.shape[1])
+        x = nn.Conv(c.d_model, (1,), dtype=c.jax_dtype, name="pre")(spec)
+        x = WN(c.d_model, c.posterior_wn_kernel, c.posterior_wn_layers,
+               c.posterior_wn_dilation, c.jax_dtype, name="wn")(x, pad)
+        stats = nn.Conv(2 * c.d_model, (1,), dtype=c.jax_dtype,
+                        name="proj")(x)
+        m_q, logs_q = jnp.split(stats, 2, axis=-1)
+        z = m_q + jax.random.normal(rng, m_q.shape, m_q.dtype) \
+            * jnp.exp(logs_q)
+        z = jnp.where(pad[..., None], z, 0.0)
+        return z, m_q, logs_q
+
+
+class ResidualCouplingLayer(nn.Module):
+    """Mean-only affine coupling (residual_coupling.py, mean_only=True)."""
+    cfg: VITSConfig
+
+    @nn.compact
+    def __call__(self, x, pad_mask, reverse=False):
+        c = self.cfg
+        half = c.d_model // 2
+        x0, x1 = jnp.split(x, 2, axis=-1)
+        h = nn.Conv(c.d_model, (1,), dtype=c.jax_dtype, name="pre")(x0)
+        h = WN(c.d_model, c.flow_wn_kernel, c.flow_wn_layers, 1,
+               c.jax_dtype, name="wn")(h, pad_mask)
+        m = nn.Conv(half, (1,), dtype=c.jax_dtype,
+                    kernel_init=nn.initializers.zeros, name="post")(h)
+        if not reverse:
+            x1 = (x1 + m) * jnp.where(pad_mask[..., None], 1.0, 0.0)
+        else:
+            x1 = (x1 - m) * jnp.where(pad_mask[..., None], 1.0, 0.0)
+        return jnp.concatenate([x0, x1], axis=-1)
+
+
+class ResidualCouplingBlock(nn.Module):
+    """Flow: N coupling layers with channel flips. z <-> z_p (volume-
+    preserving — mean-only coupling has zero logdet)."""
+    cfg: VITSConfig
+
+    def setup(self):
+        self.layers = [ResidualCouplingLayer(self.cfg, name=f"coupling_{i}")
+                       for i in range(self.cfg.flow_layers)]
+
+    def __call__(self, x, pad_mask, reverse=False):
+        layers = self.layers if not reverse else self.layers[::-1]
+        for layer in layers:
+            if reverse:
+                x = jnp.flip(x, axis=-1)  # undo flip first on the way back
+                x = layer(x, pad_mask, reverse=True)
+            else:
+                x = layer(x, pad_mask, reverse=False)
+                x = jnp.flip(x, axis=-1)
+        return x
+
+
+class DurationPredictor(nn.Module):
+    """Deterministic log-duration predictor (duration_predictor.py
+    use_sdp=False path): conv -> LN -> conv -> LN -> proj."""
+    cfg: VITSConfig
+
+    @nn.compact
+    def __call__(self, h, pad_mask, deterministic=True):
+        c = self.cfg
+        x = jax.lax.stop_gradient(h)  # duration loss must not shape the text encoder
+        for i in range(2):
+            x = nn.Conv(c.dur_channels, (c.dur_kernel,), padding="SAME",
+                        dtype=c.jax_dtype, name=f"conv_{i}")(x)
+            x = nn.relu(x)
+            x = nn.LayerNorm(dtype=c.jax_dtype, name=f"norm_{i}")(x)
+            if c.dropout_rate > 0 and not deterministic:
+                x = nn.Dropout(c.dropout_rate)(x, deterministic=False)
+        x = nn.Dense(1, dtype=c.jax_dtype, name="proj")(x)[..., 0]
+        return jnp.where(pad_mask, x, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# monotonic alignment search (reference: Cython monotonic_align/core.pyx)
+# ---------------------------------------------------------------------------
+
+def gaussian_logp_table(z_p, m_p, logs_p):
+    """[B,T,C] x [B,L,C] -> [B,T,L] sum_c log N(z_p_t; m_p_l, s_l).
+
+    Decomposed into einsums so no [B,T,L,C] temporary exists.
+    """
+    inv_var = jnp.exp(-2.0 * logs_p)                      # [B, L, C]
+    const = jnp.sum(-0.5 * jnp.log(2 * jnp.pi) - logs_p
+                    - 0.5 * m_p ** 2 * inv_var, axis=-1)  # [B, L]
+    t_quad = jnp.einsum("btc,blc->btl", z_p ** 2, -0.5 * inv_var)
+    t_lin = jnp.einsum("btc,blc->btl", z_p, m_p * inv_var)
+    return t_quad + t_lin + const[:, None, :]
+
+
+def monotonic_alignment_search(logp, spec_lengths, text_lengths):
+    """Viterbi MAS: [B,T,L] logp -> hard alignment [B,T,L] (one-hot rows).
+
+    Forward: Q[t,l] = logp[t,l] + max(Q[t-1,l], Q[t-1,l-1]) with Q[0,l>0]
+    = -inf; backtrack from (T_b-1, L_b-1). Both passes are lax.scans; the
+    alignment is recovered in-jit from the stored argmax bits.
+    """
+    b, t_max, l_max = logp.shape
+    neg = jnp.float32(-1e30)
+    logp = logp.astype(jnp.float32)
+
+    q0 = jnp.where(jnp.arange(l_max)[None, :] == 0, logp[:, 0], neg)
+
+    def fwd(q, lp_t):
+        q_prev = jnp.pad(q, ((0, 0), (1, 0)), constant_values=neg)[:, :l_max]
+        take_diag = q_prev >= q
+        q_new = lp_t + jnp.maximum(q, q_prev)
+        return q_new, take_diag
+
+    _, choices = jax.lax.scan(fwd, q0, jnp.swapaxes(logp, 0, 1)[1:])
+    # choices[t-1]: [B, L] True => move came from l-1. Prepend t=0 (no move).
+    choices = jnp.concatenate(
+        [jnp.zeros((1, b, l_max), bool), choices], axis=0)  # [T, B, L]
+
+    j0 = (text_lengths - 1).astype(jnp.int32)
+
+    def back(j, inp):
+        choice_t, t = inp
+        active = t < spec_lengths
+        row = jax.nn.one_hot(j, l_max, dtype=jnp.float32) \
+            * active[:, None].astype(jnp.float32)
+        step = jnp.take_along_axis(choice_t, j[:, None], axis=1)[:, 0]
+        j_new = jnp.where(active & (t > 0), j - step.astype(jnp.int32), j)
+        j_new = jnp.maximum(j_new, 0)
+        return j_new, row
+
+    ts = jnp.arange(t_max - 1, -1, -1)
+    _, rows = jax.lax.scan(back, j0, (choices[::-1], ts))
+    return jnp.swapaxes(rows[::-1], 0, 1)  # [B, T, L]
+
+
+# ---------------------------------------------------------------------------
+# generator model
+# ---------------------------------------------------------------------------
+
+def rand_slice(rng, x, lengths, seg: int):
+    """Per-example random windows: [B,T,C], valid lengths -> [B,seg,C], starts."""
+    b = x.shape[0]
+    maxs = jnp.maximum(lengths - seg, 0)
+    u = jax.random.uniform(rng, (b,))
+    starts = jnp.floor(u * (maxs + 1).astype(jnp.float32)).astype(jnp.int32)
+
+    def one(xb, s):
+        return jax.lax.dynamic_slice_in_dim(xb, s, seg, axis=0)
+
+    return jax.vmap(one)(x, starts), starts
+
+
+class VITSGenerator(nn.Module):
+    """Text encoder + posterior + flow + duration predictor + HiFiGAN
+    decoder (generator.py VITSGenerator analogue)."""
+    cfg: VITSConfig
+
+    def setup(self):
+        c = self.cfg
+        self.text_enc = TextEncoder(c, name="text_encoder")
+        self.posterior = PosteriorEncoder(c, name="posterior_encoder")
+        self.flow = ResidualCouplingBlock(c, name="flow")
+        self.dur = DurationPredictor(c, name="duration_predictor")
+        self.decoder = HiFiGANGenerator(c.hifigan, name="decoder")
+
+    def __call__(self, tokens, token_lengths, spec, spec_lengths, rng,
+                 deterministic=True):
+        """Training forward -> (wav_seg_fake, starts, aux-losses dict)."""
+        c = self.cfg
+        post_rng, seg_rng = jax.random.split(rng)
+        h_text, m_p, logs_p = self.text_enc(tokens, token_lengths,
+                                            deterministic)
+        z, m_q, logs_q = self.posterior(spec, spec_lengths, post_rng)
+        spec_pad = length_mask(spec_lengths, spec.shape[1])
+        z_p = self.flow(z, spec_pad, reverse=False)
+
+        # MAS on stopped gradients (the alignment is a hard latent).
+        logp = gaussian_logp_table(jax.lax.stop_gradient(z_p),
+                                   jax.lax.stop_gradient(m_p),
+                                   jax.lax.stop_gradient(logs_p))
+        text_pad = length_mask(token_lengths, tokens.shape[1])
+        logp = jnp.where(text_pad[:, None, :], logp, -1e30)
+        attn = monotonic_alignment_search(logp, spec_lengths, token_lengths)
+
+        # KL(q || p) under the alignment.
+        m_p_al = jnp.einsum("btl,blc->btc", attn, m_p)
+        logs_p_al = jnp.einsum("btl,blc->btc", attn, logs_p)
+        kl = logs_p_al - logs_q - 0.5 \
+            + 0.5 * ((z_p - m_p_al) ** 2) * jnp.exp(-2.0 * logs_p_al)
+        denom = jnp.maximum(jnp.sum(spec_lengths), 1) * c.d_model
+        kl_loss = jnp.sum(jnp.where(spec_pad[..., None], kl, 0.0)) \
+            / denom.astype(jnp.float32)
+
+        # Duration loss in log domain.
+        d_gt = jnp.sum(attn, axis=1)                       # [B, L]
+        log_d_pred = self.dur(h_text, text_pad, deterministic)
+        log_d_gt = jnp.log(d_gt + 1e-6) * text_pad
+        dur_loss = jnp.sum((log_d_pred - log_d_gt) ** 2 * text_pad) \
+            / jnp.maximum(jnp.sum(token_lengths), 1).astype(jnp.float32)
+
+        z_seg, starts = rand_slice(seg_rng, z, spec_lengths, c.segment_size)
+        wav_seg = self.decoder(z_seg)
+        aux = {"kl_loss": kl_loss, "dur_loss": dur_loss}
+        return wav_seg, starts, aux
+
+    def infer(self, tokens, token_lengths, rng, noise_scale: float = 0.667,
+              alpha: float = 1.0, max_frames: int = 1000):
+        """Text -> waveform. generator.py inference path (use_sdp=False)."""
+        c = self.cfg
+        h, m_p, logs_p = self.text_enc(tokens, token_lengths, True)
+        text_pad = length_mask(token_lengths, tokens.shape[1])
+        d = jnp.exp(self.dur(h, text_pad, True)) * alpha
+        d = jnp.ceil(d) * text_pad
+        from .fastspeech2 import length_regulate
+        m_p_e, out_lens = length_regulate(m_p, d.astype(jnp.int32),
+                                          max_frames)
+        logs_p_e, _ = length_regulate(logs_p, d.astype(jnp.int32),
+                                      max_frames)
+        z_p = m_p_e + jax.random.normal(rng, m_p_e.shape, m_p_e.dtype) \
+            * jnp.exp(logs_p_e) * noise_scale
+        pad = length_mask(out_lens, max_frames)
+        z = self.flow(z_p, pad, reverse=True)
+        wav = self.decoder(z * pad[..., None])
+        return wav, out_lens * c.hop_length
+
+
+# ---------------------------------------------------------------------------
+# task-level glue
+# ---------------------------------------------------------------------------
+
+def linear_spectrogram(wav, wav_lengths, cfg: VITSConfig):
+    """[B, N] -> ([B, T, bins] magnitude, [B] T_valid), T = N // hop."""
+    s = stft(wav, cfg.n_fft, cfg.win_length, cfg.hop_length)
+    mag = jnp.sqrt(jnp.sum(s ** 2, axis=-1) + 1e-9)
+    t = wav.shape[1] // cfg.hop_length
+    lens = jnp.minimum(wav_lengths // cfg.hop_length, t)
+    return mag[:, :t], lens
+
+
+def slice_wav(wav, starts, seg_frames: int, hop: int):
+    """Window the real waveform at the latent slice starts."""
+    def one(wb, s):
+        return jax.lax.dynamic_slice_in_dim(wb, s * hop, seg_frames * hop,
+                                            axis=0)
+    return jax.vmap(one)(wav, starts)
+
+
+def make_vits_train_step(gen: VITSGenerator, disc: HiFiGANDiscriminator,
+                         gen_tx, disc_tx, cfg: VITSConfig,
+                         lambda_mel: float = 45.0, lambda_fm: float = 2.0,
+                         lambda_kl: float = 1.0, lambda_dur: float = 1.0):
+    """Jitted alternating GAN update (train/gan_trainer.py pattern with the
+    VITS aux losses composed into the generator objective)."""
+    from ..train.gan_trainer import GANTrainState
+    import optax
+
+    def step(state: GANTrainState, batch: Dict[str, jnp.ndarray]):
+        rng, gen_rng = jax.random.split(state.rng)
+        wav = batch["speech"]
+        spec, spec_lens = linear_spectrogram(wav, batch["speech_lengths"],
+                                             cfg)
+
+        def gen_forward(gp, rng_):
+            return gen.apply({"params": gp}, batch["text"],
+                             batch["text_lengths"], spec, spec_lens, rng_,
+                             deterministic=False,
+                             rngs={"dropout": jax.random.fold_in(rng_, 1)})
+
+        # --- discriminator update ---
+        fake_seg, starts, _ = jax.tree.map(
+            jax.lax.stop_gradient, gen_forward(state.gen_params, gen_rng))
+        real_seg = slice_wav(wav, starts, cfg.segment_size, cfg.hop_length)
+
+        def d_loss(dp):
+            real_outs = disc.apply({"params": dp}, real_seg)
+            fake_outs = disc.apply({"params": dp}, fake_seg)
+            return discriminator_adv_loss(real_outs, fake_outs)
+
+        dl, d_grads = jax.value_and_grad(d_loss)(state.disc_params)
+        d_up, disc_opt = disc_tx.update(d_grads, state.disc_opt,
+                                        state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, d_up)
+
+        # --- generator update ---
+        def g_loss(gp):
+            fake, st, aux = gen_forward(gp, gen_rng)
+            real = slice_wav(wav, st, cfg.segment_size, cfg.hop_length)
+            fake_outs = disc.apply({"params": disc_params}, fake)
+            real_outs = jax.tree.map(
+                jax.lax.stop_gradient,
+                disc.apply({"params": disc_params}, real))
+            adv = generator_adv_loss(fake_outs)
+            fm = feature_matching_loss(real_outs, fake_outs)
+            mel = mel_l1_loss(fake, real, cfg.n_fft, cfg.hop_length,
+                              cfg.n_mels, cfg.sample_rate)
+            loss = adv + lambda_fm * fm + lambda_mel * mel \
+                + lambda_kl * aux["kl_loss"] + lambda_dur * aux["dur_loss"]
+            return loss, {"adv_loss": adv, "fm_loss": fm, "mel_loss": mel,
+                          **aux}
+
+        (gl, gstats), g_grads = jax.value_and_grad(
+            g_loss, has_aux=True)(state.gen_params)
+        g_up, gen_opt = gen_tx.update(g_grads, state.gen_opt,
+                                      state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, g_up)
+        stats = dict(gstats)
+        stats["disc_loss"] = dl
+        stats["gen_loss"] = gl
+        return state.replace(step=state.step + 1, gen_params=gen_params,
+                             disc_params=disc_params, gen_opt=gen_opt,
+                             disc_opt=disc_opt, rng=rng), stats
+
+    return jax.jit(step)
