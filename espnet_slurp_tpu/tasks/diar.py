@@ -104,8 +104,11 @@ class DiarTask:
             return model.init(rng, **batch0)["params"]
 
         def train_apply(params, batch, dropout_rng, specaug_rng):
-            return model.apply({"params": params}, train=True,
-                               rngs={"dropout": dropout_rng}, **batch)
+            return model.apply(
+                {"params": params}, train=True,
+                rngs={"dropout": dropout_rng,
+                      "shuffle": jax.random.fold_in(dropout_rng, 1)},
+                **batch)
 
         def eval_apply(params, batch):
             return model.apply({"params": params}, **batch)
@@ -132,16 +135,19 @@ class DiarizeSpeech:
         self.params = mgr.load_params(ckpt_name)
         self.threshold = threshold
         self._jit = jax.jit(lambda p, x, ln: self.model.apply(
-            {"params": p}, x, ln,
-            method=lambda m, x, ln: m.activity(x, ln)))
+            {"params": p}, x, ln, threshold,
+            method=lambda m, x, ln, th: m.estimate_activity(x, ln, th)))
 
     def __call__(self, wav: np.ndarray):
-        """[N] -> (posteriors [T', n_spk], decisions [T', n_spk] bool)."""
+        """[N] -> (posteriors [T', n_spk], decisions [T', n_spk] bool).
+
+        With attractors, posteriors for non-existent speakers (EDA
+        existence < threshold) are zeroed before thresholding."""
         from ..data.sampler import bucket_length
         n = bucket_length(len(wav), self.cfg.speech_bucket_multiple)
         buf = np.zeros((1, n), np.float32)
         buf[0, :len(wav)] = wav
-        logits, flens = self._jit(self.params, jnp.asarray(buf),
-                                  jnp.asarray([len(wav)], jnp.int32))
-        post = np.asarray(jax.nn.sigmoid(logits))[0][: int(flens[0])]
+        probs, flens, _ = self._jit(self.params, jnp.asarray(buf),
+                                    jnp.asarray([len(wav)], jnp.int32))
+        post = np.asarray(probs)[0][: int(flens[0])]
         return post, post > self.threshold
