@@ -1,9 +1,13 @@
-"""TF-masking speech enhancement/separation model.
+"""Speech enhancement/separation model: TF-masking, TasNet, beamformer.
 
-Parity target: reference espnet2/enh/ (STFT encoder -> separator -> masks ->
-iSTFT decoder; SURVEY.md §2.7 lists 18 separators — this provides the
-TF-masking family with BLSTM ('rnn') and transformer separators, SI-SNR/PIT
-training, which is the reference's default recipe configuration).
+Parity target: reference espnet2/enh/ (encoder -> separator -> decoder;
+SURVEY.md §2.7). Separator families provided:
+- 'blstm' / 'transformer': STFT magnitude masking (rnn_separator.py /
+  transformer_separator.py, the reference's default recipe config);
+- 'tcn' / 'dprnn': time-domain learned conv filterbank + Conv-TasNet TCN
+  or dual-path RNN masks (tcn_separator.py, dprnn_separator.py);
+- 'beamformer': multichannel mask-based MVDR (neural_beamformer.py).
+All train with SI-SNR + PIT.
 """
 from __future__ import annotations
 
@@ -25,10 +29,21 @@ class EnhConfig:
     n_spk: int = 2
     n_fft: int = 512
     hop_length: int = 128
-    separator: str = "blstm"   # blstm | transformer
+    separator: str = "blstm"   # blstm | transformer | tcn | dprnn | beamformer
     hidden: int = 256
     num_layers: int = 3
     n_head: int = 4
+    # time-domain (tcn/dprnn) learned filterbank
+    encoder_channels: int = 256
+    encoder_kernel: int = 32
+    encoder_stride: int = 16
+    bottleneck: int = 128      # tcn 1x1 bottleneck width
+    tcn_kernel: int = 3
+    tcn_blocks: int = 4        # dilated blocks per repeat (X)
+    tcn_repeats: int = 2       # repeats (R)
+    segment_size: int = 20     # dprnn dual-path segment
+    mask_nonlinear: str = "relu"
+    ref_channel: int = 0       # beamformer reference mic
     dtype: str = "float32"
 
     @property
@@ -42,8 +57,13 @@ class EnhModel(nn.Module):
 
     @nn.compact
     def separate(self, speech_mix, speech_lengths):
-        """[B, N] -> (est wavs [B, n_spk, N'], frame_lengths)."""
+        """[B, N] (or [B, N, C] multichannel for the beamformer) ->
+        (est wavs [B, n_spk, N'], frame_lengths)."""
         c = self.cfg
+        if c.separator in ("tcn", "dprnn"):
+            return self._separate_tasnet(speech_mix, speech_lengths)
+        if c.separator == "beamformer":
+            return self._separate_beamformer(speech_mix, speech_lengths)
         spec = stft(speech_mix, n_fft=c.n_fft, hop_length=c.hop_length)
         re, im = spec[..., 0], spec[..., 1]  # [B, T, F]
         mag = jnp.sqrt(re**2 + im**2 + 1e-8)
@@ -85,6 +105,46 @@ class EnhModel(nn.Module):
                     n_fft=c.n_fft, hop=c.hop_length)
         est = est.reshape(b, s, -1)
         return est, flens
+
+    def _separate_tasnet(self, speech_mix, speech_lengths):
+        """Time-domain path: conv filterbank -> TCN/DPRNN masks -> deconv."""
+        from .separators import (ConvDecoder, ConvEncoder, DPRNNSeparator,
+                                 TCNSeparator)
+        c = self.cfg
+        enc = ConvEncoder(c.encoder_channels, c.encoder_kernel,
+                          c.encoder_stride, c.jax_dtype, name="encoder")
+        feats, flens = enc(speech_mix, speech_lengths)   # [B, K, N]
+        if c.separator == "tcn":
+            sep = TCNSeparator(
+                c.encoder_channels, c.n_spk, c.bottleneck, c.hidden,
+                c.tcn_kernel, c.tcn_blocks, c.tcn_repeats,
+                mask_nonlinear=c.mask_nonlinear, dtype=c.jax_dtype,
+                name="separator")
+        else:
+            sep = DPRNNSeparator(
+                c.encoder_channels, c.n_spk, c.hidden, c.num_layers,
+                c.segment_size, c.mask_nonlinear, c.jax_dtype,
+                name="separator")
+        masks = sep(feats)                               # [B, S, K, N]
+        masked = masks * feats[:, None]
+        b, s, k, n = masked.shape
+        dec = ConvDecoder(c.encoder_kernel, c.encoder_stride, c.jax_dtype,
+                          name="decoder")
+        est = dec(masked.reshape(b * s, k, n)).reshape(b, s, -1)
+        return est, flens
+
+    def _separate_beamformer(self, speech_mix, speech_lengths):
+        """Multichannel MVDR path: [B, N, C] -> n_spk beamformed wavs."""
+        from .beamformer import NeuralBeamformer
+        c = self.cfg
+        bf = NeuralBeamformer(
+            c.n_spk, c.n_fft, c.hop_length, c.hidden, c.num_layers,
+            c.ref_channel, c.jax_dtype, name="beamformer")
+        (spec_re, spec_im), flens = bf(speech_mix, speech_lengths)
+        b, s, t, f = spec_re.shape
+        est = istft((spec_re + 1j * spec_im).reshape(b * s, t, f),
+                    n_fft=c.n_fft, hop=c.hop_length)
+        return est.reshape(b, s, -1), flens
 
     def __call__(self, speech_mix, speech_mix_lengths, speech_ref, *,
                  train=False):

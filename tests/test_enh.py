@@ -77,3 +77,108 @@ def test_enh_transformer_separator():
                         ref)["params"]
     loss, _ = model.apply({"params": params}, mix, jnp.array([1000]), ref)
     assert np.isfinite(float(loss))
+
+
+def test_dprnn_split_merge_roundtrip():
+    from espnet_slurp_tpu.enh.separators import (merge_segments,
+                                                 split_segments)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 37, 8).astype(np.float32))
+    segs, rest = split_segments(x, 10)
+    assert segs.shape[2] == 10
+    y = merge_segments(segs, rest)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
+
+
+@pytest.mark.parametrize("sep", ["tcn", "dprnn"])
+def test_tasnet_separators_train(sep):
+    cfg = EnhConfig(n_spk=2, separator=sep, hidden=16, num_layers=1,
+                    encoder_channels=32, encoder_kernel=16,
+                    encoder_stride=8, bottleneck=16, tcn_blocks=2,
+                    tcn_repeats=1, segment_size=10)
+    model = EnhModel(cfg)
+    rng = np.random.RandomState(6)
+    s1 = rng.randn(2, 1600).astype(np.float32) * 0.3
+    s2 = rng.randn(2, 1600).astype(np.float32) * 0.3
+    batch = {
+        "speech_mix": jnp.asarray(s1 + s2),
+        "speech_mix_lengths": jnp.asarray([1600, 1200]),
+        "speech_ref": jnp.asarray(np.stack([s1, s2], 1)),
+    }
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+
+    def loss_fn(p):
+        return model.apply({"params": p}, **batch)
+
+    (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads))
+    est, _ = model.apply({"params": params}, batch["speech_mix"],
+                         batch["speech_mix_lengths"],
+                         method=lambda m, s, sl: m.separate(s, sl))
+    assert est.shape[:2] == (2, 2)
+
+
+def test_mvdr_recovers_target_in_noise():
+    """Oracle-mask MVDR on a synthetic 2-mic scene: the beamformed output
+    should correlate far better with the target than the noisy mixture."""
+    from espnet_slurp_tpu.enh.beamformer import (apply_beamforming,
+                                                 masked_psd,
+                                                 mvdr_souden_vector)
+    rng = np.random.RandomState(7)
+    b, t, c, f = 1, 50, 2, 9
+    # target and a point interferer, each rank-1 across mics with distinct
+    # steering vectors: with 2 mics MVDR can place a null on the
+    # interferer, so the beamformed SDR should improve dramatically.
+    steer_s = rng.randn(c, f) + 1j * rng.randn(c, f)
+    steer_n = rng.randn(c, f) + 1j * rng.randn(c, f)
+    src = rng.randn(b, t, f) + 1j * rng.randn(b, t, f)
+    intf = rng.randn(b, t, f) + 1j * rng.randn(b, t, f)
+    tgt = src[:, :, None, :] * steer_s[None, None]
+    noise = intf[:, :, None, :] * steer_n[None, None] + \
+        0.01 * (rng.randn(b, t, c, f) + 1j * rng.randn(b, t, c, f))
+    mix = tgt + noise
+    sre, sim = jnp.asarray(mix.real, jnp.float32), \
+        jnp.asarray(mix.imag, jnp.float32)
+    flens = jnp.asarray([t])
+    ones = jnp.ones((b, t, f))
+    psd_s = masked_psd(jnp.asarray(tgt.real, jnp.float32),
+                       jnp.asarray(tgt.imag, jnp.float32), ones, flens)
+    psd_n = masked_psd(jnp.asarray(noise.real, jnp.float32),
+                       jnp.asarray(noise.imag, jnp.float32), ones, flens)
+    w = mvdr_souden_vector(psd_s, psd_n, 0)
+    y_re, y_im = apply_beamforming(w, sre, sim)
+    y = np.asarray(y_re) + 1j * np.asarray(y_im)
+    ref = tgt[:, :, 0, :]  # target at reference mic
+
+    def sdr(est):
+        err = est - ref
+        return 10 * np.log10(np.sum(np.abs(ref) ** 2) /
+                             np.sum(np.abs(err) ** 2))
+
+    assert sdr(y) > sdr(mix[:, :, 0, :]) + 5.0
+
+
+def test_neural_beamformer_trains():
+    cfg = EnhConfig(n_spk=2, separator="beamformer", n_fft=128,
+                    hop_length=64, hidden=16, num_layers=1)
+    model = EnhModel(cfg)
+    rng = np.random.RandomState(8)
+    s1 = rng.randn(1, 1600).astype(np.float32) * 0.3
+    s2 = rng.randn(1, 1600).astype(np.float32) * 0.3
+    mix = np.stack([s1 + s2, 0.9 * s1 + 1.1 * s2], axis=-1)  # [B, N, C]
+    batch = {
+        "speech_mix": jnp.asarray(mix),
+        "speech_mix_lengths": jnp.asarray([1600]),
+        "speech_ref": jnp.asarray(np.stack([s1, s2], 1)),
+    }
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+
+    def loss_fn(p):
+        return model.apply({"params": p}, **batch)
+
+    (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads))
