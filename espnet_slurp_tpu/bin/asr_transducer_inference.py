@@ -12,7 +12,7 @@ def main(argv=None):
     p.add_argument("--output_dir", required=True)
     p.add_argument("--beam_size", type=int, default=5)
     p.add_argument("--search", default="alsa",
-                   choices=("greedy", "alsa", "maes"))
+                   choices=("greedy", "alsa", "maes", "tsd", "nsc"))
     args = p.parse_args(argv)
     from ..data.fileio import DatadirWriter, load_wav, read_2column_text
     from ..tasks.asr_transducer import Speech2TextTransducer

@@ -187,6 +187,61 @@ def maes_search(
     (select_k_expansions: keep candidates within expansion_gamma of each
     hypothesis's best — asr_transducer/beam_search_transducer.py:223-262).
 
+    Returns (tokens [B, max_len] blank-padded, lengths [B]).
+    """
+    return _frame_sync_search(
+        model, params, hs, h_lengths, beam_size=cfg.beam_size,
+        nstep=cfg.nstep, max_candidates=cfg.max_candidates,
+        gamma=cfg.expansion_gamma, max_len=cfg.max_len)
+
+
+@dataclasses.dataclass(frozen=True)
+class TSDConfig:
+    """Time-synchronous decoding options
+    (beam_search_transducer.py:356-451)."""
+    beam_size: int = 5
+    max_sym_exp: int = 2   # symbol expansions per frame (config `v` loop)
+    max_len: int = 128
+
+
+def tsd_search(model, params, hs, h_lengths, cfg: TSDConfig):
+    """Batched TSD (Saon et al.): per frame, up to ``max_sym_exp`` label
+    expansion rounds over the top-``beam_size`` candidates; blank moves a
+    hypothesis to the next frame's beam. Same lockstep machinery as mAES
+    with value-pruning disabled (every top candidate survives a round)."""
+    return _frame_sync_search(
+        model, params, hs, h_lengths, beam_size=cfg.beam_size,
+        nstep=cfg.max_sym_exp, max_candidates=cfg.beam_size,
+        gamma=None, max_len=cfg.max_len)
+
+
+@dataclasses.dataclass(frozen=True)
+class NSCConfig:
+    """N-step constrained beam search options
+    (beam_search_transducer.py:557-719)."""
+    beam_size: int = 5
+    nstep: int = 2
+    max_candidates: int = 5
+    max_len: int = 128
+
+
+def nsc_search(model, params, hs, h_lengths, cfg: NSCConfig):
+    """Batched NSC (Kim et al. 2020): per frame, exactly ``nstep``
+    constrained expansion rounds over ``max_candidates`` labels, then a
+    forced blank settles survivors into the next frame's beam."""
+    return _frame_sync_search(
+        model, params, hs, h_lengths, beam_size=cfg.beam_size,
+        nstep=cfg.nstep, max_candidates=cfg.max_candidates,
+        gamma=None, max_len=cfg.max_len)
+
+
+def _frame_sync_search(
+    model: TransducerModel, params, hs: jnp.ndarray, h_lengths: jnp.ndarray,
+    *, beam_size: int, nstep: int, max_candidates: int,
+    gamma: Optional[float], max_len: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared frame-synchronous expansion search behind mAES / TSD / NSC.
+
     TPU shape discipline: the reference's per-frame python lists (list_b /
     list_exp with dedup) become a fixed [B, K] beam with a per-hyp
     ``settled`` flag — a settled hypothesis took blank this frame and only
@@ -194,14 +249,16 @@ def maes_search(
     round, still-active hypotheses are settled with a forced blank. The
     reference's prefix merge (prefix_search) and exact duplicate check are
     omitted (both need dynamic hypothesis identity; at these beam sizes
-    they change scores marginally — documented deviation).
+    they change scores marginally — documented deviation). ``gamma`` is the
+    mAES prune-by-value window; ``None`` keeps every top candidate (TSD and
+    NSC behavior).
 
     Returns (tokens [B, max_len] blank-padded, lengths [B]).
     """
     a = model.cfg.asr
     b, t_max, d = hs.shape
-    k, l = cfg.beam_size, cfg.max_len
-    mc = min(cfg.max_candidates, a.vocab_size)
+    k, l = beam_size, max_len
+    mc = min(max_candidates, a.vocab_size)
     blank = a.blank_id
     n = b * k
     neg = jnp.float32(-1e30)
@@ -239,13 +296,17 @@ def maes_search(
             blank_lp = lp[:, blank]
             nb = lp.at[:, blank].set(neg)
             topv, topi = lax.top_k(nb, mc)  # [N, mc]
-            # prune-by-value per hyp: best candidate INCLUDES blank
-            best = jnp.maximum(topv[:, 0], blank_lp)
-            keep = topv >= (best - cfg.expansion_gamma)[:, None]
             can_emit = (n_emit.reshape(n) < l)[:, None]
-            exp_delta = jnp.where(keep & can_emit, topv, neg)
-            settle_delta = jnp.where(
-                blank_lp >= best - cfg.expansion_gamma, blank_lp, neg)
+            if gamma is not None:
+                # prune-by-value per hyp: best candidate INCLUDES blank
+                best = jnp.maximum(topv[:, 0], blank_lp)
+                keep = topv >= (best - gamma)[:, None]
+                exp_delta = jnp.where(keep & can_emit, topv, neg)
+                settle_delta = jnp.where(
+                    blank_lp >= best - gamma, blank_lp, neg)
+            else:
+                exp_delta = jnp.where(can_emit, topv, neg)
+                settle_delta = blank_lp
             s_n = settled.reshape(n)
             # slot 0: settled-carry (0) or settle-via-blank; 1..mc: expand
             slot0 = jnp.where(s_n, 0.0, settle_delta)
@@ -286,7 +347,7 @@ def maes_search(
                     new_score, g_new, carry_new, settled_new.reshape(b, k))
 
         state = (tokens, n_emit, score, g, carry, settled)
-        for r in range(cfg.nstep):
+        for r in range(nstep):
             state = round_step(state)
         tokens, n_emit, score, g, carry, settled = state
         # Remaining active hyps settle with a forced blank (the reference's

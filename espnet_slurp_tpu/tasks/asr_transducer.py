@@ -109,8 +109,8 @@ class Speech2TextTransducer:
     def __init__(self, exp_dir: str, ckpt_name: Optional[str] = None,
                  beam_size: int = 1, max_len: int = 128,
                  search: str = "alsa"):
-        # search: greedy | alsa | maes (beam_search_transducer.py algos;
-        # greedy forced when beam_size <= 1)
+        # search: greedy | alsa | maes | tsd | nsc
+        # (beam_search_transducer.py algos; greedy forced when beam_size <= 1)
         exp = Path(exp_dir)
         self.cfg = load_transducer_config(exp / "config.yaml")
         asr_like = dataclasses.replace(_as_asr_cfg(self.cfg),
@@ -149,6 +149,18 @@ class Speech2TextTransducer:
                         model, params, hs, h_lengths,
                         MAESConfig(beam_size=self.beam_size,
                                    max_len=self.max_len))
+                if self.beam_size > 1 and self.search == "tsd":
+                    from ..decode.transducer_beam import TSDConfig, tsd_search
+                    return tsd_search(
+                        model, params, hs, h_lengths,
+                        TSDConfig(beam_size=self.beam_size,
+                                  max_len=self.max_len))
+                if self.beam_size > 1 and self.search == "nsc":
+                    from ..decode.transducer_beam import NSCConfig, nsc_search
+                    return nsc_search(
+                        model, params, hs, h_lengths,
+                        NSCConfig(beam_size=self.beam_size,
+                                  max_len=self.max_len))
                 if self.beam_size > 1:
                     from ..decode.transducer_beam import (
                         TransducerBeamConfig, transducer_beam_search)

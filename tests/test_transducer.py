@@ -349,3 +349,85 @@ def test_maes_matches_serial_reference():
     want = max(hyps, key=lambda x: x[1])[0]
     got = list(np.asarray(got_t)[0][: int(got_l[0])])
     assert got == want, (got, want)
+
+
+@pytest.mark.parametrize("search,nstep,mc", [("tsd", 2, 3), ("nsc", 2, 2)])
+def test_tsd_nsc_match_serial_reference(search, nstep, mc):
+    """Batched TSD/NSC == a serial python port of the reference frame-sync
+    loop (beam_search_transducer.py:356-451 / :557-719, without prefix
+    merge/dedup — the same documented deviations as the batched kernel).
+    TSD/NSC are the gamma=None members of the shared machinery."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from espnet_slurp_tpu.decode.transducer_beam import (NSCConfig,
+                                                         TSDConfig,
+                                                         nsc_search,
+                                                         tsd_search)
+
+    model, params, hs, h_lengths = _toy_transducer()
+    if search == "tsd":
+        cfg = TSDConfig(beam_size=3, max_sym_exp=nstep, max_len=8)
+        got_t, got_l = tsd_search(model, params, hs, h_lengths, cfg)
+        max_candidates = cfg.beam_size
+    else:
+        cfg = NSCConfig(beam_size=3, nstep=nstep, max_candidates=mc,
+                        max_len=8)
+        got_t, got_l = nsc_search(model, params, hs, h_lengths, cfg)
+        max_candidates = cfg.max_candidates
+
+    a = model.cfg.asr
+    blank = a.blank_id
+    n_frames = int(h_lengths[0])
+
+    def pred(y, carry):
+        g, c = model.apply({"params": params},
+                           jnp.asarray([y], jnp.int32), carry,
+                           method=lambda m, yy, cc: m.prediction.step(yy, cc))
+        return g, c
+
+    def joint(t, g):
+        h_t = hs[0:1, t]
+        logits = model.apply({"params": params}, h_t, g,
+                             method=lambda m, h, gg: m.joint(h, gg))
+        return np.asarray(jax.nn.log_softmax(
+            logits.astype(jnp.float32), -1))[0]
+
+    carry0 = model.apply({"params": params},
+                         method=lambda m: m.prediction.init_carry(1))
+    g0, carry0 = pred(blank, carry0)
+    hyps = [([], 0.0, g0, carry0)]
+    for t in range(n_frames):
+        settled = []
+        active = hyps
+        for r in range(nstep):
+            cand_settled = []
+            cand_active = []
+            for toks, score, g, carry in active:
+                lp = joint(t, g)
+                nb = lp.copy()
+                nb[blank] = -1e30
+                top = np.argsort(-nb)[:max_candidates]
+                cand_settled.append((toks, score + lp[blank], g, carry))
+                for v in top:
+                    if len(toks) < cfg.max_len:
+                        g2, c2 = pred(int(v), carry)
+                        cand_active.append((toks + [int(v)],
+                                            score + nb[v], g2, c2))
+            pool = [(s, "s") for s in settled] + \
+                   [(s, "s") for s in cand_settled] + \
+                   [(x, "a") for x in cand_active]
+            pool.sort(key=lambda x: -x[0][1])
+            pool = pool[:cfg.beam_size]
+            settled = [h for h, kind in pool if kind == "s"]
+            active = [h for h, kind in pool if kind == "a"]
+            if not active:
+                break
+        for toks, score, g, carry in active:
+            lp = joint(t, g)
+            settled.append((toks, score + lp[blank], g, carry))
+        settled.sort(key=lambda x: -x[1])
+        hyps = settled[:cfg.beam_size]
+    want = max(hyps, key=lambda x: x[1])[0]
+    got = list(np.asarray(got_t)[0][: int(got_l[0])])
+    assert got == want, (got, want)
