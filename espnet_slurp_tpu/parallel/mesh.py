@@ -67,9 +67,15 @@ def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> None:
     """Multi-host bring-up (replaces init_process_group / NCCL rendezvous,
-    distributed_utils.py:86-101). On TPU pods all arguments are discovered
-    from the environment; on CPU test rigs pass them explicitly.
+    distributed_utils.py:86-101). Resolution order: explicit arguments,
+    then the ESPNET_COORDINATOR / ESPNET_NUM_PROCESSES / ESPNET_PROCESS_ID
+    variables set by ``bin/launch.py``, then jax's own pod auto-discovery.
     """
+    import os
+    if coordinator_address is None and "ESPNET_COORDINATOR" in os.environ:
+        coordinator_address = os.environ["ESPNET_COORDINATOR"]
+        num_processes = int(os.environ["ESPNET_NUM_PROCESSES"])
+        process_id = int(os.environ["ESPNET_PROCESS_ID"])
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(coordinator_address=coordinator_address,
