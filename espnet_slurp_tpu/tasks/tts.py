@@ -25,6 +25,7 @@ from ..train.reporter import Reporter, SubReporter
 from ..train.state import TrainState
 from ..tts.fastspeech2 import FastSpeech2, FastSpeech2Config
 from ..tts.hifigan import HiFiGANConfig, HiFiGANDiscriminator
+from ..tts.jets import JETSConfig, JETSGenerator, make_jets_train_step
 from ..tts.tacotron2 import Tacotron2, Tacotron2Config
 from ..tts.vits import VITSConfig, VITSGenerator, make_vits_train_step
 from ..utils.config import from_dict, load_yaml, merge_dicts, save_yaml
@@ -46,10 +47,11 @@ class TTSDataConfig:
 @dataclasses.dataclass(frozen=True)
 class TTSTaskConfig:
     exp_dir: str = "exp/tts"
-    arch: str = "tacotron2"  # tacotron2 | fastspeech2 | vits
+    arch: str = "tacotron2"  # tacotron2 | fastspeech2 | vits | jets
     tacotron2: Tacotron2Config = Tacotron2Config()
     fastspeech2: FastSpeech2Config = FastSpeech2Config()
     vits: VITSConfig = VITSConfig()
+    jets: JETSConfig = JETSConfig()
     discriminator: HiFiGANConfig = HiFiGANConfig(in_channels=1)
     optim: OptimConfig = OptimConfig(lr=1e-3, scheduler="constant")
     data: TTSDataConfig = TTSDataConfig()
@@ -102,11 +104,11 @@ class TTSTask:
                     for u in chunk]
             wavs_np = [load_wav(wavs[u])[0] for u in chunk]
             n_max = bucket_length(max(len(w) for w in wavs_np), 4096)
-            if cfg.arch == "vits":
-                # GAN path consumes the raw waveform; the linear spectrogram
-                # is extracted on-device inside the jitted train step.
-                n_max = max(n_max,
-                            cfg.vits.segment_size * cfg.vits.hop_length)
+            if cfg.arch in ("vits", "jets"):
+                # GAN paths consume the raw waveform; spectrogram/pitch
+                # features are extracted on-device inside the jitted step.
+                gc = cfg.vits if cfg.arch == "vits" else cfg.jets
+                n_max = max(n_max, gc.segment_size * gc.hop_length)
             sp = np.zeros((len(chunk), n_max), np.float32)
             sl = np.zeros((len(chunk),), np.int32)
             for r, w in enumerate(wavs_np):
@@ -114,7 +116,7 @@ class TTSTask:
                 sl[r] = len(w)
             l_max0 = bucket_length(max(len(t) for t in toks),
                                    cfg.data.text_bucket_multiple)
-            if cfg.arch == "vits":
+            if cfg.arch in ("vits", "jets"):
                 text = np.zeros((len(chunk), l_max0), np.int32)
                 tlens = np.zeros((len(chunk),), np.int32)
                 for r, t in enumerate(toks):
@@ -166,6 +168,10 @@ class TTSTask:
         if cfg.arch == "vits":
             mcfg = dataclasses.replace(cfg.vits, vocab_size=vocab_size)
             return VITSGenerator(mcfg), dataclasses.replace(cfg, vits=mcfg)
+        if cfg.arch == "jets":
+            mcfg = dataclasses.replace(cfg.jets, vocab_size=vocab_size,
+                                       frontend=cfg.data.frontend)
+            return JETSGenerator(mcfg), dataclasses.replace(cfg, jets=mcfg)
         if cfg.arch == "tacotron2":
             mcfg = dataclasses.replace(
                 cfg.tacotron2, vocab_size=vocab_size,
@@ -185,6 +191,8 @@ class TTSTask:
         save_yaml(cfg, exp / "config.yaml")
         if cfg.arch == "vits":
             return cls._train_vits(cfg, model, tokenizer, conv)
+        if cfg.arch == "jets":
+            return cls._train_jets(cfg, model, tokenizer, conv)
         batch0 = next(cls.batches(cfg, cfg.data.train_dir, tokenizer, conv,
                                   1, False))
         params = model.init(jax.random.PRNGKey(cfg.data.seed),
@@ -305,6 +313,77 @@ class TTSTask:
         return state
 
 
+    @classmethod
+    def _train_jets(cls, cfg: TTSTaskConfig, gen: JETSGenerator, tokenizer,
+                    conv):
+        """GAN training loop for arch=jets (gan_tts/jets/jets.py:330-520
+        loss composition over the shared GAN-trainer machinery)."""
+        from ..train.gan_trainer import (GANTrainState, pack_gan_state,
+                                         unpack_gan_state)
+        from ..tts.jets import jets_features
+        exp = Path(cfg.exp_dir)
+        jcfg = cfg.jets
+        disc = HiFiGANDiscriminator(cfg.discriminator)
+        batch0 = next(cls.batches(cfg, cfg.data.train_dir, tokenizer, conv,
+                                  1, False))
+        feats0, flens0, lf00 = jets_features(
+            batch0["speech"], batch0["speech_lengths"], jcfg)
+        key = jax.random.PRNGKey(cfg.data.seed)
+        gp = gen.init(key, batch0["text"], batch0["text_lengths"], feats0,
+                      flens0, lf00, key)["params"]
+        fake0 = jnp.zeros(
+            (1, jcfg.segment_size * jcfg.hop_length), jnp.float32)
+        dp = disc.init(jax.random.PRNGKey(cfg.data.seed + 1), fake0)["params"]
+        gen_tx = build_optimizer(cfg.optim)
+        disc_tx = build_optimizer(cfg.optim)
+        state = GANTrainState.create(gp, dp, gen_tx, disc_tx,
+                                     jax.random.PRNGKey(cfg.data.seed + 2))
+        step = make_jets_train_step(gen, disc, gen_tx, disc_tx, jcfg)
+
+        @jax.jit
+        def eval_step(gen_params, batch):
+            feats, flens, lf0 = jets_features(
+                batch["speech"], batch["speech_lengths"], jcfg)
+            fake, starts, aux = gen.apply(
+                {"params": gen_params}, batch["text"],
+                batch["text_lengths"], feats, flens, lf0,
+                jax.random.PRNGKey(0))
+            from ..tts.hifigan import mel_l1_loss
+            from ..tts.vits import slice_wav
+            real = slice_wav(batch["speech"], starts, jcfg.segment_size,
+                             jcfg.hop_length)
+            mel = mel_l1_loss(fake, real, jcfg.frontend.n_fft,
+                              jcfg.hop_length, jcfg.n_mels, jcfg.sample_rate)
+            return {"loss": mel + aux["dur_loss"] + aux["forwardsum_loss"],
+                    "mel_loss": mel, **aux}
+
+        ckpt = CheckpointManager(exp, cfg.keep_nbest)
+        reporter = Reporter()
+        start = 1
+        if cfg.resume and ckpt.latest_epoch() is not None:
+            restored = ckpt.restore(ckpt.latest_epoch(),
+                                    pack_gan_state(state))
+            state = unpack_gan_state(restored)
+            reporter = ckpt.load_reporter()
+            start = ckpt.latest_epoch() + 1
+        for epoch in range(start, cfg.max_epoch + 1):
+            sub = SubReporter()
+            for batch in cls.batches(cfg, cfg.data.train_dir, tokenizer,
+                                     conv, epoch, True):
+                state, stats = step(state, batch)
+                sub.register({k: float(v) for k, v in stats.items()})
+            reporter.observe(epoch, "train", sub.mean())
+            sub = SubReporter()
+            for batch in cls.batches(cfg, cfg.data.valid_dir, tokenizer,
+                                     conv, epoch, False):
+                sub.register({k: float(v) for k, v in eval_step(
+                    state.gen_params, batch).items()})
+            reporter.observe(epoch, "valid", sub.mean())
+            log.info(reporter.log_line(epoch))
+            ckpt.save_epoch(epoch, pack_gan_state(state), reporter)
+        return state
+
+
 class Text2Speech:
     """Inference wrapper (tts_inference.py analogue): text -> (mel, wav)."""
 
@@ -318,7 +397,7 @@ class Text2Speech:
         mgr = CheckpointManager(exp, self.cfg.keep_nbest)
         self.params = mgr.load_params(
             ckpt_name or f"{mgr.latest_epoch()}epoch")
-        if self.cfg.arch == "vits" and "gen" in self.params:
+        if self.cfg.arch in ("vits", "jets") and "gen" in self.params:
             self.params = self.params["gen"]  # packed GAN checkpoint
         self.use_griffin_lim = use_griffin_lim
 
@@ -332,6 +411,12 @@ class Text2Speech:
                 {"params": self.params}, t, tl, jax.random.PRNGKey(0),
                 method=lambda m, x, xl, r: m.infer(x, xl, r,
                                                    max_frames=max_frames))
+            return None, np.asarray(wav)[0][: int(wav_lens[0])]
+        if self.cfg.arch == "jets":
+            wav, wav_lens = self.model.apply(
+                {"params": self.params}, t, tl,
+                method=lambda m, x, xl: m.infer(x, xl,
+                                                max_frames=max_frames))
             return None, np.asarray(wav)[0][: int(wav_lens[0])]
         if self.cfg.arch == "tacotron2":
             mel, lens = self.model.apply(
