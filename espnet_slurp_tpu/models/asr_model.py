@@ -23,6 +23,7 @@ from ..ops.normalize import global_mvn, utterance_mvn
 from ..ops.specaug import SpecAugConfig, specaug
 from .conformer import ConformerEncoder
 from .transformer import TransformerDecoder, TransformerEncoder
+from .wav2vec2 import Wav2Vec2Config
 
 IGNORE_ID = -1
 
@@ -31,7 +32,9 @@ IGNORE_ID = -1
 class ASRConfig:
     vocab_size: int = 5000
     # conformer | ebranchformer | transformer | longformer |
-    # contextual_block_conformer (streaming, block-parallel context carry)
+    # contextual_block_conformer (streaming, block-parallel context carry) |
+    # wav2vec2 (raw-waveform SSL encoder, bypasses frontend/specaug/mvn —
+    # wav2vec2_encoder.py FairSeqWav2Vec2Encoder analogue)
     encoder: str = "conformer"
     # Longformer sliding-window half-width (frames after x4 subsampling).
     attention_window: int = 64
@@ -68,6 +71,7 @@ class ASRConfig:
     # PITASRModel (models/pit_asr.py) with this many speaker streams.
     num_ref: int = 1
     pit_branch_blocks: int = 2
+    wav2vec2: Optional[Wav2Vec2Config] = None  # encoder="wav2vec2" opts
     use_tcpgen: bool = False
     tcpgen_gcn_layers: int = 2
     tcpgen_tree_encoder: str = "gcn"  # gcn | gat | sage | treelstm
@@ -169,6 +173,9 @@ def build_encoder(c: ASRConfig, name: str = "encoder"):
             c.kernel_size, c.dropout_rate, c.interctc_layers,
             attention_window=c.attention_window, remat=c.remat_encoder,
             flash="off", dtype=c.jax_dtype, name=name)
+    if c.encoder == "wav2vec2":
+        from .wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+        return Wav2Vec2Encoder(c.wav2vec2 or Wav2Vec2Config(), name=name)
     if c.encoder == "contextual_block_conformer":
         from .contextual_block import ContextualBlockConformerEncoder
         return ContextualBlockConformerEncoder(
@@ -217,6 +224,10 @@ class ASRModel(nn.Module):
                mvn_stats=None):
         """Raw waveform -> encoder states. espnet_model.py:319-377 analogue."""
         c = self.cfg
+        if c.encoder == "wav2vec2":
+            # SSL encoder consumes the raw waveform; no frontend/specaug/mvn
+            return self.encoder(speech, speech_lengths,
+                                deterministic=not train)
         feats, feat_lengths = default_frontend(speech, speech_lengths,
                                                c.frontend)
         if train and c.specaug is not None and specaug_rng is not None:
