@@ -86,9 +86,58 @@ class BpeTokenizer(AbsTokenizer):
         return BpeTokenizer(out_path)
 
 
+class PhonemeTokenizer(AbsTokenizer):
+    """Grapheme-to-phoneme tokenizer (espnet2/text/phoneme_tokenizer.py).
+
+    The reference wraps external g2p libraries (g2p_en, pyopenjtalk, ...).
+    Here the primary backend is a pronunciation lexicon file ('word PH ONE
+    MES' per line, kaldi lexicon.txt convention) with per-letter fallback
+    for OOV words; if the optional ``g2p_en`` package is installed it is
+    used for OOVs instead of the letter fallback.
+    """
+
+    def __init__(self, lexicon: str | None = None,
+                 word_separator: str | None = None):
+        self.lex = {}
+        if lexicon:
+            with open(lexicon, encoding="utf-8") as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) >= 2 and parts[0] not in self.lex:
+                        self.lex[parts[0]] = parts[1:]
+        self.word_separator = word_separator
+        try:  # optional external g2p (not in the base image)
+            from g2p_en import G2p  # type: ignore
+            self._g2p = G2p()
+        except Exception:
+            self._g2p = None
+
+    def _word(self, w: str) -> List[str]:
+        if w in self.lex:
+            return list(self.lex[w])
+        if w.lower() in self.lex:
+            return list(self.lex[w.lower()])
+        if self._g2p is not None:
+            return [p for p in self._g2p(w) if p.strip()]
+        return list(w)  # letter fallback
+
+    def text2tokens(self, line: str) -> List[str]:
+        out: List[str] = []
+        for i, w in enumerate(line.split()):
+            if i > 0 and self.word_separator is not None:
+                out.append(self.word_separator)
+            out.extend(self._word(w))
+        return out
+
+    def tokens2text(self, tokens: Iterable[str]) -> str:
+        # phones are not invertible; mirror the reference (join w/ spaces)
+        return " ".join(tokens)
+
+
 def build_tokenizer(token_type: str, bpemodel: str | None = None,
                     non_linguistic_symbols: Sequence[str] = (),
-                    delimiter: str | None = None) -> AbsTokenizer:
+                    delimiter: str | None = None,
+                    g2p_lexicon: str | None = None) -> AbsTokenizer:
     """espnet2/text/build_tokenizer.py analogue."""
     if token_type == "char":
         return CharTokenizer(non_linguistic_symbols=non_linguistic_symbols)
@@ -97,6 +146,8 @@ def build_tokenizer(token_type: str, bpemodel: str | None = None,
     if token_type == "bpe":
         assert bpemodel is not None
         return BpeTokenizer(bpemodel)
+    if token_type == "phn":
+        return PhonemeTokenizer(lexicon=g2p_lexicon)
     raise ValueError(f"unknown token_type {token_type}")
 
 

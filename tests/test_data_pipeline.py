@@ -127,3 +127,21 @@ def test_rare_word_wer():
     assert rare_wer == 0.5  # zelda wrong, bob right
     assert common_wer == 0.0
     assert rs.substitutions == 1 and rs.hits == 1
+
+
+def test_phoneme_tokenizer(tmp_path):
+    from espnet_slurp_tpu.data.tokenizer import (PhonemeTokenizer,
+                                                 build_tokenizer)
+    lex = tmp_path / "lexicon.txt"
+    lex.write_text("hello HH AH L OW\nworld W ER L D\n")
+    tok = PhonemeTokenizer(lexicon=str(lex))
+    assert tok.text2tokens("hello world") == \
+        ["HH", "AH", "L", "OW", "W", "ER", "L", "D"]
+    # case-insensitive lexicon lookup + letter fallback for OOV
+    assert tok.text2tokens("Hello zz") == ["HH", "AH", "L", "OW", "z", "z"]
+    # word separator insertion
+    tok2 = PhonemeTokenizer(lexicon=str(lex), word_separator="<space>")
+    assert tok2.text2tokens("hello world")[4] == "<space>"
+    # factory path
+    t3 = build_tokenizer("phn", g2p_lexicon=str(lex))
+    assert t3.text2tokens("world") == ["W", "ER", "L", "D"]
