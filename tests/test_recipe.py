@@ -122,3 +122,66 @@ def test_observability_sinks(tmp_path):
     tr = hist["history"][0]["train"]
     assert "iter_time" in tr and "step_time" in tr
     assert tr["step_time"] >= 0 and tr["iter_time"] >= 0
+
+
+def test_enh_pipeline_e2e(tmp_path):
+    """enh.sh analogue: validate -> train -> separate -> SI-SNR scoring."""
+    import numpy as np
+    from espnet_slurp_tpu.data.fileio import write_wav
+    from espnet_slurp_tpu.recipe.enh_pipeline import run_enh_pipeline
+    from espnet_slurp_tpu.tasks.enh import load_enh_config
+    rng = np.random.RandomState(0)
+    for split, n_utt in (("train", 6), ("dev", 2)):
+        d = tmp_path / split
+        d.mkdir(parents=True, exist_ok=True)
+        scps = {k: [] for k in ("wav", "spk1", "spk2")}
+        for i in range(n_utt):
+            t = np.arange(3200) / 16000.0
+            a = 0.3 * np.sin(2 * np.pi * (300 + 40 * i) * t)
+            b = 0.3 * np.sin(2 * np.pi * (900 + 40 * i) * t)
+            for name, x in (("mix", a + b), ("s1", a), ("s2", b)):
+                write_wav(str(d / f"{name}_{i}.wav"),
+                          x.astype(np.float32))
+            scps["wav"].append(f"u{i} {d}/mix_{i}.wav")
+            scps["spk1"].append(f"u{i} {d}/s1_{i}.wav")
+            scps["spk2"].append(f"u{i} {d}/s2_{i}.wav")
+        for k, lines in scps.items():
+            (d / f"{k}.scp").write_text("\n".join(lines) + "\n")
+    cfg = load_enh_config(overrides={
+        "exp_dir": str(tmp_path / "exp"),
+        "train_dir": str(tmp_path / "train"),
+        "valid_dir": str(tmp_path / "dev"),
+        "batch_size": 3, "speech_bucket_multiple": 2048,
+        "model": {"n_fft": 128, "hop_length": 64, "hidden": 32,
+                  "num_layers": 1},
+        "run": {"max_epoch": 1, "nbest_average": 1},
+    })
+    results = run_enh_pipeline(cfg)
+    assert "si_snr_dev" in results and np.isfinite(results["si_snr_dev"])
+    assert (tmp_path / "exp" / "separate_dev" / "wav" /
+            "u0_spk1.wav").exists()
+
+
+def test_tts_pipeline_e2e(tmp_path):
+    """tts.sh analogue: validate -> train -> synthesize -> mel-L1 eval."""
+    import numpy as np
+    from espnet_slurp_tpu.data.mini_corpus import make_mini_corpus
+    from espnet_slurp_tpu.recipe.tts_pipeline import run_tts_pipeline
+    from espnet_slurp_tpu.tasks.tts import load_tts_config
+    make_mini_corpus(tmp_path / "data", n_train=4, n_dev=2)
+    cfg = load_tts_config(overrides={
+        "exp_dir": str(tmp_path / "exp"),
+        "arch": "fastspeech2",
+        "fastspeech2": {"d_model": 16, "n_head": 2, "d_ff": 32,
+                        "enc_blocks": 1, "dec_blocks": 1,
+                        "var_channels": 8, "var_layers": 1,
+                        "max_frames": 64},
+        "data": {"train_dir": str(tmp_path / "data/train"),
+                 "valid_dir": str(tmp_path / "data/dev"),
+                 "batch_size": 2,
+                 "frontend": {"n_fft": 128, "hop_length": 64,
+                              "n_mels": 16}},
+        "max_epoch": 1, "keep_nbest": 1,
+    })
+    results = run_tts_pipeline(cfg, max_frames=40)
+    assert "mel_l1_dev" in results and np.isfinite(results["mel_l1_dev"])
