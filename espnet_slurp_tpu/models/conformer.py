@@ -169,6 +169,12 @@ class ConformerEncoder(nn.Module):
         inter = []
         block_cls = nn.remat(ConformerBlock, static_argnums=(5,)) \
             if self.remat else ConformerBlock
+        # Sequence parallelism: no-op unless tracing inside an
+        # activation_sharding(mesh) context (parallel/seq.py) — then every
+        # block boundary pins [B, T, D] to P(data, seq, None) and XLA
+        # gathers only around attention.
+        from ..parallel.seq import constrain_acts
+        x = constrain_acts(x)
         for i in range(self.num_blocks):
             x = block_cls(
                 self.d_model, self.n_head, self.d_ff, self.kernel_size,
@@ -177,6 +183,7 @@ class ConformerEncoder(nn.Module):
                 left_chunks=self.left_chunks,
                 name=f"block_{i}")(
                     x, pos_emb, bias, pad, deterministic, lengths=olens)
+            x = constrain_acts(x)
             if (i + 1) in self.interctc_layers:
                 inter.append((i + 1, x))
         x = jnp.where(pad[..., None], x, 0.0)

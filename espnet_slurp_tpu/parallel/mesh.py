@@ -16,22 +16,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              n_seq: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (data, model) mesh over all (or given) devices.
+    """Build a (data[, seq], model) mesh over all (or given) devices.
 
-    n_data defaults to len(devices) // n_model. On a pod slice, call
-    `jax.distributed.initialize()` first so jax.devices() spans all hosts;
-    axis order puts `model` innermost so tensor-parallel collectives ride the
-    fastest ICI links.
+    n_data defaults to len(devices) // (n_model * n_seq). On a pod slice,
+    call `jax.distributed.initialize()` first so jax.devices() spans all
+    hosts; axis order puts `model` innermost (fastest ICI links for
+    tensor-parallel collectives) with `seq` between data and model. A
+    `seq` axis only appears when n_seq > 1 (sequence parallelism,
+    parallel/seq.py).
     """
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    assert n_data * n_model == len(devices), (
-        f"mesh {n_data}x{n_model} != {len(devices)} devices")
+        n_data = len(devices) // (n_model * n_seq)
+    assert n_data * n_model * n_seq == len(devices), (
+        f"mesh {n_data}x{n_seq}x{n_model} != {len(devices)} devices")
+    if n_seq > 1:
+        arr = np.asarray(devices).reshape(n_data, n_seq, n_model)
+        return Mesh(arr, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
     arr = np.asarray(devices).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
