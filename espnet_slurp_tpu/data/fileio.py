@@ -28,7 +28,14 @@ def read_2column_text(path: str | Path) -> Dict[str, str]:
 
 
 def load_wav(path: str) -> Tuple[np.ndarray, int]:
-    """Read a wav file -> (float32 waveform in [-1, 1], sample rate)."""
+    """Read a wav file -> (float32 waveform in [-1, 1], sample rate).
+
+    Fast path: the native C++ decoder (native/wavio.cpp); scipy decodes
+    anything the native parser declines (exotic codecs/containers)."""
+    from .. import native
+    got = native.load_wav(path)
+    if got is not None:
+        return got
     from scipy.io import wavfile
     sr, data = wavfile.read(path)
     if data.dtype == np.int16:
@@ -45,8 +52,12 @@ def load_wav(path: str) -> Tuple[np.ndarray, int]:
 
 
 def wav_num_samples(path: str) -> int:
-    """Sample count from the RIFF header only (stdlib wave; scipy fallback
-    decodes as last resort for non-PCM containers)."""
+    """Sample count from the RIFF header only (native parser, then stdlib
+    wave; scipy decodes as last resort for non-PCM containers)."""
+    from .. import native
+    n = native.num_samples(path)
+    if n is not None:
+        return n
     import wave
     try:
         with wave.open(path, "rb") as f:
