@@ -40,6 +40,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -318,7 +319,7 @@ def rel_flash_attention(
     lse_spec = pl.BlockSpec((1, 1, tq, 1), lambda i, j, kk: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    def fwd(qu_r, qv_r, k_r, v_r, p_r):
+    def fwd(lengths_bh, seed, qu_r, qv_r, k_r, v_r, p_r):
         out, lse = pl.pallas_call(
             functools.partial(_fwd_kernel, **kw),
             grid=(bh, nq, nk),
@@ -342,16 +343,19 @@ def rel_flash_attention(
         )(lengths_bh, seed, qu_r, qv_r, k_r, v_r, p_r)
         return out, lse
 
+    # lengths/seed ride as explicit custom_vjp args (float0 cotangents):
+    # closure-captured tracers leak across flax remat's double trace
+    # (UnexpectedTracerError under jax.checkpoint).
     @jax.custom_vjp
-    def core(qu_r, qv_r, k_r, v_r, p_r):
-        return fwd(qu_r, qv_r, k_r, v_r, p_r)[0]
+    def core(lengths_bh, seed, qu_r, qv_r, k_r, v_r, p_r):
+        return fwd(lengths_bh, seed, qu_r, qv_r, k_r, v_r, p_r)[0]
 
-    def core_fwd(qu_r, qv_r, k_r, v_r, p_r):
-        out, lse = fwd(qu_r, qv_r, k_r, v_r, p_r)
-        return out, (qu_r, qv_r, k_r, v_r, p_r, out, lse)
+    def core_fwd(lengths_bh, seed, qu_r, qv_r, k_r, v_r, p_r):
+        out, lse = fwd(lengths_bh, seed, qu_r, qv_r, k_r, v_r, p_r)
+        return out, (lengths_bh, seed, qu_r, qv_r, k_r, v_r, p_r, out, lse)
 
     def core_bwd(res, g):
-        qu_r, qv_r, k_r, v_r, p_r, out, lse = res
+        lengths_bh, seed, qu_r, qv_r, k_r, v_r, p_r, out, lse = res
         g = g.astype(jnp.float32)
         delta = jnp.sum(g * out.astype(jnp.float32), axis=-1)  # [BH, T]
         delta = delta.reshape(bh, nq, tq, 1)
@@ -419,9 +423,11 @@ def rel_flash_attention(
         )(lengths_bh, seed, qu_r, qv_r, k_r, v_r, p_r, g.astype(dtype),
           lse, delta)
         cast = lambda x, ref: x.astype(ref.dtype)
-        return (cast(dqu, qu_r), cast(dqv, qv_r), cast(dk, k_r),
+        f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+        return (f0(lengths_bh), f0(seed),
+                cast(dqu, qu_r), cast(dqv, qv_r), cast(dk, k_r),
                 cast(dv, v_r), cast(dp, p_r))
 
     core.defvjp(core_fwd, core_bwd)
-    out = core(shp(q_u), shp(q_v), shp(k), shp(v), p)
+    out = core(lengths_bh, seed, shp(q_u), shp(q_v), shp(k), shp(v), p)
     return out.reshape(bsz, h, t, dh)

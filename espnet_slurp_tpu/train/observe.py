@@ -1,10 +1,11 @@
 """Observability sinks: tensorboard scalars + jax.profiler traces.
 
 Parity target: reference reporter sinks (espnet2/train/reporter.py:539
-tensorboard_add_scalar, trainer.py:247-257 SummaryWriter wiring) and the
-SURVEY §5 TPU plan (jax.profiler trace hooks in place of torch.profiler).
-wandb is not available in this image; the sink interface is the extension
-point for it.
+tensorboard_add_scalar + wandb_log, trainer.py:247-257 SummaryWriter /
+wandb.init wiring) and the SURVEY §5 TPU plan (jax.profiler trace hooks in
+place of torch.profiler). wandb is an optional dependency: WandbSink
+degrades to a no-op when the package is absent (this image ships without
+it), mirroring the reference's --use_wandb gate.
 """
 from __future__ import annotations
 
@@ -50,6 +51,44 @@ class TensorboardSink:
     def close(self):
         for w in self._writers.values():
             w.close()
+
+
+class WandbSink:
+    """Scalar sink logging to Weights & Biases (reporter.py:560 wandb_log).
+
+    Keys are namespaced ``{phase}/{key}`` and logged against the epoch,
+    matching the reference's ``wandb.log({...}, step=epoch)`` layout so
+    dashboards line up across frameworks.
+    """
+
+    def __init__(self, exp_dir: str | Path, project: Optional[str] = None,
+                 name: Optional[str] = None):
+        self._run = None
+        try:
+            import wandb
+        except Exception:  # pragma: no cover - optional dependency
+            log.info("wandb unavailable; wandb scalars disabled")
+            return
+        exp_dir = Path(exp_dir)
+        self._run = wandb.init(
+            project=project or "espnet_slurp_tpu",
+            name=name or exp_dir.name,
+            dir=str(exp_dir),
+            resume="allow",
+        )
+
+    def scalars(self, phase: str, stats: Dict[str, float], step: int):
+        if self._run is None:
+            return
+        payload = {f"{phase}/{k}": v for k, v in stats.items()
+                   if isinstance(v, (int, float))}
+        payload["epoch"] = step
+        self._run.log(payload, step=step)
+
+    def close(self):
+        if self._run is not None:
+            self._run.finish()
+            self._run = None
 
 
 class ProfilerHook:

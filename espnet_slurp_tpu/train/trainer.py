@@ -34,6 +34,8 @@ class TrainerOptions:
     # Observability (SURVEY §5): tensorboard scalar sink + jax.profiler
     # trace window ([start, stop) global steps; None disables).
     tensorboard: bool = True
+    use_wandb: bool = False
+    wandb_project: Optional[str] = None
     profile_start_step: Optional[int] = None
     profile_stop_step: Optional[int] = None
 
@@ -70,14 +72,17 @@ class Trainer:
                 start_epoch = latest + 1
                 log.info("resumed from epoch %d", latest)
 
-        from .observe import ProfilerHook, TensorboardSink
+        from .observe import ProfilerHook, TensorboardSink, WandbSink
         # Sinks are primary-process-only on pods (the reference's rank-0-only
         # trainer sinks, trainer.py:247-257): secondary processes racing on
         # the same event-file dir is both wasteful and a makedirs crash.
         import jax as _jax
         primary = _jax.process_index() == 0
-        tb = TensorboardSink(self.ckpt.exp_dir) \
-            if (o.tensorboard and primary) else None
+        sinks = []
+        if o.tensorboard and primary:
+            sinks.append(TensorboardSink(self.ckpt.exp_dir))
+        if o.use_wandb and primary:
+            sinks.append(WandbSink(self.ckpt.exp_dir, o.wandb_project))
         prof = None
         if o.profile_start_step is not None and primary:
             prof = ProfilerHook(self.ckpt.exp_dir, o.profile_start_step,
@@ -118,9 +123,9 @@ class Trainer:
             valid_mean = sub.mean()
             reporter.observe(epoch, "valid", valid_mean)
             log.info(reporter.log_line(epoch))
-            if tb is not None:
-                tb.scalars("train", train_mean, epoch)
-                tb.scalars("valid", valid_mean, epoch)
+            for sink in sinks:
+                sink.scalars("train", train_mean, epoch)
+                sink.scalars("valid", valid_mean, epoch)
 
             self.ckpt.save_epoch(epoch, state, reporter)
             if o.patience is not None and reporter.check_early_stopping(
@@ -130,8 +135,8 @@ class Trainer:
 
         if prof is not None:
             prof.close()
-        if tb is not None:
-            tb.close()
+        for sink in sinks:
+            sink.close()
         if o.nbest_average > 1:
             try:
                 self.ckpt.average_nbest(reporter, o.nbest_average)
