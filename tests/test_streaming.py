@@ -1,4 +1,6 @@
 """Streaming encoder/inference tests: causality + incremental consistency."""
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -78,3 +80,34 @@ def test_streaming_recognizer():
     ids, final = rec(wav[4096:], is_final=True)
     assert final
     assert isinstance(ids, list)
+
+
+def test_streaming_inference_cli(tmp_path):
+    """End-to-end: train a micro chunk-attention model, stream-decode via
+    the bin/asr_inference_streaming CLI (asr_inference_streaming.py parity)."""
+    from espnet_slurp_tpu.bin.asr_inference_streaming import main as smain
+    from espnet_slurp_tpu.data.mini_corpus import make_mini_corpus
+    from espnet_slurp_tpu.tasks.asr import (ASRTask, ASRTaskConfig,
+                                            DataConfig)
+    from espnet_slurp_tpu.train.optim import OptimConfig
+
+    train_dir, dev_dir = make_mini_corpus(tmp_path / "corpus", n_train=6,
+                                          n_dev=2)
+    cfg = ASRTaskConfig(
+        exp_dir=str(tmp_path / "exp"),
+        model=dataclasses.replace(STREAM_CFG, vocab_size=-1),
+        optim=OptimConfig(lr=1e-3, scheduler="constant"),
+        data=DataConfig(train_dir=str(train_dir), valid_dir=str(dev_dir),
+                        token_type="word", batch_type="sorted", batch_size=6,
+                        speech_bucket_multiple=2048, text_bucket_multiple=4),
+        max_epoch=1, keep_nbest=1, nbest_average=1)
+    ASRTask.train(cfg)
+    out = tmp_path / "dec"
+    rc = smain(["--exp_dir", cfg.exp_dir, "--data_dir", str(dev_dir),
+                "--output_dir", str(out), "--sim_chunk_length", "2048",
+                "--beam_size", "2", "--max_len", "8"])
+    assert rc == 0
+    assert (out / "text").exists()
+    hyp_lines = (out / "text").read_text().strip().splitlines()
+    assert len(hyp_lines) == 2
+    assert (out / "score.txt").exists()
