@@ -1,16 +1,23 @@
-"""Default acoustic frontend: STFT -> power spectrum -> log-mel.
+"""Acoustic frontend family: log-mel (default), sliding-window, fused.
 
 Parity target: reference espnet2/asr/frontend/default.py:17-131 (DefaultFrontend:
-Stft -> power -> LogMel, 80-dim). The whole chain is one jittable function —
-framing gather, basis matmul, square, mel matmul, log — which XLA fuses into a
-couple of kernels; it runs in fp32 (the reference forces fp32 for the frontend
-too, espnet2/asr/espnet_model.py:328).
+Stft -> power -> LogMel, 80-dim), windowing.py (SlidingWindow raw frames) and
+fused.py (FusedFrontends feature concat). The whole chain is one jittable
+function — framing gather, basis matmul, square, mel matmul, log — which XLA
+fuses into a couple of kernels; it runs in fp32 (the reference forces fp32 for
+the frontend too, espnet2/asr/espnet_model.py:328).
+
+The reference's S3prlFrontend (external SSL feature extractor) maps to the
+in-framework SSL path instead: ASRConfig(encoder="wav2vec2") consumes the raw
+waveform through models/wav2vec2.py (with HF weight import), which is the
+TPU-native equivalent of S3PRL-as-frontend.
 """
 from __future__ import annotations
 
 import dataclasses
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from . import stft as stft_mod
@@ -19,6 +26,9 @@ from .mel import logmel
 
 @dataclasses.dataclass(frozen=True)
 class FrontendConfig:
+    # "default" (log-mel) | "sliding_window" (raw frames) | "fused"
+    # (log-mel ++ sliding-window features, frame-aligned by shared hop).
+    type: str = "default"
     fs: int = 16000
     n_fft: int = 512
     win_length: int | None = None
@@ -38,6 +48,10 @@ def default_frontend(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """[B, N] waveform -> ([B, T, n_mels] log-mel fp32, [B] frame lengths)."""
     speech = speech.astype(jnp.float32)
+    if cfg.type == "sliding_window":
+        return sliding_window_frontend(speech, speech_lengths, cfg)
+    if cfg.type == "fused":
+        return fused_frontend(speech, speech_lengths, cfg)
     spec = stft_mod.stft(
         speech, n_fft=cfg.n_fft, win_length=cfg.win_length,
         hop_length=cfg.hop_length, window=cfg.window, center=cfg.center,
@@ -50,3 +64,48 @@ def default_frontend(
         fmin=cfg.fmin, fmax=cfg.fmax, htk=cfg.htk,
     )
     return feats, feat_lengths
+
+
+def sliding_window_frontend(
+    speech: jnp.ndarray,
+    speech_lengths: jnp.ndarray,
+    cfg: FrontendConfig = FrontendConfig(),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Raw windowed frames (espnet2/asr/frontend/windowing.py SlidingWindow).
+
+    [B, N] waveform -> ([B, T, win_length] raw frames, [B] frame lengths).
+    Uses the same center-padding + frame count math as the STFT path so a
+    sliding-window model sees identical time resolution to the log-mel one.
+    """
+    speech = speech.astype(jnp.float32)
+    win = cfg.win_length or cfg.n_fft
+    if cfg.center:
+        pad = cfg.n_fft // 2
+        speech = jnp.pad(speech, ((0, 0), (pad, pad)))
+    # Same framing geometry as stft(): n_fft-wide frames, centered win slice,
+    # so T and per-example lengths match the log-mel path exactly.
+    frames = stft_mod.frame_signal(speech, cfg.n_fft, cfg.hop_length)
+    off = (cfg.n_fft - win) // 2
+    frames = jax.lax.dynamic_slice_in_dim(frames, off, win, axis=-1)
+    feat_lengths = stft_mod.stft_out_lengths(
+        speech_lengths, n_fft=cfg.n_fft, hop=cfg.hop_length, center=cfg.center)
+    return frames, feat_lengths
+
+
+def fused_frontend(
+    speech: jnp.ndarray,
+    speech_lengths: jnp.ndarray,
+    cfg: FrontendConfig = FrontendConfig(),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Feature-concat of log-mel + raw sliding-window frames.
+
+    espnet2/asr/frontend/fused.py FusedFrontends analogue: both branches
+    share hop/window geometry so their frame axes align exactly and the
+    fusion is a plain concat on the feature axis (the reference aligns with
+    a learned projection; geometry-sharing makes that unnecessary here).
+    """
+    mel_cfg = dataclasses.replace(cfg, type="default")
+    mels, feat_lengths = default_frontend(speech, speech_lengths, mel_cfg)
+    raw, _ = sliding_window_frontend(speech, speech_lengths, cfg)
+    t = min(mels.shape[1], raw.shape[1])
+    return jnp.concatenate([mels[:, :t], raw[:, :t]], axis=-1), feat_lengths

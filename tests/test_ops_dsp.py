@@ -125,3 +125,59 @@ def test_specaug_shapes_and_masking():
     # Determinism under same key (jit vs eager differ only in float noise).
     y2 = np.asarray(specaug(key, x, lens, SpecAugConfig()))
     np.testing.assert_allclose(y, y2, atol=1e-5)
+
+
+def test_sliding_window_and_fused_frontend():
+    """sliding_window/fused frontends (windowing.py / fused.py parity):
+    frame axes align with the log-mel path; fused = concat on feature dim."""
+    import dataclasses as _dc
+    from espnet_slurp_tpu.ops.frontend import (fused_frontend,
+                                               sliding_window_frontend)
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 4000).astype(np.float32)
+    ilens = jnp.asarray([4000, 3000])
+    cfg = FrontendConfig(n_fft=256, win_length=200, hop_length=128, n_mels=16)
+
+    mels, mlens = jax.jit(lambda s, l: default_frontend(s, l, cfg))(
+        jnp.asarray(x), ilens)
+    raw, rlens = jax.jit(lambda s, l: sliding_window_frontend(s, l, cfg))(
+        jnp.asarray(x), ilens)
+    assert raw.shape[:2] == mels.shape[:2]
+    assert raw.shape[2] == 200
+    np.testing.assert_array_equal(np.asarray(mlens), np.asarray(rlens))
+    # Every raw frame is a contiguous slice of the (zero-padded) signal.
+    padded = np.pad(x, ((0, 0), (128, 128)))
+    start = 4 * 128 + (256 - 200) // 2
+    np.testing.assert_allclose(np.asarray(raw)[0, 4], padded[0, start:start + 200],
+                               rtol=1e-6, atol=1e-6)
+
+    fcfg = _dc.replace(cfg, type="fused")
+    fused, flens = jax.jit(lambda s, l: default_frontend(s, l, fcfg))(
+        jnp.asarray(x), ilens)
+    assert fused.shape[2] == 16 + 200
+    np.testing.assert_allclose(np.asarray(fused)[..., :16], np.asarray(mels),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_asr_model_frontend_types():
+    """ASR model trains a step with each frontend type (shape-inferred)."""
+    import dataclasses as _dc
+    from espnet_slurp_tpu.models.asr_model import ASRConfig, ASRModel
+    for ftype in ("sliding_window", "fused"):
+        cfg = ASRConfig(
+            vocab_size=12, d_model=16, n_head=2, d_ff=32,
+            num_encoder_blocks=1, num_decoder_blocks=1, decoder_d_ff=32,
+            kernel_size=7, dropout_rate=0.0, use_mvn="utterance",
+            frontend=FrontendConfig(type=ftype, n_fft=128, win_length=64,
+                                    hop_length=64, n_mels=8),
+            specaug=None)
+        model = ASRModel(cfg)
+        rng = np.random.RandomState(0)
+        batch = dict(
+            speech=jnp.asarray(rng.randn(2, 2048).astype(np.float32)),
+            speech_lengths=jnp.asarray([2048, 1536]),
+            text=jnp.asarray([[1, 2, 3], [4, 5, 0]]),
+            text_lengths=jnp.asarray([3, 2]))
+        params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+        loss, stats = model.apply({"params": params}, **batch)
+        assert np.isfinite(float(loss))
