@@ -10,10 +10,13 @@ def main(argv=None):
     p.add_argument("--text", required=True)
     p.add_argument("--out_wav", required=True)
     p.add_argument("--max_frames", type=int, default=500)
+    p.add_argument("--vocoder_exp_dir", default=None,
+                   help="trained hifigan/melgan/style_melgan exp dir "
+                        "(replaces Griffin-Lim, --vocoder_file analogue)")
     args = p.parse_args(argv)
     from ..data.fileio import write_wav
     from ..tasks.tts import Text2Speech
-    t2s = Text2Speech(args.exp_dir)
+    t2s = Text2Speech(args.exp_dir, vocoder_exp_dir=args.vocoder_exp_dir)
     mel, wav = t2s(args.text, max_frames=args.max_frames)
     if wav is not None:
         write_wav(args.out_wav, np.asarray(wav))

@@ -24,13 +24,32 @@ from ..train.optim import OptimConfig, build_optimizer
 from ..train.reporter import Reporter, SubReporter
 from ..train.state import TrainState
 from ..tts.fastspeech2 import FastSpeech2, FastSpeech2Config
-from ..tts.hifigan import HiFiGANConfig, HiFiGANDiscriminator
+from ..tts.hifigan import (HiFiGANConfig, HiFiGANDiscriminator,
+                           HiFiGANGenerator)
 from ..tts.jets import JETSConfig, JETSGenerator, make_jets_train_step
+from ..tts.melgan import (MelGANConfig, MelGANDiscriminator, MelGANGenerator,
+                          ParallelWaveGANConfig,
+                          ParallelWaveGANDiscriminator,
+                          ParallelWaveGANGenerator, StyleMelGANConfig,
+                          StyleMelGANDiscriminator, StyleMelGANGenerator)
 from ..tts.tacotron2 import Tacotron2, Tacotron2Config
 from ..tts.vits import VITSConfig, VITSGenerator, make_vits_train_step
 from ..utils.config import from_dict, load_yaml, merge_dicts, save_yaml
 
 log = logging.getLogger("espnet_slurp_tpu")
+
+VOCODER_ARCHS = ("hifigan", "melgan", "style_melgan", "parallel_wavegan")
+# Archs whose generator consumes a noise rng stream.
+NOISE_VOCODERS = ("style_melgan", "parallel_wavegan")
+
+
+def assert_hop(rates, hop: int):
+    prod = 1
+    for r in rates:
+        prod *= r
+    assert prod == hop, (
+        f"vocoder upsample_rates {rates} (prod {prod}) must multiply to the "
+        f"frontend hop_length {hop}")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,11 +66,19 @@ class TTSDataConfig:
 @dataclasses.dataclass(frozen=True)
 class TTSTaskConfig:
     exp_dir: str = "exp/tts"
-    arch: str = "tacotron2"  # tacotron2 | fastspeech2 | vits | jets
+    # text->mel: tacotron2 | fastspeech2; e2e text->wav: vits | jets;
+    # mel->wav vocoders (gan_tts family): hifigan | melgan | style_melgan.
+    arch: str = "tacotron2"
     tacotron2: Tacotron2Config = Tacotron2Config()
     fastspeech2: FastSpeech2Config = FastSpeech2Config()
     vits: VITSConfig = VITSConfig()
     jets: JETSConfig = JETSConfig()
+    hifigan: HiFiGANConfig = HiFiGANConfig()
+    melgan: MelGANConfig = MelGANConfig()
+    style_melgan: StyleMelGANConfig = StyleMelGANConfig()
+    parallel_wavegan: ParallelWaveGANConfig = ParallelWaveGANConfig()
+    # Random mel window (frames) per example for vocoder GAN updates.
+    vocoder_segment_frames: int = 32
     discriminator: HiFiGANConfig = HiFiGANConfig(in_channels=1)
     optim: OptimConfig = OptimConfig(lr=1e-3, scheduler="constant")
     data: TTSDataConfig = TTSDataConfig()
@@ -72,7 +99,11 @@ class TTSTask:
     @staticmethod
     def prepare_vocab(cfg: TTSTaskConfig):
         exp = Path(cfg.exp_dir)
-        texts = read_2column_text(Path(cfg.data.train_dir) / "text")
+        text_path = Path(cfg.data.train_dir) / "text"
+        if cfg.arch in VOCODER_ARCHS and not text_path.exists():
+            # Vocoder corpora are audio-only (wav.scp); no vocabulary.
+            return CharTokenizer(), TokenIDConverter(["<blank>", "<unk>"])
+        texts = read_2column_text(text_path)
         tokenizer = CharTokenizer()
         tl_path = exp / "tokens.txt"
         if tl_path.exists():
@@ -90,7 +121,11 @@ class TTSTask:
         from ..data.sampler import bucket_length
         fc = cfg.data.frontend
         wavs = read_2column_text(Path(data_dir) / "wav.scp")
-        texts = read_2column_text(Path(data_dir) / "text")
+        text_path = Path(data_dir) / "text"
+        if cfg.arch in VOCODER_ARCHS and not text_path.exists():
+            texts = {u: "" for u in wavs}  # audio-only vocoder corpus
+        else:
+            texts = read_2column_text(text_path)
         dur_path = Path(data_dir) / "durations"
         durations = read_2column_text(dur_path) if dur_path.exists() else None
         uids = sorted(wavs)
@@ -104,19 +139,23 @@ class TTSTask:
                     for u in chunk]
             wavs_np = [load_wav(wavs[u])[0] for u in chunk]
             n_max = bucket_length(max(len(w) for w in wavs_np), 4096)
-            if cfg.arch in ("vits", "jets"):
+            if cfg.arch in ("vits", "jets") + VOCODER_ARCHS:
                 # GAN paths consume the raw waveform; spectrogram/pitch
                 # features are extracted on-device inside the jitted step.
-                gc = cfg.vits if cfg.arch == "vits" else cfg.jets
-                n_max = max(n_max, gc.segment_size * gc.hop_length)
+                if cfg.arch in VOCODER_ARCHS:
+                    n_max = max(n_max, cfg.vocoder_segment_frames
+                                * cfg.data.frontend.hop_length * 2)
+                else:
+                    gc = cfg.vits if cfg.arch == "vits" else cfg.jets
+                    n_max = max(n_max, gc.segment_size * gc.hop_length)
             sp = np.zeros((len(chunk), n_max), np.float32)
             sl = np.zeros((len(chunk),), np.int32)
             for r, w in enumerate(wavs_np):
                 sp[r, :len(w)] = w
                 sl[r] = len(w)
-            l_max0 = bucket_length(max(len(t) for t in toks),
+            l_max0 = bucket_length(max(max(len(t) for t in toks), 1),
                                    cfg.data.text_bucket_multiple)
-            if cfg.arch in ("vits", "jets"):
+            if cfg.arch in ("vits", "jets") + VOCODER_ARCHS:
                 text = np.zeros((len(chunk), l_max0), np.int32)
                 tlens = np.zeros((len(chunk),), np.int32)
                 for r, t in enumerate(toks):
@@ -165,6 +204,29 @@ class TTSTask:
 
     @classmethod
     def build_model(cls, cfg: TTSTaskConfig, vocab_size: int):
+        if cfg.arch in VOCODER_ARCHS:
+            n_mels = cfg.data.frontend.n_mels
+            hop = cfg.data.frontend.hop_length
+            if cfg.arch == "hifigan":
+                mcfg = dataclasses.replace(cfg.hifigan, in_channels=n_mels)
+                assert_hop(mcfg.upsample_rates, hop)
+                return HiFiGANGenerator(mcfg), dataclasses.replace(
+                    cfg, hifigan=mcfg)
+            if cfg.arch == "melgan":
+                mcfg = dataclasses.replace(cfg.melgan, in_channels=n_mels)
+                assert_hop(mcfg.upsample_rates, hop)
+                return MelGANGenerator(mcfg), dataclasses.replace(
+                    cfg, melgan=mcfg)
+            if cfg.arch == "parallel_wavegan":
+                mcfg = dataclasses.replace(cfg.parallel_wavegan,
+                                           in_channels=n_mels)
+                assert_hop(mcfg.upsample_rates, hop)
+                return ParallelWaveGANGenerator(mcfg), dataclasses.replace(
+                    cfg, parallel_wavegan=mcfg)
+            mcfg = dataclasses.replace(cfg.style_melgan, in_channels=n_mels)
+            assert_hop(mcfg.upsample_rates, hop)
+            return StyleMelGANGenerator(mcfg), dataclasses.replace(
+                cfg, style_melgan=mcfg)
         if cfg.arch == "vits":
             mcfg = dataclasses.replace(cfg.vits, vocab_size=vocab_size)
             return VITSGenerator(mcfg), dataclasses.replace(cfg, vits=mcfg)
@@ -193,6 +255,8 @@ class TTSTask:
             return cls._train_vits(cfg, model, tokenizer, conv)
         if cfg.arch == "jets":
             return cls._train_jets(cfg, model, tokenizer, conv)
+        if cfg.arch in VOCODER_ARCHS:
+            return cls._train_vocoder(cfg, model, tokenizer, conv)
         batch0 = next(cls.batches(cfg, cfg.data.train_dir, tokenizer, conv,
                                   1, False))
         params = model.init(jax.random.PRNGKey(cfg.data.seed),
@@ -314,6 +378,158 @@ class TTSTask:
 
 
     @classmethod
+    def _train_vocoder(cls, cfg: TTSTaskConfig, gen, tokenizer, conv):
+        """Mel->wav vocoder GAN loop (gan_tts hifigan/melgan/style_melgan).
+
+        Random mel windows are sliced per step on-device (rand_slice), the
+        matching waveform window is the real sample; generator objective is
+        LSGAN adv + feature matching + mel-L1 + multi-resolution STFT
+        (hifigan.py / stft_loss.py loss stack). Discriminator: HiFiGAN
+        MPD+MSD for hifigan, MelGAN multi-scale for melgan, random-window
+        for style_melgan.
+        """
+        import optax
+
+        from ..train.gan_trainer import (GANTrainState, pack_gan_state,
+                                         unpack_gan_state)
+        from ..tts.hifigan import (discriminator_adv_loss,
+                                   feature_matching_loss, generator_adv_loss,
+                                   mel_l1_loss)
+        from ..tts.melgan import multi_resolution_stft_loss
+        from ..tts.vits import rand_slice, slice_wav
+
+        exp = Path(cfg.exp_dir)
+        fc = cfg.data.frontend
+        hop = fc.hop_length
+        seg = cfg.vocoder_segment_frames
+        style = cfg.arch == "style_melgan"
+        noisy = cfg.arch in NOISE_VOCODERS
+        if cfg.arch == "hifigan":
+            disc = HiFiGANDiscriminator(cfg.discriminator)
+        elif cfg.arch == "melgan":
+            disc = MelGANDiscriminator(cfg.melgan)
+        elif cfg.arch == "parallel_wavegan":
+            disc = ParallelWaveGANDiscriminator(cfg.parallel_wavegan)
+        else:
+            disc = StyleMelGANDiscriminator(cfg.style_melgan)
+
+        def gen_wav(gp, mel_seg, rng):
+            if noisy:
+                return gen.apply({"params": gp}, mel_seg, rng=rng,
+                                 rngs={"noise": rng})
+            return gen.apply({"params": gp}, mel_seg)
+
+        def disc_outs(dp, wav, rng):
+            if style:
+                return disc.apply({"params": dp}, wav,
+                                  rngs={"windows": rng})
+            return disc.apply({"params": dp}, wav)
+
+        mel0 = jnp.zeros((1, seg, fc.n_mels), jnp.float32)
+        key = jax.random.PRNGKey(cfg.data.seed)
+        if noisy:
+            gp = gen.init({"params": key, "noise": key}, mel0)["params"]
+        else:
+            gp = gen.init(key, mel0)["params"]
+        if style:
+            dp = disc.init({"params": key, "windows": key},
+                           jnp.zeros((1, seg * hop), jnp.float32))["params"]
+        else:
+            dp = disc.init(key,
+                           jnp.zeros((1, seg * hop), jnp.float32))["params"]
+        gen_tx = build_optimizer(cfg.optim)
+        disc_tx = build_optimizer(cfg.optim)
+        state = GANTrainState.create(gp, dp, gen_tx, disc_tx,
+                                     jax.random.PRNGKey(cfg.data.seed + 2))
+
+        def slice_batch(batch, rng):
+            mel, mel_lens = default_frontend(batch["speech"],
+                                             batch["speech_lengths"], fc)
+            mel_seg, starts = rand_slice(rng, mel,
+                                         jnp.maximum(mel_lens, seg), seg)
+            real = slice_wav(batch["speech"], starts, seg, hop)
+            return mel_seg, real
+
+        def gen_objective(fake, real, fake_outs, real_outs):
+            adv = generator_adv_loss(fake_outs)
+            fm = feature_matching_loss(real_outs, fake_outs)
+            mel_l = mel_l1_loss(fake, real, fc.n_fft, hop, fc.n_mels, fc.fs)
+            mr = multi_resolution_stft_loss(fake, real)
+            loss = adv + 2.0 * fm + 45.0 * mel_l + mr
+            return loss, {"adv": adv, "fm": fm, "mel_loss": mel_l,
+                          "mrstft": mr}
+
+        @jax.jit
+        def step(state: "GANTrainState", batch):
+            rng, r_seg, r_gen, r_win = jax.random.split(state.rng, 4)
+            mel_seg, real = slice_batch(batch, r_seg)
+            fake_d = jax.lax.stop_gradient(gen_wav(state.gen_params,
+                                                   mel_seg, r_gen))
+
+            def d_loss(dp_):
+                return discriminator_adv_loss(
+                    disc_outs(dp_, real, r_win),
+                    disc_outs(dp_, fake_d, r_win))
+
+            dl, d_grads = jax.value_and_grad(d_loss)(state.disc_params)
+            d_up, disc_opt = disc_tx.update(d_grads, state.disc_opt,
+                                            state.disc_params)
+            disc_params = optax.apply_updates(state.disc_params, d_up)
+
+            def g_loss(gp_):
+                fake = gen_wav(gp_, mel_seg, r_gen)
+                fouts = disc_outs(disc_params, fake, r_win)
+                routs = jax.tree.map(
+                    jax.lax.stop_gradient, disc_outs(disc_params, real,
+                                                     r_win))
+                loss, stats = gen_objective(fake, real, fouts, routs)
+                return loss, stats
+
+            (gl, gstats), g_grads = jax.value_and_grad(
+                g_loss, has_aux=True)(state.gen_params)
+            g_up, gen_opt = gen_tx.update(g_grads, state.gen_opt,
+                                          state.gen_params)
+            gen_params = optax.apply_updates(state.gen_params, g_up)
+            stats = {**gstats, "disc_loss": dl, "gen_loss": gl}
+            return state.replace(step=state.step + 1, gen_params=gen_params,
+                                 disc_params=disc_params, gen_opt=gen_opt,
+                                 disc_opt=disc_opt, rng=rng), stats
+
+        @jax.jit
+        def eval_step(gen_params, batch, rng):
+            mel_seg, real = slice_batch(batch, rng)
+            fake = gen_wav(gen_params, mel_seg, rng)
+            return {"loss": mel_l1_loss(fake, real, fc.n_fft, hop,
+                                        fc.n_mels, fc.fs)}
+
+        ckpt = CheckpointManager(exp, cfg.keep_nbest)
+        reporter = Reporter()
+        start = 1
+        if cfg.resume and ckpt.latest_epoch() is not None:
+            restored = ckpt.restore(ckpt.latest_epoch(),
+                                    pack_gan_state(state))
+            state = unpack_gan_state(restored)
+            reporter = ckpt.load_reporter()
+            start = ckpt.latest_epoch() + 1
+        for epoch in range(start, cfg.max_epoch + 1):
+            sub = SubReporter()
+            for batch in cls.batches(cfg, cfg.data.train_dir, tokenizer,
+                                     conv, epoch, True):
+                state, stats = step(state, batch)
+                sub.register({k: float(v) for k, v in stats.items()})
+            reporter.observe(epoch, "train", sub.mean())
+            sub = SubReporter()
+            for batch in cls.batches(cfg, cfg.data.valid_dir, tokenizer,
+                                     conv, epoch, False):
+                sub.register({k: float(v) for k, v in eval_step(
+                    state.gen_params, batch,
+                    jax.random.PRNGKey(epoch)).items()})
+            reporter.observe(epoch, "valid", sub.mean())
+            log.info(reporter.log_line(epoch))
+            ckpt.save_epoch(epoch, pack_gan_state(state), reporter)
+        return state
+
+    @classmethod
     def _train_jets(cls, cfg: TTSTaskConfig, gen: JETSGenerator, tokenizer,
                     conv):
         """GAN training loop for arch=jets (gan_tts/jets/jets.py:330-520
@@ -388,7 +604,8 @@ class Text2Speech:
     """Inference wrapper (tts_inference.py analogue): text -> (mel, wav)."""
 
     def __init__(self, exp_dir: str, ckpt_name: Optional[str] = None,
-                 use_griffin_lim: bool = True):
+                 use_griffin_lim: bool = True,
+                 vocoder_exp_dir: Optional[str] = None):
         exp = Path(exp_dir)
         self.cfg = load_tts_config(exp / "config.yaml")
         self.tokenizer, self.converter = TTSTask.prepare_vocab(self.cfg)
@@ -397,9 +614,33 @@ class Text2Speech:
         mgr = CheckpointManager(exp, self.cfg.keep_nbest)
         self.params = mgr.load_params(
             ckpt_name or f"{mgr.latest_epoch()}epoch")
-        if self.cfg.arch in ("vits", "jets") and "gen" in self.params:
+        if self.cfg.arch in ("vits", "jets") + VOCODER_ARCHS \
+                and "gen" in self.params:
             self.params = self.params["gen"]  # packed GAN checkpoint
         self.use_griffin_lim = use_griffin_lim
+        # Trained neural vocoder (tts_inference.py --vocoder_file analogue):
+        # replaces Griffin-Lim for mel-output archs.
+        self.vocoder = None
+        if vocoder_exp_dir is not None:
+            vexp = Path(vocoder_exp_dir)
+            vcfg = load_tts_config(vexp / "config.yaml")
+            assert vcfg.arch in VOCODER_ARCHS, vcfg.arch
+            self.vocoder, self.vocoder_cfg = TTSTask.build_model(
+                vcfg, vocab_size=1)[0], vcfg
+            vmgr = CheckpointManager(vexp, vcfg.keep_nbest)
+            vparams = vmgr.load_params(f"{vmgr.latest_epoch()}epoch")
+            self.vocoder_params = vparams.get("gen", vparams)
+
+    def _vocode(self, mel: np.ndarray) -> np.ndarray:
+        vcfg = self.vocoder_cfg
+        if vcfg.arch in NOISE_VOCODERS:
+            wav = self.vocoder.apply({"params": self.vocoder_params},
+                                     jnp.asarray(mel[None]),
+                                     rngs={"noise": jax.random.PRNGKey(0)})
+        else:
+            wav = self.vocoder.apply({"params": self.vocoder_params},
+                                     jnp.asarray(mel[None]))
+        return np.asarray(wav)[0]
 
     def __call__(self, text: str, max_frames: int = 500):
         ids = self.converter.tokens2ids(self.tokenizer.text2tokens(text))
@@ -428,6 +669,8 @@ class Text2Speech:
                 method=lambda m, x, xl: m.inference(x, xl))
         mel = np.asarray(mel)[0][: int(lens[0])]
         wav = None
+        if self.vocoder is not None and mel.shape[0] > 0:
+            return mel, self._vocode(mel)
         if self.use_griffin_lim and mel.shape[0] > 0:
             from ..tts.vocoder import griffin_lim
             fc = self.cfg.data.frontend
