@@ -4,8 +4,11 @@ Parity target: reference espnet2/enh/ (encoder -> separator -> decoder;
 SURVEY.md §2.7). Separator families provided:
 - 'blstm' / 'transformer': STFT magnitude masking (rnn_separator.py /
   transformer_separator.py, the reference's default recipe config);
-- 'tcn' / 'dprnn': time-domain learned conv filterbank + Conv-TasNet TCN
-  or dual-path RNN masks (tcn_separator.py, dprnn_separator.py);
+- 'tcn' / 'dprnn' / 'dptnet' / 'skim': time-domain learned conv filterbank
+  + Conv-TasNet TCN, dual-path RNN, dual-path transformer, or
+  skipping-memory LSTM masks (tcn/dprnn/dptnet/skim_separator.py);
+- 'dccrn': complex conv recurrent U-Net over the STFT
+  (dccrn_separator.py);
 - 'beamformer': multichannel mask-based MVDR (neural_beamformer.py).
 All train with SI-SNR + PIT.
 """
@@ -29,7 +32,8 @@ class EnhConfig:
     n_spk: int = 2
     n_fft: int = 512
     hop_length: int = 128
-    separator: str = "blstm"   # blstm | transformer | tcn | dprnn | beamformer
+    # blstm | transformer | tcn | dprnn | dptnet | skim | dccrn | beamformer
+    separator: str = "blstm"
     hidden: int = 256
     num_layers: int = 3
     n_head: int = 4
@@ -41,7 +45,10 @@ class EnhConfig:
     tcn_kernel: int = 3
     tcn_blocks: int = 4        # dilated blocks per repeat (X)
     tcn_repeats: int = 2       # repeats (R)
-    segment_size: int = 20     # dprnn dual-path segment
+    segment_size: int = 20     # dprnn/dptnet/skim segment
+    skim_causal: bool = True   # SkiM low-latency (causal memory) mode
+    dccrn_kernel_num: Tuple[int, ...] = (32, 64, 128)
+    dccrn_rnn_layers: int = 2
     mask_nonlinear: str = "relu"
     ref_channel: int = 0       # beamformer reference mic
     dtype: str = "float32"
@@ -60,10 +67,12 @@ class EnhModel(nn.Module):
         """[B, N] (or [B, N, C] multichannel for the beamformer) ->
         (est wavs [B, n_spk, N'], frame_lengths)."""
         c = self.cfg
-        if c.separator in ("tcn", "dprnn"):
+        if c.separator in ("tcn", "dprnn", "dptnet", "skim"):
             return self._separate_tasnet(speech_mix, speech_lengths)
         if c.separator == "beamformer":
             return self._separate_beamformer(speech_mix, speech_lengths)
+        if c.separator == "dccrn":
+            return self._separate_dccrn(speech_mix, speech_lengths)
         spec = stft(speech_mix, n_fft=c.n_fft, hop_length=c.hop_length)
         re, im = spec[..., 0], spec[..., 1]  # [B, T, F]
         mag = jnp.sqrt(re**2 + im**2 + 1e-8)
@@ -109,6 +118,7 @@ class EnhModel(nn.Module):
     def _separate_tasnet(self, speech_mix, speech_lengths):
         """Time-domain path: conv filterbank -> TCN/DPRNN masks -> deconv."""
         from .separators import (ConvDecoder, ConvEncoder, DPRNNSeparator,
+                                 DPTNetSeparator, SkiMSeparator,
                                  TCNSeparator)
         c = self.cfg
         enc = ConvEncoder(c.encoder_channels, c.encoder_kernel,
@@ -120,6 +130,16 @@ class EnhModel(nn.Module):
                 c.tcn_kernel, c.tcn_blocks, c.tcn_repeats,
                 mask_nonlinear=c.mask_nonlinear, dtype=c.jax_dtype,
                 name="separator")
+        elif c.separator == "dptnet":
+            sep = DPTNetSeparator(
+                c.encoder_channels, c.n_spk, c.n_head, c.hidden,
+                c.num_layers, c.segment_size, c.mask_nonlinear,
+                c.jax_dtype, name="separator")
+        elif c.separator == "skim":
+            sep = SkiMSeparator(
+                c.encoder_channels, c.n_spk, c.hidden, c.num_layers,
+                c.segment_size, c.skim_causal, c.mask_nonlinear,
+                c.jax_dtype, name="separator")
         else:
             sep = DPRNNSeparator(
                 c.encoder_channels, c.n_spk, c.hidden, c.num_layers,
@@ -132,6 +152,22 @@ class EnhModel(nn.Module):
                           name="decoder")
         est = dec(masked.reshape(b * s, k, n)).reshape(b, s, -1)
         return est, flens
+
+    def _separate_dccrn(self, speech_mix, speech_lengths):
+        """Complex-domain path: STFT -> DCCRN complex masks -> iSTFT."""
+        from .dccrn import DCCRNSeparator
+        c = self.cfg
+        spec = stft(speech_mix, n_fft=c.n_fft, hop_length=c.hop_length)
+        re, im = spec[..., 0], spec[..., 1]          # [B, T, F]
+        flens = stft_out_lengths(speech_lengths, c.n_fft, c.hop_length)
+        sep = DCCRNSeparator(
+            c.n_spk, c.dccrn_kernel_num, c.hidden, c.dccrn_rnn_layers,
+            dtype=c.jax_dtype, name="separator")
+        est_re, est_im = sep(re, im)                 # [B, S, T, F]
+        b, s, t, f = est_re.shape
+        est = istft((est_re + 1j * est_im).reshape(b * s, t, f),
+                    n_fft=c.n_fft, hop=c.hop_length)
+        return est.reshape(b, s, -1), flens
 
     def _separate_beamformer(self, speech_mix, speech_lengths):
         """Multichannel MVDR path: [B, N, C] -> n_spk beamformed wavs."""

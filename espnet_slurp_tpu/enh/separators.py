@@ -243,3 +243,176 @@ class DPRNNSeparator(nn.Module):
         score = score.reshape(b, -1, self.n_outputs, n)
         score = jnp.moveaxis(score, 2, 1).astype(jnp.float32)
         return _mask_nonlinear(score, self.mask_nonlinear)
+
+
+class ImprovedTransformerLayer(nn.Module):
+    """DPTNet block: MHSA + RNN-augmented feed-forward (dptnet.py:15-89).
+
+    The FFN is a BLSTM -> activation -> linear instead of two dense layers
+    (the paper's "improved transformer"). Both sublayers close with gLN.
+    On TPU the attention runs over a compile-time-constant segment length,
+    so every head lands on the MXU with no masking.
+    """
+    n_head: int
+    hidden: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..models.attention import MultiHeadAttention
+        n = x.shape[-1]
+        h = MultiHeadAttention(self.n_head, n, dtype=self.dtype,
+                               name="attn")(x, x, x, None)
+        x = GlobalLayerNorm(n, self.dtype, name="n_attn")(x + h)
+        fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype),
+                     name="fwd")(x)
+        bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype),
+                     name="bwd", reverse=True, keep_order=True)(x)
+        h = nn.relu(jnp.concatenate([fwd, bwd], axis=-1))
+        h = nn.Dense(n, dtype=self.dtype, name="ff")(h)
+        return GlobalLayerNorm(n, self.dtype, name="n_ff")(x + h)
+
+
+class DPTNetSeparator(nn.Module):
+    """Dual-path transformer separator (dptnet.py:91-180,
+    dptnet_separator.py:17-139).
+
+    Same half-overlap segmentation as DPRNN; each layer applies an
+    ImprovedTransformerLayer along the intra-segment axis then the
+    inter-segment axis, batched via static reshapes.
+    """
+    input_dim: int
+    n_outputs: int
+    n_head: int = 4
+    hidden: int = 128
+    n_layers: int = 2
+    segment_size: int = 20
+    mask_nonlinear: str = "relu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        x = feats.astype(self.dtype)
+        segs, rest = split_segments(x, self.segment_size)   # [B,S,seg,N]
+        b, s, seg, n = segs.shape
+        for i in range(self.n_layers):
+            intra = ImprovedTransformerLayer(
+                self.n_head, self.hidden, self.dtype, name=f"intra_{i}")(
+                segs.reshape(b * s, seg, n))
+            segs = intra.reshape(b, s, seg, n)
+            inter_in = jnp.swapaxes(segs, 1, 2).reshape(b * seg, s, n)
+            inter = ImprovedTransformerLayer(
+                self.n_head, self.hidden, self.dtype, name=f"inter_{i}")(
+                inter_in)
+            segs = jnp.swapaxes(inter.reshape(b, seg, s, n), 1, 2)
+        segs = nn.PReLU()(segs)
+        segs = nn.Dense(self.n_outputs * n, dtype=self.dtype,
+                        name="out")(segs)
+        score = merge_segments(
+            segs.reshape(b, s, seg, self.n_outputs * n), rest)
+        score = score.reshape(b, -1, self.n_outputs, n)
+        score = jnp.moveaxis(score, 2, 1).astype(jnp.float32)
+        return _mask_nonlinear(score, self.mask_nonlinear)
+
+
+class SegLSTM(nn.Module):
+    """Per-segment LSTM seeded by an external memory carry (skim.py:116-172).
+
+    Runs batched over [B*S, seg, N] with `initial_carry` = the MemLSTM
+    output, so all segments advance in one scan. Causal mode uses cLN
+    (per-step channel LayerNorm, skim.py norm_type='cLN') so no future
+    frame leaks through the normalization statistics.
+    """
+    hidden: int
+    causal: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, carry):
+        n = x.shape[-1]
+        carry, out = nn.RNN(
+            nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype),
+            name="lstm")(x, initial_carry=carry, return_carry=True)
+        out = nn.Dense(n, dtype=self.dtype, name="proj")(out)
+        if self.causal:
+            out = nn.LayerNorm(dtype=self.dtype, name="norm")(out)
+        else:
+            out = GlobalLayerNorm(n, self.dtype, name="norm")(out)
+        return x + out, carry
+
+
+class MemLSTM(nn.Module):
+    """Memory LSTM across segments (skim.py:13-113, mem_type='hc').
+
+    Takes the per-segment final (c, h) states [B, S, H], refines each with
+    its own LSTM+proj+gLN residual, and (causal mode) right-shifts by one
+    segment so segment s is seeded by memory of segments < s.
+    """
+    hidden: int
+    causal: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, c, h):
+        def refine(x, name):
+            y = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype),
+                       name=f"{name}_lstm")(x)
+            y = nn.Dense(self.hidden, dtype=self.dtype,
+                         name=f"{name}_proj")(y)
+            if self.causal:  # cLN: no cross-segment normalization leakage
+                return x + nn.LayerNorm(dtype=self.dtype,
+                                        name=f"{name}_norm")(y)
+            return x + GlobalLayerNorm(self.hidden, self.dtype,
+                                       name=f"{name}_norm")(y)
+        c, h = refine(c, "c"), refine(h, "h")
+        if self.causal:
+            c = jnp.pad(c[:, :-1], ((0, 0), (1, 0), (0, 0)))
+            h = jnp.pad(h[:, :-1], ((0, 0), (1, 0), (0, 0)))
+        return c, h
+
+
+class SkiMSeparator(nn.Module):
+    """Skipping-Memory LSTM separator (skim.py:174-267,
+    skim_separator.py:16-133).
+
+    Non-overlapping segments; each block = SegLSTM (batched over segments)
+    whose boundary states are woven across segments by a MemLSTM. Causal
+    by default (the paper's low-latency configuration); set causal=False
+    for an offline variant whose memory sees all segments.
+    """
+    input_dim: int
+    n_outputs: int
+    hidden: int = 128
+    n_blocks: int = 3
+    segment_size: int = 20
+    causal: bool = True
+    mask_nonlinear: str = "relu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        x = feats.astype(self.dtype)
+        b, k, n = x.shape
+        pad = (-k) % self.segment_size
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        s = x.shape[1] // self.segment_size
+        x = x.reshape(b * s, self.segment_size, n)
+        zeros = jnp.zeros((b * s, self.hidden), self.dtype)
+        carry = (zeros, zeros)
+        for i in range(self.n_blocks):
+            x, (c_f, h_f) = SegLSTM(self.hidden, self.causal, self.dtype,
+                                    name=f"seg_{i}")(x, carry)
+            if i < self.n_blocks - 1:
+                c, h = MemLSTM(self.hidden, self.causal, self.dtype,
+                               name=f"mem_{i}")(
+                    c_f.reshape(b, s, self.hidden),
+                    h_f.reshape(b, s, self.hidden))
+                carry = (c.reshape(b * s, self.hidden),
+                         h.reshape(b * s, self.hidden))
+        x = nn.PReLU()(x)
+        score = nn.Dense(self.n_outputs * n, dtype=self.dtype,
+                         name="out")(x)
+        score = score.reshape(b, s * self.segment_size,
+                              self.n_outputs, n)[:, :k]
+        score = jnp.moveaxis(score, 2, 1).astype(jnp.float32)
+        return _mask_nonlinear(score, self.mask_nonlinear)

@@ -182,3 +182,86 @@ def test_neural_beamformer_trains():
     assert np.isfinite(float(loss))
     assert all(np.isfinite(np.asarray(g)).all()
                for g in jax.tree.leaves(grads))
+
+
+@pytest.mark.parametrize("sep", ["dptnet", "skim"])
+def test_dualpath_separators_train(sep):
+    cfg = EnhConfig(n_spk=2, separator=sep, hidden=16, num_layers=2,
+                    n_head=2, encoder_channels=16, encoder_kernel=16,
+                    encoder_stride=8, segment_size=10)
+    model = EnhModel(cfg)
+    rng = np.random.RandomState(9)
+    s1 = rng.randn(2, 1600).astype(np.float32) * 0.3
+    s2 = rng.randn(2, 1600).astype(np.float32) * 0.3
+    batch = {
+        "speech_mix": jnp.asarray(s1 + s2),
+        "speech_mix_lengths": jnp.asarray([1600, 1200]),
+        "speech_ref": jnp.asarray(np.stack([s1, s2], 1)),
+    }
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+
+    def loss_fn(p):
+        return model.apply({"params": p}, **batch)
+
+    (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads))
+    est, _ = model.apply({"params": params}, batch["speech_mix"],
+                         batch["speech_mix_lengths"],
+                         method=lambda m, s, sl: m.separate(s, sl))
+    assert est.shape[:2] == (2, 2)
+
+
+def test_skim_causal_memory():
+    """Causal SkiM: masks for segment s must not depend on later segments."""
+    from espnet_slurp_tpu.enh.separators import SkiMSeparator
+    rng = np.random.RandomState(10)
+    seg, s, n = 8, 4, 12
+    x = rng.randn(1, seg * s, n).astype(np.float32)
+    sep = SkiMSeparator(n, 1, hidden=8, n_blocks=2, segment_size=seg,
+                        causal=True)
+    params = sep.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    base = np.asarray(sep.apply({"params": params}, jnp.asarray(x)))
+    x2 = x.copy()
+    x2[:, 2 * seg:] += 10.0  # perturb segments 2..3 only
+    out2 = np.asarray(sep.apply({"params": params}, jnp.asarray(x2)))
+    np.testing.assert_allclose(out2[:, :, : 2 * seg], base[:, :, : 2 * seg],
+                               atol=1e-5)
+    assert np.abs(out2[:, :, 2 * seg:] - base[:, :, 2 * seg:]).max() > 1e-3
+
+
+def test_dccrn_trains_and_causal():
+    cfg = EnhConfig(n_spk=1, separator="dccrn", n_fft=128, hop_length=64,
+                    hidden=16, dccrn_kernel_num=(4, 8), dccrn_rnn_layers=1)
+    model = EnhModel(cfg)
+    rng = np.random.RandomState(11)
+    clean = rng.randn(1, 1600).astype(np.float32) * 0.3
+    noise = rng.randn(1, 1600).astype(np.float32) * 0.1
+    batch = {
+        "speech_mix": jnp.asarray(clean + noise),
+        "speech_mix_lengths": jnp.asarray([1600]),
+        "speech_ref": jnp.asarray(clean[:, None]),
+    }
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+    (loss, _), grads = jax.value_and_grad(
+        lambda p: model.apply({"params": p}, **batch), has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads))
+    # Frame-level causality of the separator net: masks at frame t are
+    # unchanged when only later STFT frames are perturbed.
+    from espnet_slurp_tpu.enh.dccrn import DCCRNSeparator
+    sep = DCCRNSeparator(1, (4, 8), 16, 1)
+    spec = rng.randn(1, 12, 65).astype(np.float32)
+    spec_i = rng.randn(1, 12, 65).astype(np.float32)
+    sp = sep.init(jax.random.PRNGKey(1), jnp.asarray(spec),
+                  jnp.asarray(spec_i))["params"]
+    re0, im0 = sep.apply({"params": sp}, jnp.asarray(spec),
+                         jnp.asarray(spec_i))
+    spec2 = spec.copy()
+    spec2[:, 8:] += 5.0
+    re1, im1 = sep.apply({"params": sp}, jnp.asarray(spec2),
+                         jnp.asarray(spec_i))
+    np.testing.assert_allclose(np.asarray(re1)[:, :, :8],
+                               np.asarray(re0)[:, :, :8], atol=1e-4)
