@@ -1,10 +1,13 @@
 """Pallas TPU kernel: CTC forward-backward with custom VJP.
 
 Replaces the external cuDNN CTCLoss of the reference (espnet2/asr/ctc.py:38-41,
-SURVEY.md §2.9 'Pallas log-space forward-backward scan kernel'). One grid
-program per batch element; the (T, S) lattice lives in VMEM; the time loop is
+SURVEY.md §2.9 'Pallas log-space forward-backward scan kernel'). The grid
+tiles the batch into [BT, S] slabs (BT=8 rows -> one native f32 (8,128)
+tile per vector op); the (T, S) lattice lives in VMEM and the time loop is
 a fori_loop inside the kernel, so the whole recursion compiles to a single
 Mosaic kernel instead of a T-step XLA while-loop with per-step HLO overhead.
+Batch-tiling matters: one-row-per-program measured 14.9 ms fwd+bwd at
+B=64/T=468; 8-row slabs amortize the per-step loop overhead 8x.
 
 The vocab gather (emit log-probs for the blank-interleaved label sequence)
 and its scatter-transpose stay OUTSIDE the kernel in jax — XLA handles those
@@ -40,7 +43,7 @@ def _logaddexp3(a, b, c):
 
 
 def _shift_right(x, k):
-    """Shift a [1, S] row right by k states, filling -inf.
+    """Shift [BT, S] rows right by k states along lanes, filling -inf.
 
     Uses pltpu.roll (lane rotation) + iota mask — Mosaic cannot lower
     cross-tile 1-D concatenates, rolls it can.
@@ -58,72 +61,76 @@ def _shift_left(x, k):
 
 def _fwd_kernel(emit_ref, skip_ref, tlen_ref, last_ref,
                 loss_ref, alpha_ref):
-    """One batch element: emit [1, T, S], skip [1, S] (1.0 = skip allowed),
-    tlen/last scalars; outputs loss [1, 1] and alpha [1, T, S]."""
-    i_b = pl.program_id(0)
+    """One batch slab: emit [BT, T, S], skip [BT, S] (1.0 = skip allowed),
+    tlen/last [BT, 1] int32; outputs loss [BT, 1] and alpha [BT, T, S]."""
+    bt = emit_ref.shape[0]
     t_max = emit_ref.shape[1]
     s = emit_ref.shape[2]
-    skip = skip_ref[0, :, :]  # [1, S]
-    tlen = tlen_ref[i_b]
-    last = last_ref[i_b]
+    skip = skip_ref[...]        # [BT, S]
+    tlen = tlen_ref[...]        # [BT, 1]
+    last = last_ref[...]        # [BT, 1]
 
-    col = lax.broadcasted_iota(jnp.int32, (1, s), 1)
-    a0 = jnp.where(col < 2, emit_ref[0, 0:1, :], NEG)
-    alpha_ref[0, 0:1, :] = a0
+    col = lax.broadcasted_iota(jnp.int32, (bt, s), 1)
+    a0 = jnp.where(col < 2, emit_ref[:, 0, :], NEG)
+    alpha_ref[:, 0, :] = a0
 
     def body(t, alpha):
         a1 = _shift_right(alpha, 1)
         a2 = jnp.where(skip > 0, _shift_right(alpha, 2), NEG)
-        new = _logaddexp3(alpha, a1, a2) + emit_ref[0, pl.ds(t, 1), :]
+        new = _logaddexp3(alpha, a1, a2) + emit_ref[:, t, :]
         new = jnp.maximum(new, NEG)
         new = jnp.where(t < tlen, new, alpha)  # freeze past valid frames
-        alpha_ref[0, pl.ds(t, 1), :] = new
+        alpha_ref[:, t, :] = new
         return new
 
     alpha = lax.fori_loop(1, t_max, body, a0)
-    a_last = jnp.max(jnp.where(col == last, alpha, NEG))
-    a_prev = jnp.max(jnp.where(col == jnp.maximum(last - 1, 0), alpha, NEG))
+    a_last = jnp.max(jnp.where(col == last, alpha, NEG), axis=1,
+                     keepdims=True)
+    a_prev = jnp.max(jnp.where(col == jnp.maximum(last - 1, 0), alpha, NEG),
+                     axis=1, keepdims=True)
     m = jnp.maximum(jnp.maximum(a_last, a_prev), NEG)
     ll = m + jnp.log(jnp.exp(a_last - m) + jnp.exp(a_prev - m))
-    loss_ref[i_b, 0] = -ll
+    loss_ref[...] = -ll
 
 
 def _bwd_kernel(emit_ref, skip_ref, tlen_ref, last_ref, alpha_ref, g_ref,
                 demit_ref):
-    """Beta recursion + posterior gradient.
+    """Beta recursion + posterior gradient over a [BT, T, S] slab.
 
     d loss / d emit[t, s] = -exp(alpha[t,s] + beta[t,s] - ll) * g
     where beta excludes the emit term at (t, s) (standard CTC posterior).
     """
-    i_b = pl.program_id(0)
+    bt = emit_ref.shape[0]
     t_max = emit_ref.shape[1]
     s = emit_ref.shape[2]
-    skip = skip_ref[0, :, :]  # [1, S]
-    tlen = tlen_ref[i_b]
-    last = last_ref[i_b]
-    g = g_ref[i_b]
+    skip = skip_ref[...]        # [BT, S]
+    tlen = tlen_ref[...]        # [BT, 1]
+    last = last_ref[...]        # [BT, 1]
+    g = g_ref[...]              # [BT, 1]
 
-    col = lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    col = lax.broadcasted_iota(jnp.int32, (bt, s), 1)
 
     # Recompute ll from alpha at the last valid frame (t = tlen-1 is frozen
     # into alpha[t_max-1] by the forward freeze logic).
-    alpha_T = alpha_ref[0, t_max - 1:t_max, :]
-    a_last = jnp.max(jnp.where(col == last, alpha_T, NEG))
-    a_prev = jnp.max(jnp.where(col == jnp.maximum(last - 1, 0), alpha_T, NEG))
+    alpha_T = alpha_ref[:, t_max - 1, :]
+    a_last = jnp.max(jnp.where(col == last, alpha_T, NEG), axis=1,
+                     keepdims=True)
+    a_prev = jnp.max(jnp.where(col == jnp.maximum(last - 1, 0), alpha_T, NEG),
+                     axis=1, keepdims=True)
     m = jnp.maximum(jnp.maximum(a_last, a_prev), NEG)
-    ll = m + jnp.log(jnp.exp(a_last - m) + jnp.exp(a_prev - m))
+    ll = m + jnp.log(jnp.exp(a_last - m) + jnp.exp(a_prev - m))  # [BT, 1]
 
     # beta[t, s]: probability of the suffix, WITHOUT emit at (t, s).
     beta_T = jnp.where((col == last) | (col == jnp.maximum(last - 1, 0)),
-                       0.0, NEG)  # [1, S]
-    skip_shift2 = _shift_left(jnp.where(skip > 0, jnp.zeros((1, s)), NEG), 2)
+                       0.0, NEG)  # [BT, S]
+    skip_shift2 = _shift_left(jnp.where(skip > 0, jnp.zeros((bt, s)), NEG), 2)
 
     def body(i, beta):
         # i runs 0..t_max-2 mapping to t = t_max-2-i; only t < tlen-1 active.
         t = t_max - 2 - i
         # beta[t, s] = lse over successors at t+1 (each including its own
         # emission): stay (s), advance (s+1), skip (s+2 if allowed there).
-        emit_n = emit_ref[0, pl.ds(t + 1, 1), :]
+        emit_n = emit_ref[:, t + 1, :]
         be = beta + emit_n
         b1 = _shift_left(be, 1)
         b2 = _shift_left(be, 2) + skip_shift2
@@ -131,17 +138,17 @@ def _bwd_kernel(emit_ref, skip_ref, tlen_ref, last_ref, alpha_ref, g_ref,
         new = jnp.maximum(new, NEG)
         # At t >= tlen-1 beta stays terminal (those frames do not exist).
         new = jnp.where(t < tlen - 1, new, beta)
-        post = alpha_ref[0, pl.ds(t, 1), :] + new - ll
-        demit_ref[0, pl.ds(t, 1), :] = -jnp.exp(jnp.minimum(post, 0.0)) * g
+        post = alpha_ref[:, t, :] + new - ll
+        active = t < tlen  # [BT, 1]: frames past the valid length get 0
+        demit_ref[:, t, :] = jnp.where(
+            active, -jnp.exp(jnp.minimum(post, 0.0)) * g, 0.0)
         return new
 
     lax.fori_loop(0, t_max - 1, body, beta_T)
     # Top row t = t_max-1: terminal beta (only meaningful when tlen == t_max).
-    post_T = alpha_ref[0, t_max - 1:t_max, :] + beta_T - ll
-    demit_ref[0, t_max - 1:t_max, :] = -jnp.exp(jnp.minimum(post_T, 0.0)) * g
-    # Mask frames past each example's valid length.
-    t_col = lax.broadcasted_iota(jnp.int32, (1, t_max, 1), 1)
-    demit_ref[...] = jnp.where(t_col < tlen, demit_ref[...], 0.0)
+    post_T = alpha_ref[:, t_max - 1, :] + beta_T - ll
+    demit_ref[:, t_max - 1, :] = jnp.where(
+        t_max - 1 < tlen, -jnp.exp(jnp.minimum(post_T, 0.0)) * g, 0.0)
 
 
 def _round_up(x, m):
@@ -154,24 +161,37 @@ def _ctc_core(emit, skip, tlen, last):
     return loss
 
 
+def _batch_tile(b: int, t: int, s: int, n_bufs: int) -> int:
+    """Rows per slab: prefer 8 (one native f32 (8,128) tile per vector op),
+    halving while the slab's VMEM working set (n_bufs [bt,T,S] f32 buffers)
+    would exceed ~12 MB or b is not divisible."""
+    bt = 16
+    while bt > 1 and (b % bt != 0
+                      or n_bufs * bt * t * s * 4 > 12 * 1024 * 1024):
+        bt //= 2
+    return bt
+
+
 def _pallas_fwd(emit, skip, tlen, last):
     b, t, s = emit.shape
-    grid = (b,)
+    bt = _batch_tile(b, t, s, 2)
     kernel = pl.pallas_call(
         _fwd_kernel,
-        grid=grid,
+        grid=(b // bt,),
         in_specs=[
-            pl.BlockSpec((1, t, s), lambda i: (i, 0, 0),
+            pl.BlockSpec((bt, t, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0),
+            pl.BlockSpec((bt, s), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((b, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, t, s), lambda i: (i, 0, 0),
+            pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, t, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -180,7 +200,7 @@ def _pallas_fwd(emit, skip, tlen, last):
         ],
         interpret=_interp(),
     )
-    return kernel(emit, skip, tlen, last)
+    return kernel(emit, skip, tlen[:, None], last[:, None])
 
 
 def _ctc_fwd(emit, skip, tlen, last):
@@ -196,27 +216,31 @@ def _pallas_fwd_squeeze(emit, skip, tlen, last):
 def _ctc_bwd(res, g):
     emit, skip, tlen, last, alpha = res
     b, t, s = emit.shape
+    bt = _batch_tile(b, t, s, 3)
     kernel = pl.pallas_call(
         _bwd_kernel,
-        grid=(b,),
+        grid=(b // bt,),
         in_specs=[
-            pl.BlockSpec((1, t, s), lambda i: (i, 0, 0),
+            pl.BlockSpec((bt, t, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0),
+            pl.BlockSpec((bt, s), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, t, s), lambda i: (i, 0, 0),
+            pl.BlockSpec((bt, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, t, s), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t, s), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((bt, t, s), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, s), jnp.float32),
         interpret=_interp(),
     )
-    demit = kernel(emit, skip, tlen, last, alpha,
-                   g.reshape(b).astype(jnp.float32))
+    demit = kernel(emit, skip, tlen[:, None], last[:, None], alpha,
+                   g.reshape(b, 1).astype(jnp.float32))
     return demit, None, None, None
 
 
@@ -250,7 +274,7 @@ def ctc_loss_pallas(
     smax = 2 * label_lengths + 1
     emit = jnp.where((col < smax[:, None])[:, None, :], emit, NEG)
     last = (2 * label_lengths).astype(jnp.int32)
-    loss = _ctc_core(emit, skip[:, None, :], logit_lengths.astype(jnp.int32),
+    loss = _ctc_core(emit, skip, logit_lengths.astype(jnp.int32),
                      last)
     # zero_infinity semantics: U > T is one infeasible case, but so is
     # T < U + n_repeats (adjacent repeats need a separating blank); detect
@@ -272,7 +296,14 @@ def ctc_loss_pallas_logits(
     transpose of take_along_axis is a one-axis scatter XLA lowers well,
     whereas a hand-written 3-index scatter-add measured 6x slower on v5e
     (95 ms vs 16 ms fwd+bwd at B=64/T=468/V=5000). The training hot path
-    on TPU (PERF_NOTES.md round-2)."""
+    on TPU (PERF_NOTES.md round-2).
+
+    The logsumexp is written so bf16 logits are NEVER upcast to a
+    materialized f32 [B,T,V] buffer: the f32 convert feeds straight into
+    the exp+sum reduction (XLA fuses it into one bf16-read pass), and the
+    backward's softmax term stays an elementwise chain emitting the bf16
+    cotangent directly — halves the dominant [B,T,V] HBM traffic vs
+    `logsumexp(logits.astype(f32))` (PERF_NOTES.md round-2 follow-up)."""
     b, t, v = logits.shape
     u = labels.shape[1]
     s = 2 * u + 1
@@ -284,7 +315,11 @@ def ctc_loss_pallas_logits(
     allow = (ext[:, :s] != blank_id) & (ext[:, :s] != ext_prev2)
     skip = jnp.zeros((b, s_pad), jnp.float32).at[:, :s].set(
         allow.astype(jnp.float32))
-    z = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)  # [B, T]
+    # z invariant to the (stopped) max shift, so grads stay exact.
+    m = lax.stop_gradient(jnp.max(logits, axis=-1))            # [B, T]
+    zsum = jnp.sum(jnp.exp((logits - m[..., None]).astype(jnp.float32)),
+                   axis=-1)
+    z = m.astype(jnp.float32) + jnp.log(zsum)                  # [B, T] f32
     emit = jnp.take_along_axis(
         logits, ext[:, None, :].astype(jnp.int32), axis=2
     ).astype(jnp.float32) - z[..., None]  # [B, T, S_pad]
@@ -292,7 +327,7 @@ def ctc_loss_pallas_logits(
     smax = 2 * label_lengths + 1
     emit = jnp.where((col < smax[:, None])[:, None, :], emit, NEG)
     last = (2 * label_lengths).astype(jnp.int32)
-    loss = _ctc_core(emit, skip[:, None, :], logit_lengths.astype(jnp.int32),
+    loss = _ctc_core(emit, skip, logit_lengths.astype(jnp.int32),
                      last)
     feasible = (label_lengths <= logit_lengths) & (loss < -NEG / 2)
     return jnp.where(feasible, loss, 0.0)
