@@ -24,7 +24,7 @@ def main(argv=None):
     wavs = read_2column_text(Path(args.data_dir) / "wav.scp")
     with DatadirWriter(out) as w:
         for uid, path in wavs.items():
-            wav, sr = load_wav(path)
+            wav, sr = load_wav(path, keep_channels=sep.multichannel)
             est = sep(wav)
             for s in range(est.shape[0]):
                 wav_path = out / "wav" / f"{uid}_spk{s+1}.wav"

@@ -29,6 +29,13 @@ def _load_sound(path):
     return SoundScpReader(path)
 
 
+@_register("sound_mc")
+def _load_sound_mc(path):
+    """Multichannel wav.scp: arrays come back [T, C] (enh beamformer /
+    FaSNet mixtures; reference sound loader keeps channels)."""
+    return SoundScpReader(path, keep_channels=True)
+
+
 @_register("npy")
 def _load_npy(path):
     return NpyScpReader(path)

@@ -27,15 +27,21 @@ def read_2column_text(path: str | Path) -> Dict[str, str]:
     return out
 
 
-def load_wav(path: str) -> Tuple[np.ndarray, int]:
+def load_wav(path: str, keep_channels: bool = False
+             ) -> Tuple[np.ndarray, int]:
     """Read a wav file -> (float32 waveform in [-1, 1], sample rate).
 
     Fast path: the native C++ decoder (native/wavio.cpp); scipy decodes
-    anything the native parser declines (exotic codecs/containers)."""
-    from .. import native
-    got = native.load_wav(path)
-    if got is not None:
-        return got
+    anything the native parser declines (exotic codecs/containers).
+    keep_channels=True returns [T, C] for multichannel files (reference
+    sound loader keeps channels; enh beamformer/FaSNet consume them) —
+    that path always decodes via scipy since the native decoder extracts
+    channel 0."""
+    if not keep_channels:
+        from .. import native
+        got = native.load_wav(path)
+        if got is not None:
+            return got
     from scipy.io import wavfile
     sr, data = wavfile.read(path)
     if data.dtype == np.int16:
@@ -46,8 +52,8 @@ def load_wav(path: str) -> Tuple[np.ndarray, int]:
         data = (data.astype(np.float32) - 128.0) / 128.0
     else:
         data = data.astype(np.float32)
-    if data.ndim == 2:  # multi-channel: keep channel 0 (reference selects ch)
-        data = data[:, 0]
+    if data.ndim == 2 and not keep_channels:
+        data = data[:, 0]  # multi-channel: keep channel 0 (ref selects ch)
     return data, sr
 
 
@@ -75,12 +81,14 @@ def write_wav(path: str, wav: np.ndarray, sr: int = 16000) -> None:
 class SoundScpReader(Mapping):
     """wav.scp reader: {uttid: path} -> waveform arrays on demand."""
 
-    def __init__(self, path: str, dtype=np.float32):
+    def __init__(self, path: str, dtype=np.float32,
+                 keep_channels: bool = False):
         self._map = read_2column_text(path)
         self.dtype = dtype
+        self.keep_channels = keep_channels
 
     def __getitem__(self, key) -> np.ndarray:
-        wav, _sr = load_wav(self._map[key])
+        wav, _sr = load_wav(self._map[key], self.keep_channels)
         return wav.astype(self.dtype)
 
     def shape(self, key) -> int:

@@ -9,7 +9,8 @@ SURVEY.md §2.7). Separator families provided:
   skipping-memory LSTM masks (tcn/dprnn/dptnet/skim_separator.py);
 - 'dccrn': complex conv recurrent U-Net over the STFT
   (dccrn_separator.py);
-- 'beamformer': multichannel mask-based MVDR (neural_beamformer.py).
+- 'beamformer': multichannel mask-based MVDR (neural_beamformer.py);
+- 'fasnet': multichannel time-domain filter-and-sum + TAC (fasnet.py).
 All train with SI-SNR + PIT.
 """
 from __future__ import annotations
@@ -33,6 +34,7 @@ class EnhConfig:
     n_fft: int = 512
     hop_length: int = 128
     # blstm | transformer | tcn | dprnn | dptnet | skim | dccrn | beamformer
+    # | fasnet (multichannel time-domain filter-and-sum, fasnet.py)
     separator: str = "blstm"
     hidden: int = 256
     num_layers: int = 3
@@ -49,6 +51,8 @@ class EnhConfig:
     skim_causal: bool = True   # SkiM low-latency (causal memory) mode
     dccrn_kernel_num: Tuple[int, ...] = (32, 64, 128)
     dccrn_rnn_layers: int = 2
+    fasnet_window: int = 64    # FaSNet frame length in samples (4 ms @ 16k)
+    fasnet_context: int = 64   # FaSNet context in samples per side
     mask_nonlinear: str = "relu"
     ref_channel: int = 0       # beamformer reference mic
     dtype: str = "float32"
@@ -71,6 +75,8 @@ class EnhModel(nn.Module):
             return self._separate_tasnet(speech_mix, speech_lengths)
         if c.separator == "beamformer":
             return self._separate_beamformer(speech_mix, speech_lengths)
+        if c.separator == "fasnet":
+            return self._separate_fasnet(speech_mix, speech_lengths)
         if c.separator == "dccrn":
             return self._separate_dccrn(speech_mix, speech_lengths)
         spec = stft(speech_mix, n_fft=c.n_fft, hop_length=c.hop_length)
@@ -168,6 +174,20 @@ class EnhModel(nn.Module):
         est = istft((est_re + 1j * est_im).reshape(b * s, t, f),
                     n_fft=c.n_fft, hop=c.hop_length)
         return est.reshape(b, s, -1), flens
+
+    def _separate_fasnet(self, speech_mix, speech_lengths):
+        """Multichannel time-domain path: [B, N, C] -> filter-and-sum wavs
+        (fasnet_separator.py analogue; fixed-geometry array)."""
+        from .fasnet import FaSNetTAC
+        c = self.cfg
+        fasnet = FaSNetTAC(
+            n_spk=c.n_spk, enc_dim=c.encoder_channels,
+            feature_dim=c.bottleneck, hidden=c.hidden,
+            n_layers=c.num_layers, segment_size=c.segment_size,
+            window=c.fasnet_window, context=c.fasnet_context,
+            dtype=c.jax_dtype, name="fasnet")
+        est = fasnet(jnp.moveaxis(speech_mix, 2, 1))     # [B, n_spk, T]
+        return est, speech_lengths
 
     def _separate_beamformer(self, speech_mix, speech_lengths):
         """Multichannel MVDR path: [B, N, C] -> n_spk beamformed wavs."""

@@ -43,10 +43,16 @@ def load_enh_config(path=None, overrides=None) -> EnhTaskConfig:
     return load_config(EnhTaskConfig, path, overrides)
 
 
+# separators consuming [B, T, C] multichannel mixtures
+MULTICHANNEL_SEPARATORS = ("beamformer", "fasnet")
+
+
 class EnhTask:
     @staticmethod
-    def build_dataset(data_dir: str, n_spk: int) -> SpeechDataset:
-        streams = [(str(Path(data_dir) / "wav.scp"), "speech_mix", "sound")]
+    def build_dataset(data_dir: str, n_spk: int,
+                      multichannel: bool = False) -> SpeechDataset:
+        mix_type = "sound_mc" if multichannel else "sound"
+        streams = [(str(Path(data_dir) / "wav.scp"), "speech_mix", mix_type)]
         for i in range(n_spk):
             streams.append((str(Path(data_dir) / f"spk{i+1}.scp"),
                             f"spk{i+1}", "sound"))
@@ -71,8 +77,9 @@ class EnhTask:
         n_spk = cfg.model.n_spk
         adapt = cls.batch_adapter(n_spk)
         buckets = {"speech_mix": cfg.speech_bucket_multiple}
+        mc = cfg.model.separator in MULTICHANNEL_SEPARATORS
         mk = lambda d, sh: simple_iter_factory(
-            cls.build_dataset(d, n_spk), adapt, cfg.batch_size,
+            cls.build_dataset(d, n_spk, mc), adapt, cfg.batch_size,
             cfg.run.seed, sh, buckets)
         batch0 = next(iter(mk(cfg.train_dir, False)(1)))
 
@@ -108,11 +115,15 @@ class SeparateSpeech:
             {"params": p}, x, ln,
             method=lambda m, x, ln: m.separate(x, ln)))
 
+    @property
+    def multichannel(self) -> bool:
+        return self.cfg.model.separator in MULTICHANNEL_SEPARATORS
+
     def __call__(self, wav: np.ndarray) -> np.ndarray:
-        """[N] mixture -> [n_spk, N'] separated estimates."""
+        """[N] (or [N, C] multichannel) mixture -> [n_spk, N'] estimates."""
         from ..data.sampler import bucket_length
         n = bucket_length(len(wav), self.cfg.speech_bucket_multiple)
-        buf = np.zeros((1, n), np.float32)
+        buf = np.zeros((1, n) + wav.shape[1:], np.float32)
         buf[0, :len(wav)] = wav
         est, _ = self._jit(self.params, jnp.asarray(buf),
                            jnp.asarray([len(wav)], jnp.int32))

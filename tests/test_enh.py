@@ -265,3 +265,79 @@ def test_dccrn_trains_and_causal():
                          jnp.asarray(spec_i))
     np.testing.assert_allclose(np.asarray(re1)[:, :, :8],
                                np.asarray(re0)[:, :, :8], atol=1e-4)
+
+def test_fasnet_xcorr_matches_bruteforce():
+    from espnet_slurp_tpu.enh.fasnet import sliding_sq_norm, xcorr_fft
+    rng = np.random.RandomState(10)
+    x = rng.randn(3, 48).astype(np.float32)
+    y = rng.randn(3, 16).astype(np.float32)
+    n_out = 48 - 16 + 1
+    got = np.asarray(xcorr_fft(jnp.asarray(x), jnp.asarray(y), n_out))
+    want = np.stack([[x[b, j:j + 16] @ y[b] for j in range(n_out)]
+                     for b in range(3)])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    norms = np.asarray(sliding_sq_norm(jnp.asarray(x), 16, n_out))
+    want_n = np.stack([[np.linalg.norm(x[b, j:j + 16])
+                        for j in range(n_out)] for b in range(3)])
+    np.testing.assert_allclose(norms, want_n, rtol=1e-4, atol=1e-4)
+
+
+def test_fasnet_frame_ola_roundtrip():
+    from espnet_slurp_tpu.enh.fasnet import frame_signal, overlap_add
+    rng = np.random.RandomState(11)
+    t, win, ctx = 317, 16, 8
+    x = jnp.asarray(rng.randn(2, t).astype(np.float32))
+    chunks, _ = frame_signal(x, win, ctx)
+    centers = chunks[..., ctx:ctx + win]
+    y = overlap_add(centers, win)
+    # 50%-overlap OLA doubles the signal; offset by the front stride pad.
+    np.testing.assert_allclose(np.asarray(y[:, win // 2:win // 2 + t]),
+                               2.0 * np.asarray(x), rtol=1e-5, atol=1e-5)
+
+
+def test_fasnet_separator_trains():
+    cfg = EnhConfig(n_spk=2, separator="fasnet", hidden=16, num_layers=1,
+                    encoder_channels=16, bottleneck=16, segment_size=8,
+                    fasnet_window=16, fasnet_context=16)
+    model = EnhModel(cfg)
+    rng = np.random.RandomState(12)
+    s1 = rng.randn(2, 800).astype(np.float32) * 0.3
+    s2 = rng.randn(2, 800).astype(np.float32) * 0.3
+    mix = np.stack([s1 + s2, 0.8 * (s1 + s2)], axis=2)  # [B, T, C=2]
+    batch = {
+        "speech_mix": jnp.asarray(mix),
+        "speech_mix_lengths": jnp.asarray([800, 600]),
+        "speech_ref": jnp.asarray(np.stack([s1, s2], 1)),
+    }
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+
+    def loss_fn(p):
+        return model.apply({"params": p}, **batch)
+
+    (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads))
+    est, _ = model.apply({"params": params}, batch["speech_mix"],
+                         batch["speech_mix_lengths"],
+                         method=lambda m, s, sl: m.separate(s, sl))
+    assert est.shape == (2, 2, 800)
+
+
+def test_fasnet_channel_mask_matches_subarray():
+    """Masked ad-hoc array == physically dropping the masked mic."""
+    from espnet_slurp_tpu.enh.fasnet import FaSNetTAC
+    rng = np.random.RandomState(13)
+    wav3 = rng.randn(1, 3, 400).astype(np.float32)
+    net = FaSNetTAC(n_spk=2, enc_dim=8, feature_dim=8, hidden=8,
+                    n_layers=1, segment_size=8, window=16, context=16)
+    params = net.init(jax.random.PRNGKey(0), jnp.asarray(wav3))["params"]
+    mask = jnp.asarray([[1.0, 1.0, 0.0]])
+    out_masked = net.apply({"params": params}, jnp.asarray(wav3), mask)
+    # same params on the 2-mic subarray (mic contents of channel 2 ignored)
+    wav3_zeroed = wav3.copy()
+    wav3_zeroed[:, 2] = rng.randn(400)  # garbage in the masked channel
+    out_masked2 = net.apply({"params": params}, jnp.asarray(wav3_zeroed),
+                            mask)
+    np.testing.assert_allclose(np.asarray(out_masked),
+                               np.asarray(out_masked2), rtol=1e-4, atol=1e-4)
