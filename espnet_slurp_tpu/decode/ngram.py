@@ -48,15 +48,29 @@ def _sparse_rows(rows: Dict[int, List[Tuple[int, float]]]):
             np.asarray(lps, np.float32))
 
 
+#: arrays persisted by the binary cache (everything scoring needs)
+_BINARY_FIELDS = ("uni", "uni_bo", "bi_ctx", "bi_off", "bi_len", "bi_w",
+                  "bi_lp", "tri_ctx", "tri_off", "tri_len", "tri_w",
+                  "tri_lp", "bi_bo_key", "bi_bo")
+
+
 class ArpaLM:
     """ARPA file (orders 1-3) over a token-id vocabulary.
 
     ``token_to_id`` maps ARPA words to decoder token ids (map <s>/</s> to
-    the decoder's sos/eos); OOV ARPA entries are dropped.
+    the decoder's sos/eos); OOV ARPA entries are dropped. ``.gz`` ARPA
+    files are read transparently. For big LMs, compile once with
+    ``save_binary`` and start instantly with ``ArpaLM.load_binary`` —
+    the KenLM ``build_binary`` analogue (reference scorers/ngram.py loads
+    KenLM binaries; the compiled tables here ARE the scorer's runtime
+    format, so the cache is exact).
     """
 
     def __init__(self, path: str, token_to_id: Dict[str, int],
                  vocab_size: int):
+        if path.endswith((".npz", ".bin")):  # compiled cache, not ARPA text
+            self._load_arrays(path, vocab_size)
+            return
         self.v = vocab_size
         self.uni = np.full((vocab_size,), np.log(1e-10), np.float32)
         self.uni_bo = np.zeros((vocab_size,), np.float32)
@@ -64,7 +78,13 @@ class ArpaLM:
         bi_bo: Dict[int, float] = {}
         tri_rows: Dict[int, List] = {}
         order = 0
-        with open(path, encoding="utf-8", errors="replace") as f:
+        if path.endswith(".gz"):
+            import gzip
+            opener = lambda p: gzip.open(p, "rt", encoding="utf-8",
+                                         errors="replace")
+        else:
+            opener = lambda p: open(p, encoding="utf-8", errors="replace")
+        with opener(path) as f:
             for raw in f:
                 line = raw.strip()
                 if line.startswith("\\") and "-grams:" in line:
@@ -113,6 +133,31 @@ class ArpaLM:
         self.max_row = int(max(
             1, self.bi_len.max() if len(self.bi_len) else 1,
             self.tri_len.max() if len(self.tri_len) else 1))
+
+    def save_binary(self, path: str) -> None:
+        """Compile to a binary cache (kenlm build_binary analogue): one
+        uncompressed .npz of the flat scoring tables; loading skips the
+        ARPA parse entirely."""
+        np.savez(path if path.endswith(".npz") else path + ".npz",
+                 v=np.int64(self.v), max_row=np.int64(self.max_row),
+                 **{k: getattr(self, k) for k in _BINARY_FIELDS})
+
+    def _load_arrays(self, path: str, vocab_size: int) -> None:
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        self.v = int(z["v"])
+        if vocab_size and vocab_size != self.v:
+            raise ValueError(
+                f"binary ngram was compiled for vocab {self.v}, "
+                f"decoder has {vocab_size}")
+        self.max_row = int(z["max_row"])
+        for k in _BINARY_FIELDS:
+            setattr(self, k, z[k])
+
+    @classmethod
+    def load_binary(cls, path: str) -> "ArpaLM":
+        lm = cls.__new__(cls)
+        lm._load_arrays(path, 0)
+        return lm
 
 
 def _lookup(keys, vals, q):

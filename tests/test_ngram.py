@@ -121,3 +121,46 @@ def test_ngram_beam_fusion_runs():
                          ctc_weight=0.0, lm_weight=0.5),
         lm_step=lm_step, lm_init=lm_init)
     assert toks.shape == (1, 4)
+
+
+def test_ngram_binary_cache_roundtrip(tmp_path):
+    """save_binary/load_binary (kenlm build_binary analogue) is exact, and
+    gzip ARPA input reads transparently."""
+    import gzip
+
+    p = tmp_path / "lm.arpa.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(ARPA)
+    lm = ArpaLM(str(p), TOK, V)
+    binp = tmp_path / "lm.npz"
+    lm.save_binary(str(binp))
+    lm2 = ArpaLM.load_binary(str(binp))
+    lm3 = ArpaLM(str(binp), TOK, V)  # path-based dispatch in __init__
+    for src in (lm2, lm3):
+        assert src.v == lm.v and src.max_row == lm.max_row
+        for k in ("uni", "uni_bo", "bi_ctx", "bi_w", "bi_lp", "tri_ctx",
+                  "tri_w", "tri_lp", "bi_bo_key", "bi_bo"):
+            np.testing.assert_array_equal(getattr(src, k), getattr(lm, k))
+    step, init = make_ngram_fusion(lm, sos_id=4)
+    step2, init2 = make_ngram_fusion(lm2, sos_id=4)
+    st, st2 = init(2), init2(2)
+    y = jnp.asarray([1, 2])
+    row, _ = step(y, st)
+    row2, _ = step2(y, st2)
+    np.testing.assert_allclose(np.asarray(row), np.asarray(row2))
+
+
+def test_ngram_compile_cli(tmp_path):
+    from espnet_slurp_tpu.bin import ngram_compile
+
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(ARPA)
+    tokens = tmp_path / "tokens.txt"
+    tokens.write_text("\n".join(["<blank>", "a", "b", "c", "<sos/eos>"]))
+    out = tmp_path / "lm.npz"
+    ngram_compile.main(["--arpa", str(arpa), "--tokens", str(tokens),
+                        "--output", str(out)])
+    lm = ArpaLM.load_binary(str(out))
+    assert lm.v == 5
+    # unigram for 'a' present at id 1
+    assert abs(lm.uni[1] - (-0.60206 * L10)) < 1e-4
