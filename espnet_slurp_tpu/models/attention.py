@@ -139,6 +139,10 @@ class RelPosMultiHeadAttention(nn.Module):
         if mask_bias is not None:
             scores = scores + mask_bias
         attn = nn.softmax(scores, axis=-1).astype(self.dtype)
+        # Diagnostics harvest (calculate_all_attentions analogue). The
+        # flash path above cannot sow — its probabilities never leave VMEM
+        # by design — so attention plots use this materialized path.
+        self.sow("intermediates", "attn", attn)
         if self.dropout_rate > 0.0 and not deterministic:
             attn = nn.Dropout(self.dropout_rate)(attn, deterministic=False)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,

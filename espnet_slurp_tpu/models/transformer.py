@@ -58,6 +58,9 @@ class CachedAttention(nn.Module):
         if mask_bias is not None:
             scores = scores + mask_bias
         attn = nn.softmax(scores, axis=-1).astype(self.dtype)
+        # Diagnostics harvest (calculate_all_attentions analogue) — gives
+        # the decoder self/cross heat-maps the reference plots per epoch.
+        self.sow("intermediates", "attn", attn)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
         return self.wo(out.reshape(*q_in.shape[:-1], self.n_feat))

@@ -69,6 +69,10 @@ class ASRTaskConfig:
     # KB-token rare-error term fed by the biasing trie's token set.
     mbr: MBRConfig = MBRConfig()
     max_epoch: int = 40
+    # Dump attention heat-maps for this many valid examples after every
+    # epoch into exp_dir/att_ws/<epoch>ep/ (reference Trainer.plot_attention
+    # num_att_plot, default 3 there; 0 here so micro smoke runs stay lean).
+    num_att_plot: int = 0
     patience: Optional[int] = None
     keep_nbest: int = 10
     nbest_average: int = 5
@@ -324,6 +328,20 @@ class ASRTask:
 
         mvn_stats = cls.load_mvn_stats(cfg)
         ckpt = CheckpointManager(exp, cfg.keep_nbest)
+
+        attention_hook = None
+        if cfg.num_att_plot > 0:
+            from ..train.attention_plot import (calculate_all_attentions,
+                                                plot_attentions)
+            plot_batch = next(iter(valid_if(1)))
+            plot_batch = {k: v[:cfg.num_att_plot] for k, v in
+                          plot_batch.items()}
+
+            def attention_hook(state, epoch):
+                atts = calculate_all_attentions(model, state.params,
+                                                plot_batch)
+                plot_attentions(atts, exp / "att_ws" / f"{epoch}ep")
+
         trainer = Trainer(
             make_train_step(model, tx, mvn_stats=mvn_stats,
                             grad_noise_eta=cfg.optim.grad_noise_eta,
@@ -338,7 +356,7 @@ class ASRTask:
                            nbest_average=cfg.nbest_average,
                            log_interval=cfg.log_interval,
                            resume=cfg.resume),
-            mesh=mesh)
+            mesh=mesh, attention_hook=attention_hook)
         return trainer.run(state, train_if, valid_if)
 
 

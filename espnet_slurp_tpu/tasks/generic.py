@@ -67,7 +67,7 @@ def run_training(*, exp_dir: str, model, init_fn: Callable,
                  train_factory, valid_factory, optim: OptimConfig,
                  run: RunOptions, train_apply: Callable,
                  eval_apply: Callable, mesh=None,
-                 resolved_cfg=None) -> TrainState:
+                 resolved_cfg=None, attention_hook=None) -> TrainState:
     """Generic Trainer.run over jitted steps with task apply adapters.
 
     train_apply(params, batch, dropout_rng, specaug_rng) -> (loss, stats)
@@ -93,7 +93,7 @@ def run_training(*, exp_dir: str, model, init_fn: Callable,
                        keep_nbest=run.keep_nbest,
                        nbest_average=run.nbest_average,
                        log_interval=run.log_interval, resume=run.resume),
-        mesh=mesh)
+        mesh=mesh, attention_hook=attention_hook)
     return trainer.run(state, train_factory, valid_factory)
 
 

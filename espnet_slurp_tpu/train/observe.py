@@ -91,6 +91,55 @@ class WandbSink:
             self._run = None
 
 
+class MatplotlibSink:
+    """Training-curve PNG sink (reporter.py:492 matplotlib_plot analogue).
+
+    Accumulates per-(phase, key) epoch history and redraws
+    ``exp_dir/images/<key>.png`` after every epoch with one line per
+    phase — the same at-a-glance loss/acc curves the reference drops into
+    the experiment dir. No-op when matplotlib is absent.
+    """
+
+    def __init__(self, exp_dir: str | Path):
+        self._dir = Path(exp_dir) / "images"
+        self._hist: Dict[str, Dict[str, list]] = {}  # key -> phase -> [(e,v)]
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            self._plt = plt
+        except Exception:  # pragma: no cover - optional dependency
+            self._plt = None
+            log.info("matplotlib unavailable; curve plots disabled")
+
+    def scalars(self, phase: str, stats: Dict[str, float], step: int):
+        if self._plt is None:
+            return
+        changed = []
+        for k, v in stats.items():
+            if not isinstance(v, (int, float)):
+                continue
+            self._hist.setdefault(k, {}).setdefault(phase, []).append(
+                (step, float(v)))
+            changed.append(k)
+        self._dir.mkdir(parents=True, exist_ok=True)
+        for k in changed:
+            fig, ax = self._plt.subplots(figsize=(5, 3))
+            for ph, pts in sorted(self._hist[k].items()):
+                xs, ys = zip(*pts)
+                ax.plot(xs, ys, marker="o", markersize=2, label=ph)
+            ax.set_xlabel("epoch")
+            ax.set_ylabel(k)
+            ax.grid(True, alpha=0.3)
+            ax.legend()
+            fig.tight_layout()
+            fig.savefig(self._dir / f"{k.replace('/', '.')}.png")
+            self._plt.close(fig)
+
+    def close(self):
+        pass
+
+
 class ProfilerHook:
     """jax.profiler trace over a step window (torch.profiler analogue).
 

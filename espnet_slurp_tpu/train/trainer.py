@@ -36,6 +36,7 @@ class TrainerOptions:
     tensorboard: bool = True
     use_wandb: bool = False
     wandb_project: Optional[str] = None
+    plot_curves: bool = True  # exp_dir/images/<metric>.png epoch curves
     profile_start_step: Optional[int] = None
     profile_stop_step: Optional[int] = None
 
@@ -45,12 +46,16 @@ class Trainer:
 
     def __init__(self, train_step: Callable, eval_step: Callable,
                  ckpt: CheckpointManager, options: TrainerOptions,
-                 mesh=None):
+                 mesh=None, attention_hook: Optional[Callable] = None):
         self.train_step = train_step
         self.eval_step = eval_step
         self.ckpt = ckpt
         self.options = options
         self.mesh = mesh
+        # Per-epoch diagnostics callback (reference Trainer.plot_attention,
+        # trainer.py:774-859): called as hook(state, epoch) on the primary
+        # process after validation; tasks wire attention heat-map dumps.
+        self.attention_hook = attention_hook
 
     def _place(self, batch):
         if self.mesh is not None:
@@ -72,7 +77,8 @@ class Trainer:
                 start_epoch = latest + 1
                 log.info("resumed from epoch %d", latest)
 
-        from .observe import ProfilerHook, TensorboardSink, WandbSink
+        from .observe import (MatplotlibSink, ProfilerHook, TensorboardSink,
+                              WandbSink)
         # Sinks are primary-process-only on pods (the reference's rank-0-only
         # trainer sinks, trainer.py:247-257): secondary processes racing on
         # the same event-file dir is both wasteful and a makedirs crash.
@@ -83,6 +89,8 @@ class Trainer:
             sinks.append(TensorboardSink(self.ckpt.exp_dir))
         if o.use_wandb and primary:
             sinks.append(WandbSink(self.ckpt.exp_dir, o.wandb_project))
+        if o.plot_curves and primary:
+            sinks.append(MatplotlibSink(self.ckpt.exp_dir))
         prof = None
         if o.profile_start_step is not None and primary:
             prof = ProfilerHook(self.ckpt.exp_dir, o.profile_start_step,
@@ -126,6 +134,12 @@ class Trainer:
             for sink in sinks:
                 sink.scalars("train", train_mean, epoch)
                 sink.scalars("valid", valid_mean, epoch)
+
+            if self.attention_hook is not None and primary:
+                try:
+                    self.attention_hook(state, epoch)
+                except Exception as e:  # diagnostics must not kill training
+                    log.warning("attention plot hook failed: %s", e)
 
             self.ckpt.save_epoch(epoch, state, reporter)
             if o.patience is not None and reporter.check_early_stopping(
