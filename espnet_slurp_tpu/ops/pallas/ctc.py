@@ -283,6 +283,34 @@ def ctc_loss_pallas(
     return jnp.where(feasible, loss, 0.0)
 
 
+@jax.custom_vjp
+def _fused_logsumexp(logits):
+    """Per-frame logsumexp [B, T, V] -> f32 [B, T] whose BACKWARD stays in
+    the logits dtype: the softmax cotangent `exp(logits - z) * g` is one
+    elementwise chain in bf16 (two bf16 [B,T,V] passes) instead of XLA's
+    default f32 exp/multiply/convert chain (~4 GB extra step traffic at
+    B=64/T=512/V=5000). bf16 softmax error is ~0.4% relative — noise next
+    to the CTC posterior difference it feeds (tolerance-tested)."""
+    m = jnp.max(logits, axis=-1)
+    zsum = jnp.sum(jnp.exp((logits - m[..., None]).astype(jnp.float32)),
+                   axis=-1)
+    return m.astype(jnp.float32) + jnp.log(zsum)
+
+
+def _fused_logsumexp_fwd(logits):
+    z = _fused_logsumexp(logits)
+    return z, (logits, z)
+
+
+def _fused_logsumexp_bwd(res, g):
+    logits, z = res
+    p = jnp.exp(logits - z.astype(logits.dtype)[..., None])
+    return (p * g.astype(logits.dtype)[..., None],)
+
+
+_fused_logsumexp.defvjp(_fused_logsumexp_fwd, _fused_logsumexp_bwd)
+
+
 def ctc_loss_pallas_logits(
     logits: jnp.ndarray,
     logit_lengths: jnp.ndarray,
@@ -315,11 +343,7 @@ def ctc_loss_pallas_logits(
     allow = (ext[:, :s] != blank_id) & (ext[:, :s] != ext_prev2)
     skip = jnp.zeros((b, s_pad), jnp.float32).at[:, :s].set(
         allow.astype(jnp.float32))
-    # z invariant to the (stopped) max shift, so grads stay exact.
-    m = lax.stop_gradient(jnp.max(logits, axis=-1))            # [B, T]
-    zsum = jnp.sum(jnp.exp((logits - m[..., None]).astype(jnp.float32)),
-                   axis=-1)
-    z = m.astype(jnp.float32) + jnp.log(zsum)                  # [B, T] f32
+    z = _fused_logsumexp(logits)                               # [B, T] f32
     emit = jnp.take_along_axis(
         logits, ext[:, None, :].astype(jnp.int32), axis=2
     ).astype(jnp.float32) - z[..., None]  # [B, T, S_pad]

@@ -37,6 +37,11 @@ class FastSpeech2Config:
     pitch_embed_kernel: int = 9
     dropout_rate: float = 0.1
     max_frames: int = 1000
+    # GST (tts/gst.py): style embedding from the target mel added to the
+    # encoder output (reference espnet2/tts/fastspeech2.py use_gst).
+    use_gst: bool = False
+    gst_tokens: int = 10
+    gst_heads: int = 4
     dtype: str = "float32"
 
     @property
@@ -131,6 +136,12 @@ class FastSpeech2(nn.Module):
                                     padding="SAME", dtype=c.jax_dtype,
                                     name="energy_embed")
         self.mel_out = nn.Dense(c.n_mels, dtype=c.jax_dtype)
+        if c.use_gst:
+            from .gst import StyleEncoder
+            self.gst = StyleEncoder(gst_tokens=c.gst_tokens,
+                                    gst_token_dim=c.d_model,
+                                    gst_heads=c.gst_heads,
+                                    dtype=c.jax_dtype, name="gst")
 
     def encode(self, text, text_lengths, deterministic=True):
         c = self.cfg
@@ -159,6 +170,8 @@ class FastSpeech2(nn.Module):
         """
         c = self.cfg
         x, tmask = self.encode(text, text_lengths, deterministic=not train)
+        if c.use_gst:
+            x = x + self.gst(mel)[:, None]
         d_pred = self.duration_predictor(x, tmask)  # predicts log(1+dur)
         p_pred = self.pitch_predictor(x, tmask)
         e_pred = self.energy_predictor(x, tmask)
@@ -194,11 +207,17 @@ class FastSpeech2(nn.Module):
         stats["loss"] = loss
         return loss, stats
 
-    def inference(self, text, text_lengths, speed: float = 1.0):
+    def inference(self, text, text_lengths, speed: float = 1.0,
+                  ref_mel=None):
         """Predict variances -> mel. Returns (mel [B, max_frames, n_mels],
-        frame_lengths)."""
+        frame_lengths). With use_gst, ``ref_mel`` supplies the style
+        reference; None conditions on the zero reference."""
         c = self.cfg
         x, tmask = self.encode(text, text_lengths)
+        if c.use_gst:
+            if ref_mel is None:
+                ref_mel = jnp.zeros((text.shape[0], 256, c.n_mels), x.dtype)
+            x = x + self.gst(ref_mel)[:, None]
         d_pred = self.duration_predictor(x, tmask)
         durations = jnp.clip(
             jnp.round((jnp.exp(d_pred) - 1.0) / speed), 0, None

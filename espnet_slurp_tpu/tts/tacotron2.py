@@ -41,6 +41,12 @@ class Tacotron2Config:
     postnet_kernel: int = 5
     reduction_factor: int = 1
     dropout_rate: float = 0.5
+    # GST (tts/gst.py, style_encoder.py analogue): style embedding from the
+    # target mel added to the encoder memory (reference espnet2/tts/
+    # tacotron2.py use_gst: hs = hs + style_embs.unsqueeze(1)).
+    use_gst: bool = False
+    gst_tokens: int = 10
+    gst_heads: int = 4
     dtype: str = "float32"
 
     @property
@@ -115,6 +121,13 @@ class Tacotron2(nn.Module):
     def setup(self):
         c = self.cfg
         self.encoder = Tacotron2Encoder(c, name="encoder")
+        if c.use_gst:
+            from .gst import StyleEncoder
+            # token dim must match the memory width (bi-LSTM output)
+            self.gst = StyleEncoder(gst_tokens=c.gst_tokens,
+                                    gst_token_dim=2 * c.enc_lstm_units,
+                                    gst_heads=c.gst_heads,
+                                    dtype=c.jax_dtype, name="gst")
         self.prenet = Prenet(c, name="prenet")
         self.att_query = nn.Dense(c.att_dim, use_bias=False,
                                   dtype=c.jax_dtype)
@@ -190,6 +203,8 @@ class Tacotron2(nn.Module):
         r = c.reduction_factor
         memory, enc_mask = self.encoder(text, text_lengths,
                                         deterministic=not train)
+        if c.use_gst:
+            memory = memory + self.gst(mel)[:, None]
         b, t_mel, _ = mel.shape
         # Group frames by reduction factor.
         t_red = t_mel // r
@@ -223,12 +238,19 @@ class Tacotron2(nn.Module):
         return loss, stats
 
     def inference(self, text, text_lengths, max_frames: int = 500,
-                  stop_threshold: float = 0.5):
+                  stop_threshold: float = 0.5, ref_mel=None):
         """Autoregressive generation -> (mel [B, max_frames, n_mels],
-        frame_lengths [B])."""
+        frame_lengths [B]). With use_gst, ``ref_mel`` [B, T, n_mels]
+        supplies the style reference (tts_inference.py passes `speech`);
+        None conditions on the zero reference."""
         c = self.cfg
         r = c.reduction_factor
         memory, enc_mask = self.encoder(text, text_lengths)
+        if c.use_gst:
+            if ref_mel is None:
+                ref_mel = jnp.zeros(
+                    (text.shape[0], 4 * (2 ** 6), c.n_mels), memory.dtype)
+            memory = memory + self.gst(ref_mel)[:, None]
         b, t_enc = enc_mask.shape
         memory_proj = self.att_memory(memory)
         carries = [cell.initialize_carry(jax.random.PRNGKey(0),

@@ -89,3 +89,29 @@ def test_pallas_ctc_logits_matches_scan_logits():
     g_s = jax.grad(lambda lg: ctc_loss_logits(
         lg, ilens, labels, olens).sum())(logits)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_s), atol=2e-4)
+
+
+def test_fused_logsumexp_bf16_backward_close_to_f32():
+    """The custom-VJP logsumexp (bf16 backward chain) must match the f32
+    softmax gradient within bf16 tolerance."""
+    import jax
+    import jax.numpy as jnp
+    from espnet_slurp_tpu.ops.pallas.ctc import _fused_logsumexp
+
+    rng = np.random.RandomState(0)
+    x32 = rng.randn(2, 7, 300).astype(np.float32) * 3.0
+    x = jnp.asarray(x32, jnp.bfloat16)
+    g = jnp.asarray(rng.randn(2, 7).astype(np.float32))
+
+    def via_custom(xx):
+        return jnp.sum(_fused_logsumexp(xx) * g)
+
+    def via_f32(xx):
+        return jnp.sum(jax.nn.logsumexp(xx.astype(jnp.float32), axis=-1) * g)
+
+    z1 = np.asarray(_fused_logsumexp(x))
+    z2 = np.asarray(jax.nn.logsumexp(jnp.asarray(x32), axis=-1))
+    np.testing.assert_allclose(z1, z2, rtol=5e-3, atol=5e-3)
+    g1 = np.asarray(jax.grad(via_custom)(x).astype(jnp.float32))
+    g2 = np.asarray(jax.grad(via_f32)(jnp.asarray(x32)))
+    np.testing.assert_allclose(g1, g2, rtol=0.05, atol=2e-3)

@@ -173,3 +173,59 @@ def test_fastspeech2_task_e2e(tmp_path):
     t2s = Text2Speech(cfg.exp_dir, use_griffin_lim=False)
     mel, wav = t2s("charlie delta")
     assert mel.ndim == 2 and mel.shape[1] == 16
+
+
+def test_gst_style_encoder_shapes():
+    from espnet_slurp_tpu.tts.gst import StyleEncoder
+    enc = StyleEncoder(gst_tokens=4, gst_token_dim=32, gst_heads=2,
+                       conv_chans=(8, 8), gru_units=8)
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(2, 40, 16).astype(np.float32))
+    params = enc.init(jax.random.PRNGKey(0), mel)["params"]
+    style = enc.apply({"params": params}, mel)
+    assert style.shape == (2, 32)
+    # different references -> different styles (non-degenerate)
+    mel2 = jnp.asarray(rng.randn(2, 40, 16).astype(np.float32) * 3.0)
+    style2 = enc.apply({"params": params}, mel2)
+    assert float(jnp.abs(style - style2).max()) > 1e-5
+
+
+@pytest.mark.parametrize("which", ["taco", "fs2"])
+def test_gst_conditioned_tts_trains(which):
+    import dataclasses
+    batch = _tts_batch()
+    if which == "taco":
+        cfg = dataclasses.replace(TACO, use_gst=True, gst_tokens=4,
+                                  gst_heads=2)
+        model = Tacotron2(cfg)
+        params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: model.apply({"params": p}, **batch),
+            has_aux=True)(params)
+        assert "gst" in params
+        mel, _ = model.apply(
+            {"params": params}, batch["text"], batch["text_lengths"], 24,
+            method=lambda m, t, tl, mf: m.inference(t, tl, mf,
+                                                    ref_mel=batch["mel"]))
+        assert mel.shape == (2, 24, 16)
+    else:
+        cfg = dataclasses.replace(FS2, use_gst=True, gst_tokens=4,
+                                  gst_heads=2)
+        model = FastSpeech2(cfg)
+        rng = np.random.RandomState(1)
+        durs = jnp.asarray(rng.randint(1, 4, size=(2, 6)), jnp.int32)
+        fs_batch = dict(batch, durations=durs)
+        params = model.init(jax.random.PRNGKey(0), **fs_batch)["params"]
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: model.apply({"params": p}, **fs_batch),
+            has_aux=True)(params)
+        assert "gst" in params
+        mel, _ = model.apply(
+            {"params": params}, batch["text"], batch["text_lengths"],
+            method=lambda m, t, tl: m.inference(t, tl,
+                                                ref_mel=batch["mel"]))
+        assert mel.shape[0] == 2
+    assert np.isfinite(float(loss))
+    # style-encoder params receive gradient through the conditioning
+    gst_grads = jax.tree.leaves(grads["gst"])
+    assert any(float(jnp.abs(g).max()) > 0 for g in gst_grads)
