@@ -48,8 +48,11 @@ class CachedAttention(nn.Module):
         """[B, Tk, D] -> (k, v) each [B, Tk, H, Dh]."""
         return self._split(self.wk(kv_in)), self._split(self.wv(kv_in))
 
-    def attend(self, q_in, k, v, mask_bias=None):
-        """q_in: [B, Tq, D]; k, v: [B, Tk, H, Dh] -> [B, Tq, D]."""
+    def attend(self, q_in, k, v, mask_bias=None, return_probs=False):
+        """q_in: [B, Tq, D]; k, v: [B, Tk, H, Dh] -> [B, Tq, D].
+
+        return_probs=True also returns the [B, H, Tq, Tk] attention
+        probabilities (guided-attention losses, Transformer-TTS)."""
         dh = self.n_feat // self.n_head
         q = self._split(self.wq(q_in))
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
@@ -63,7 +66,10 @@ class CachedAttention(nn.Module):
         self.sow("intermediates", "attn", attn)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
-        return self.wo(out.reshape(*q_in.shape[:-1], self.n_feat))
+        out = self.wo(out.reshape(*q_in.shape[:-1], self.n_feat))
+        if return_probs:
+            return out, attn
+        return out
 
     def __call__(self, q_in, kv_in, mask_bias=None):
         k, v = self.project_kv(kv_in)
@@ -102,9 +108,17 @@ class DecoderLayer(nn.Module):
         self.ff = FeedForward(self.d_model, self.d_ff, self.dropout_rate,
                               self.dtype)
 
-    def __call__(self, x, self_bias, memory, mem_bias, deterministic=True):
+    def __call__(self, x, self_bias, memory, mem_bias, deterministic=True,
+                 return_cross_probs=False):
         x = x + self.self_attn(self.norm1(x), self.norm1(x), self_bias)
-        x = x + self.src_attn(self.norm2(x), memory, mem_bias)
+        k, v = self.src_attn.project_kv(memory)
+        if return_cross_probs:
+            out, probs = self.src_attn.attend(self.norm2(x), k, v, mem_bias,
+                                              return_probs=True)
+            x = x + out
+            x = x + self.ff(self.norm3(x), deterministic)
+            return x, probs
+        x = x + self.src_attn.attend(self.norm2(x), k, v, mem_bias)
         x = x + self.ff(self.norm3(x), deterministic)
         return x
 

@@ -33,6 +33,7 @@ from ..tts.melgan import (MelGANConfig, MelGANDiscriminator, MelGANGenerator,
                           ParallelWaveGANGenerator, StyleMelGANConfig,
                           StyleMelGANDiscriminator, StyleMelGANGenerator)
 from ..tts.tacotron2 import Tacotron2, Tacotron2Config
+from ..tts.transformer_tts import TransformerTTS, TransformerTTSConfig
 from ..tts.vits import VITSConfig, VITSGenerator, make_vits_train_step
 from ..utils.config import from_dict, load_yaml, merge_dicts, save_yaml
 
@@ -66,10 +67,12 @@ class TTSDataConfig:
 @dataclasses.dataclass(frozen=True)
 class TTSTaskConfig:
     exp_dir: str = "exp/tts"
-    # text->mel: tacotron2 | fastspeech2; e2e text->wav: vits | jets;
+    # text->mel: tacotron2 | transformer_tts | fastspeech2;
+    # e2e text->wav: vits | jets;
     # mel->wav vocoders (gan_tts family): hifigan | melgan | style_melgan.
     arch: str = "tacotron2"
     tacotron2: Tacotron2Config = Tacotron2Config()
+    transformer_tts: TransformerTTSConfig = TransformerTTSConfig()
     fastspeech2: FastSpeech2Config = FastSpeech2Config()
     vits: VITSConfig = VITSConfig()
     jets: JETSConfig = JETSConfig()
@@ -239,6 +242,12 @@ class TTSTask:
                 cfg.tacotron2, vocab_size=vocab_size,
                 n_mels=cfg.data.frontend.n_mels)
             return Tacotron2(mcfg), dataclasses.replace(cfg, tacotron2=mcfg)
+        if cfg.arch == "transformer_tts":
+            mcfg = dataclasses.replace(
+                cfg.transformer_tts, vocab_size=vocab_size,
+                n_mels=cfg.data.frontend.n_mels)
+            return TransformerTTS(mcfg), dataclasses.replace(
+                cfg, transformer_tts=mcfg)
         mcfg = dataclasses.replace(cfg.fastspeech2, vocab_size=vocab_size,
                                    n_mels=cfg.data.frontend.n_mels)
         return FastSpeech2(mcfg), dataclasses.replace(cfg, fastspeech2=mcfg)
@@ -659,7 +668,7 @@ class Text2Speech:
                 method=lambda m, x, xl: m.infer(x, xl,
                                                 max_frames=max_frames))
             return None, np.asarray(wav)[0][: int(wav_lens[0])]
-        if self.cfg.arch == "tacotron2":
+        if self.cfg.arch in ("tacotron2", "transformer_tts"):
             mel, lens = self.model.apply(
                 {"params": self.params}, t, tl, max_frames,
                 method=lambda m, x, xl, mf: m.inference(x, xl, mf))
@@ -669,9 +678,12 @@ class Text2Speech:
                 method=lambda m, x, xl: m.inference(x, xl))
         mel = np.asarray(mel)[0][: int(lens[0])]
         wav = None
-        if self.vocoder is not None and mel.shape[0] > 0:
+        # Vocoders need a few frames of context (Griffin-Lim's reflect-pad
+        # stft rejects near-empty inputs — early-stop of a barely-trained
+        # model can emit 1 frame); return mel-only below the minimum.
+        if self.vocoder is not None and mel.shape[0] >= 8:
             return mel, self._vocode(mel)
-        if self.use_griffin_lim and mel.shape[0] > 0:
+        if self.use_griffin_lim and mel.shape[0] >= 8:
             from ..tts.vocoder import griffin_lim
             fc = self.cfg.data.frontend
             wav = np.asarray(griffin_lim(

@@ -229,3 +229,62 @@ def test_gst_conditioned_tts_trains(which):
     # style-encoder params receive gradient through the conditioning
     gst_grads = jax.tree.leaves(grads["gst"])
     assert any(float(jnp.abs(g).max()) > 0 for g in gst_grads)
+
+
+def test_transformer_tts_train_and_infer():
+    from espnet_slurp_tpu.tts import TransformerTTS, TransformerTTSConfig
+    cfg = TransformerTTSConfig(
+        vocab_size=30, n_mels=16, d_model=32, n_head=2, d_ff=64,
+        enc_blocks=1, dec_blocks=2, prenet_layers=1, prenet_units=16,
+        postnet_layers=2, postnet_channels=16, postnet_kernel=3,
+        dropout_rate=0.0)
+    model = TransformerTTS(cfg)
+    batch = _tts_batch()
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+
+    (loss, stats), grads = jax.value_and_grad(
+        lambda p: model.apply({"params": p}, **batch), has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert {"l1_loss", "mse_loss", "bce_loss", "guided_attn_loss"} <= \
+        set(stats)
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads))
+    # guided attention pushes probs toward the diagonal -> loss in (0, 1)
+    assert 0.0 < float(stats["guided_attn_loss"]) < 1.0
+
+    mel, lens = model.apply({"params": params}, batch["text"],
+                            batch["text_lengths"], 24,
+                            method=lambda m, t, tl, mf: m.inference(t, tl,
+                                                                    mf))
+    assert mel.shape == (2, 24, 16)
+    assert (np.asarray(lens) <= 24).all()
+
+
+def test_transformer_tts_task_e2e(tmp_path):
+    from espnet_slurp_tpu.data.mini_corpus import make_mini_corpus
+    from espnet_slurp_tpu.ops.frontend import FrontendConfig
+    from espnet_slurp_tpu.tasks.tts import (Text2Speech, TTSDataConfig,
+                                            TTSTask, TTSTaskConfig)
+    from espnet_slurp_tpu.train.optim import OptimConfig
+    from espnet_slurp_tpu.tts import TransformerTTSConfig
+
+    train_dir, dev_dir = make_mini_corpus(tmp_path / "c", n_train=4, n_dev=2)
+    cfg = TTSTaskConfig(
+        exp_dir=str(tmp_path / "exp"),
+        arch="transformer_tts",
+        transformer_tts=TransformerTTSConfig(
+            n_mels=16, d_model=32, n_head=2, d_ff=64, enc_blocks=1,
+            dec_blocks=1, prenet_layers=1, prenet_units=16,
+            postnet_layers=2, postnet_channels=16, postnet_kernel=3),
+        optim=OptimConfig(lr=1e-3, scheduler="constant"),
+        data=TTSDataConfig(train_dir=str(train_dir), valid_dir=str(dev_dir),
+                           batch_size=4,
+                           frontend=FrontendConfig(n_fft=128, hop_length=64,
+                                                   n_mels=16),
+                           mel_bucket_multiple=32),
+        max_epoch=1, keep_nbest=1)
+    state = TTSTask.train(cfg)
+    assert int(state.step) > 0
+    t2s = Text2Speech(cfg.exp_dir, use_griffin_lim=False)
+    mel, _ = t2s("alpha bravo", max_frames=24)
+    assert mel.ndim == 2 and mel.shape[1] == 16
