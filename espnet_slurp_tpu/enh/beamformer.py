@@ -130,6 +130,12 @@ class NeuralBeamformer(nn.Module):
     hidden: int = 256
     n_layers: int = 2
     ref_channel: int = 0
+    # WPE dereverberation before mask estimation + beamforming
+    # (frontends/dnn_wpe.py use_wpe stage; ops/wpe.py).
+    use_wpe: bool = False
+    wpe_taps: int = 5
+    wpe_delay: int = 3
+    wpe_iters: int = 3
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -139,6 +145,12 @@ class NeuralBeamformer(nn.Module):
         spec = stft(wavs, n_fft=self.n_fft, hop_length=self.hop_length)
         t, f = spec.shape[1], spec.shape[2]
         spec = spec.reshape(b, c, t, f, 2)
+        if self.use_wpe:
+            from ..ops.wpe import wpe_dereverb
+            derev = wpe_dereverb(spec[..., 0] + 1j * spec[..., 1],
+                                 self.wpe_taps, self.wpe_delay,
+                                 self.wpe_iters)
+            spec = jnp.stack([jnp.real(derev), jnp.imag(derev)], axis=-1)
         spec_re = jnp.moveaxis(spec[..., 0], 1, 2)        # [B, T, C, F]
         spec_im = jnp.moveaxis(spec[..., 1], 1, 2)
         flens = stft_out_lengths(speech_lengths, self.n_fft, self.hop_length)

@@ -55,6 +55,7 @@ class EnhConfig:
     fasnet_context: int = 64   # FaSNet context in samples per side
     mask_nonlinear: str = "relu"
     ref_channel: int = 0       # beamformer reference mic
+    use_wpe: bool = False      # WPE dereverb before the beamformer
     dtype: str = "float32"
 
     @property
@@ -195,7 +196,8 @@ class EnhModel(nn.Module):
         c = self.cfg
         bf = NeuralBeamformer(
             c.n_spk, c.n_fft, c.hop_length, c.hidden, c.num_layers,
-            c.ref_channel, c.jax_dtype, name="beamformer")
+            c.ref_channel, use_wpe=c.use_wpe, dtype=c.jax_dtype,
+            name="beamformer")
         (spec_re, spec_im), flens = bf(speech_mix, speech_lengths)
         b, s, t, f = spec_re.shape
         est = istft((spec_re + 1j * spec_im).reshape(b * s, t, f),
