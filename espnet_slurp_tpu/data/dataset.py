@@ -147,6 +147,26 @@ class _TextLoader(Mapping):
 DATA_TYPES["text"] = _TextLoader
 
 
+def detect_non_silence(x: np.ndarray, threshold: float = 0.01,
+                       frame_length: int = 1024,
+                       frame_shift: int = 512) -> np.ndarray:
+    """Power-based VAD mask over samples (preprocessor.py:71-118): frames
+    whose power exceeds ``threshold`` x the utterance mean power count as
+    speech. Used so RIR/noise power normalization measures SPEECH power,
+    not silence-diluted power."""
+    if x.shape[-1] < frame_length:
+        return np.ones(x.shape, bool)
+    n = 1 + (x.shape[-1] - frame_length) // frame_shift
+    idx = np.arange(n)[:, None] * frame_shift + np.arange(frame_length)
+    power = (x[idx] ** 2).mean(axis=-1)
+    mean_power = power.mean()
+    if mean_power == 0:
+        return np.ones(x.shape, bool)
+    detect = np.repeat(power / mean_power > threshold, frame_shift)
+    return np.pad(detect, (0, x.shape[-1] - len(detect)),
+                  constant_values=detect[-1] if len(detect) else True)
+
+
 class CommonPreprocessor:
     """Tokenize named text streams to int id arrays (preprocessor.py:123-332).
 
@@ -167,6 +187,7 @@ class CommonPreprocessor:
                  noise_apply_prob: float = 1.0,
                  noise_db_range: Tuple[float, float] = (13.0, 30.0),
                  speech_name: str = "speech",
+                 speech_volume_normalize: Optional[float] = None,
                  seed: int = 0):
         self.tokenizer = tokenizer
         self.converter = converter
@@ -178,6 +199,8 @@ class CommonPreprocessor:
         self.rir_apply_prob = rir_apply_prob
         self.noise_apply_prob = noise_apply_prob
         self.noise_db_range = noise_db_range
+        # peak normalization (preprocessor.py:306-309)
+        self.speech_volume_normalize = speech_volume_normalize
         self._rng = np.random.RandomState(seed)
         self._rirs = list(read_2column_text(rir_scp).values()) \
             if rir_scp else []
@@ -187,12 +210,16 @@ class CommonPreprocessor:
     def _augment_speech(self, x: np.ndarray) -> np.ndarray:
         from .fileio import load_wav
         rng = self._rng
-        power = float(np.mean(x ** 2)) + 1e-12
+        # VAD-gated power (preprocessor.py:226): silence-diluted power
+        # would over-scale quiet utterances' noise/RIR normalization.
+        vad = detect_non_silence(x)
+        power = float(np.mean(x[vad] ** 2)) + 1e-12
         if self._rirs and rng.rand() < self.rir_apply_prob:
             rir, _ = load_wav(self._rirs[rng.randint(len(self._rirs))])
             x = np.convolve(x, rir, mode="full")[: len(x)]
-            # renormalize to the dry power (preprocessor.py:197-205)
-            x = x * np.sqrt(power / (np.mean(x ** 2) + 1e-12))
+            # renormalize to the dry speech power (preprocessor.py:197-227)
+            p2 = float(np.mean(x[detect_non_silence(x)] ** 2)) + 1e-12
+            x = x * np.sqrt(power / p2)
         if self._noises and rng.rand() < self.noise_apply_prob:
             noise, _ = load_wav(self._noises[rng.randint(len(self._noises))])
             if len(noise) < len(x):
@@ -203,13 +230,17 @@ class CommonPreprocessor:
             n_power = float(np.mean(noise ** 2)) + 1e-12
             scale = np.sqrt(power / (10 ** (snr / 10) * n_power))
             x = x + scale * noise
+        if self.speech_volume_normalize is not None:
+            ma = float(np.abs(x).max()) + 1e-12
+            x = x * (self.speech_volume_normalize / ma)
         return x.astype(np.float32)
 
     def __call__(self, uid: str, data: Dict[str, object]) -> Dict[str, np.ndarray]:
         out = {}
         for name, value in data.items():
             if name == self.speech_name and not isinstance(value, str) \
-                    and (self._rirs or self._noises):
+                    and (self._rirs or self._noises
+                         or self.speech_volume_normalize is not None):
                 out[name] = self._augment_speech(np.asarray(value))
                 continue
             if isinstance(value, str):

@@ -145,3 +145,20 @@ def test_phoneme_tokenizer(tmp_path):
     # factory path
     t3 = build_tokenizer("phn", g2p_lexicon=str(lex))
     assert t3.text2tokens("world") == ["W", "ER", "L", "D"]
+
+
+def test_detect_non_silence_and_volume_normalize():
+    import numpy as np
+    from espnet_slurp_tpu.data.dataset import (CommonPreprocessor,
+                                               detect_non_silence)
+    rng = np.random.RandomState(0)
+    x = np.zeros(8000, np.float32)
+    x[2000:4000] = rng.randn(2000).astype(np.float32)  # speech burst
+    vad = detect_non_silence(x)
+    assert vad.shape == x.shape
+    # the speech burst is detected, leading silence is not
+    assert vad[2500:3500].mean() > 0.9
+    assert vad[:1000].mean() < 0.2
+    pre = CommonPreprocessor(speech_volume_normalize=0.5)
+    out = pre("u0", {"speech": x * 3.0})
+    assert abs(float(np.abs(out["speech"]).max()) - 0.5) < 1e-3
