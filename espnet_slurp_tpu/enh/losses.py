@@ -59,3 +59,28 @@ def pit_wrapper(loss_fn: Callable, est: jnp.ndarray, ref: jnp.ndarray,
     losses = jnp.stack(losses, axis=1)  # [B, n_perms]
     best = jnp.argmin(losses, axis=1)
     return jnp.min(losses, axis=1), best
+
+
+def dpcl_loss(emb, ref_mags, valid):
+    """Deep-clustering affinity loss (tf_domain.py:282-381, loss_type=dpcl).
+
+    emb: [B, T, F, D] TF-bin embeddings; ref_mags: [B, S, T, F] reference
+    magnitudes; valid: [B, T] frame validity. The dominant speaker per bin
+    gives the one-hot label Y; loss = ||V^T V||^2 + ||Y^T Y||^2
+    - 2 ||V^T Y||^2 per example, normalized by the valid bin count."""
+    import jax
+    b, t, f, d = emb.shape
+    s = ref_mags.shape[1]
+    lab = jnp.argmax(ref_mags, axis=1)                    # [B, T, F]
+    y = jax.nn.one_hot(lab, s).reshape(b, t * f, s)
+    v = emb.reshape(b, t * f, d)
+    w = jnp.repeat(valid, f, axis=1).astype(jnp.float32)[..., None]
+    v = v * w
+    y = y * w
+    vv = jnp.einsum("bnd,bne->bde", v, v)
+    yy = jnp.einsum("bns,bnt->bst", y, y)
+    vy = jnp.einsum("bnd,bns->bds", v, y)
+    loss = (jnp.sum(vv ** 2, (1, 2)) + jnp.sum(yy ** 2, (1, 2))
+            - 2.0 * jnp.sum(vy ** 2, (1, 2)))
+    n_valid = jnp.maximum(jnp.sum(w[..., 0], 1), 1.0)
+    return loss / (n_valid ** 2)

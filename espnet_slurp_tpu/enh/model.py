@@ -35,6 +35,7 @@ class EnhConfig:
     hop_length: int = 128
     # blstm | transformer | tcn | dprnn | dptnet | skim | dccrn | beamformer
     # | fasnet (multichannel time-domain filter-and-sum, fasnet.py)
+    # | dpcl (deep clustering: TF embeddings + affinity loss + k-means)
     separator: str = "blstm"
     hidden: int = 256
     num_layers: int = 3
@@ -56,6 +57,7 @@ class EnhConfig:
     mask_nonlinear: str = "relu"
     ref_channel: int = 0       # beamformer reference mic
     use_wpe: bool = False      # WPE dereverb before the beamformer
+    dpcl_emb_dim: int = 20     # deep-clustering TF-embedding width
     dtype: str = "float32"
 
     @property
@@ -68,10 +70,13 @@ class EnhModel(nn.Module):
     cfg: EnhConfig
 
     @nn.compact
-    def separate(self, speech_mix, speech_lengths):
+    def separate(self, speech_mix, speech_lengths, return_embedding=False):
         """[B, N] (or [B, N, C] multichannel for the beamformer) ->
-        (est wavs [B, n_spk, N'], frame_lengths)."""
+        (est wavs [B, n_spk, N'], frame_lengths). return_embedding=True
+        (dpcl training) instead returns (emb, (re, im), flens)."""
         c = self.cfg
+        if return_embedding:
+            return self._dpcl_embed(speech_mix, speech_lengths)
         if c.separator in ("tcn", "dprnn", "dptnet", "skim"):
             return self._separate_tasnet(speech_mix, speech_lengths)
         if c.separator == "beamformer":
@@ -80,6 +85,8 @@ class EnhModel(nn.Module):
             return self._separate_fasnet(speech_mix, speech_lengths)
         if c.separator == "dccrn":
             return self._separate_dccrn(speech_mix, speech_lengths)
+        if c.separator == "dpcl":
+            return self._separate_dpcl(speech_mix, speech_lengths)
         spec = stft(speech_mix, n_fft=c.n_fft, hop_length=c.hop_length)
         re, im = spec[..., 0], spec[..., 1]  # [B, T, F]
         mag = jnp.sqrt(re**2 + im**2 + 1e-8)
@@ -176,6 +183,34 @@ class EnhModel(nn.Module):
                     n_fft=c.n_fft, hop=c.hop_length)
         return est.reshape(b, s, -1), flens
 
+    def _dpcl_embed(self, speech_mix, speech_lengths):
+        """Shared STFT + embedding trunk for the deep-clustering paths."""
+        from .separators import DPCLEmbedder
+        c = self.cfg
+        spec = stft(speech_mix, n_fft=c.n_fft, hop_length=c.hop_length)
+        re, im = spec[..., 0], spec[..., 1]
+        flens = stft_out_lengths(speech_lengths, c.n_fft, c.hop_length)
+        mag = jnp.sqrt(re**2 + im**2 + 1e-8)
+        emb = DPCLEmbedder(mag.shape[-1], c.dpcl_emb_dim, c.hidden,
+                           c.num_layers, c.jax_dtype,
+                           name="separator")(jnp.log(mag + 1e-8))
+        return emb, (re, im), flens
+
+    def _separate_dpcl(self, speech_mix, speech_lengths):
+        """Inference path: k-means over TF embeddings -> binary masks."""
+        from .separators import kmeans_masks
+        from ..ops.masks import length_mask
+        c = self.cfg
+        emb, (re, im), flens = self._dpcl_embed(speech_mix, speech_lengths)
+        valid = length_mask(flens, re.shape[1])
+        masks = kmeans_masks(emb, c.n_spk, valid)       # [B, S, T, F]
+        est_re = masks * re[:, None]
+        est_im = masks * im[:, None]
+        b, s, t, f = est_re.shape
+        est = istft((est_re + 1j * est_im).reshape(b * s, t, f),
+                    n_fft=c.n_fft, hop=c.hop_length)
+        return est.reshape(b, s, -1), flens
+
     def _separate_fasnet(self, speech_mix, speech_lengths):
         """Multichannel time-domain path: [B, N, C] -> filter-and-sum wavs
         (fasnet_separator.py analogue; fixed-geometry array)."""
@@ -206,7 +241,24 @@ class EnhModel(nn.Module):
 
     def __call__(self, speech_mix, speech_mix_lengths, speech_ref, *,
                  train=False):
-        """speech_ref: [B, n_spk, N]. Returns (loss, stats) with PIT SI-SNR."""
+        """speech_ref: [B, n_spk, N]. Returns (loss, stats) with PIT SI-SNR
+        (deep clustering trains on the TF affinity loss instead — k-means
+        masking is not differentiable)."""
+        c = self.cfg
+        if c.separator == "dpcl":
+            from ..ops.masks import length_mask
+            from .losses import dpcl_loss
+            emb, (re, im), flens = self.separate(
+                speech_mix, speech_mix_lengths, return_embedding=True)
+            n = min(speech_mix.shape[-1], speech_ref.shape[-1])
+            b, s, _ = speech_ref.shape
+            rspec = stft(speech_ref[..., :n].reshape(b * s, n),
+                         n_fft=c.n_fft, hop_length=c.hop_length)
+            rmag = jnp.sqrt(rspec[..., 0]**2 + rspec[..., 1]**2 + 1e-8)
+            rmag = rmag.reshape(b, s, *rmag.shape[1:])[:, :, :re.shape[1]]
+            valid = length_mask(flens, re.shape[1])
+            loss = jnp.mean(dpcl_loss(emb, rmag, valid))
+            return loss, {"loss": loss, "dpcl_loss": loss}
         est, _ = self.separate(speech_mix, speech_mix_lengths)
         n = min(est.shape[-1], speech_ref.shape[-1])
         lengths = jnp.minimum(speech_mix_lengths, n)

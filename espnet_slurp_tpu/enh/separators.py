@@ -416,3 +416,58 @@ class SkiMSeparator(nn.Module):
                               self.n_outputs, n)[:, :k]
         score = jnp.moveaxis(score, 2, 1).astype(jnp.float32)
         return _mask_nonlinear(score, self.mask_nonlinear)
+
+
+class DPCLEmbedder(nn.Module):
+    """Deep-clustering TF-bin embedder (dpcl_separator.py:11-110).
+
+    log-magnitude [B, T, F] -> unit-norm embeddings [B, T, F, D] via a
+    BLSTM stack + per-bin projection. Training uses the affinity loss
+    (losses.dpcl_loss); inference clusters the embeddings with a
+    fixed-iteration k-means (jit-friendly lax.fori_loop, no data-dependent
+    convergence loop like the reference's while-True)."""
+    n_freq: int
+    emb_dim: int = 20
+    hidden: int = 128
+    n_layers: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, logmag):
+        x = logmag.astype(self.dtype)
+        for i in range(self.n_layers):
+            x = BiRNNProj(self.hidden, self.hidden, self.dtype,
+                          name=f"blstm_{i}")(x)
+        emb = nn.tanh(nn.Dense(self.n_freq * self.emb_dim, dtype=self.dtype,
+                               name="emb")(x))
+        b, t, _ = emb.shape
+        emb = emb.reshape(b, t, self.n_freq, self.emb_dim)
+        return emb.astype(jnp.float32)
+
+
+def kmeans_masks(emb: jnp.ndarray, n_clusters: int, valid: jnp.ndarray,
+                 iters: int = 10) -> jnp.ndarray:
+    """Cluster [B, T, F, D] embeddings -> one-hot masks [B, S, T, F].
+
+    valid: [B, T] frame validity. Fixed-iteration Lloyd k-means; centers
+    initialize from the first num_spk embeddings as in the reference."""
+    import jax
+    from jax import lax
+    b, t, f, d = emb.shape
+    v = emb.reshape(b, t * f, d)
+    w = jnp.repeat(valid, f, axis=1).astype(jnp.float32)  # [B, T*F]
+    centers = v[:, :n_clusters]                           # [B, S, D]
+
+    def step(_, centers):
+        d2 = jnp.sum((v[:, :, None] - centers[:, None]) ** 2, -1)
+        lab = jnp.argmin(d2, -1)                          # [B, TF]
+        onehot = jax.nn.one_hot(lab, n_clusters) * w[..., None]
+        s = jnp.einsum("bns,bnd->bsd", onehot, v)
+        cnt = jnp.maximum(jnp.sum(onehot, 1), 1.0)
+        return s / cnt[..., None]
+
+    centers = lax.fori_loop(0, iters, step, centers)
+    d2 = jnp.sum((v[:, :, None] - centers[:, None]) ** 2, -1)
+    lab = jnp.argmin(d2, -1)
+    masks = jax.nn.one_hot(lab, n_clusters).reshape(b, t, f, n_clusters)
+    return jnp.moveaxis(masks, 3, 1)                      # [B, S, T, F]
