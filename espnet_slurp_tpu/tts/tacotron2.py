@@ -47,6 +47,10 @@ class Tacotron2Config:
     use_gst: bool = False
     gst_tokens: int = 10
     gst_heads: int = 4
+    # Voice conversion (espnet1 espnet/vc Tacotron2-VC analogue): the
+    # encoder consumes source MEL FRAMES (f32 [B, T, n_mels]) instead of
+    # token ids — everything after the embedding layer is shared.
+    input_type: str = "text"  # text | mel
     dtype: str = "float32"
 
     @property
@@ -60,8 +64,13 @@ class Tacotron2Encoder(nn.Module):
     @nn.compact
     def __call__(self, text, text_lengths, deterministic=True):
         c = self.cfg
-        x = nn.Embed(c.vocab_size, c.embed_dim, dtype=c.jax_dtype,
-                     name="embed")(text)
+        if c.input_type == "mel":
+            # VC: source mel frames -> linear "embedding" (vc Taco2 encoder)
+            x = nn.Dense(c.embed_dim, dtype=c.jax_dtype,
+                         name="embed_mel")(text.astype(c.jax_dtype))
+        else:
+            x = nn.Embed(c.vocab_size, c.embed_dim, dtype=c.jax_dtype,
+                         name="embed")(text)
         for i in range(c.enc_conv_layers):
             x = nn.Conv(c.enc_conv_channels, (c.enc_conv_kernel,),
                         padding="SAME", dtype=c.jax_dtype,

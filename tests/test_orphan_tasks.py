@@ -188,3 +188,41 @@ def test_hubert_task_e2e(tmp_path):
         "model.frontend.n_fft=128", "model.frontend.hop_length=64",
         "model.frontend.n_mels=16", "speech_bucket_multiple=2048"])
     _reporter_ok(exp)
+
+
+def test_vc_task_e2e(tmp_path):
+    """Voice conversion (espnet1 vc analogue): mel-encoder Tacotron2 trains
+    on paired src/tgt audio and converts through the CLI."""
+    from espnet_slurp_tpu.bin import vc_inference, vc_train
+    for split, n_utt in (("train", 4), ("dev", 2)):
+        d = tmp_path / split
+        d.mkdir(parents=True, exist_ok=True)
+        src, tgt = {}, {}
+        for i in range(n_utt):
+            a = _tone(np.random.RandomState(i), 3200, 300 + 40 * i)
+            b = _tone(np.random.RandomState(i), 3200, 450 + 60 * i)
+            write_wav(str(d / f"s_{i}.wav"), a)
+            write_wav(str(d / f"t_{i}.wav"), b)
+            src[f"u{i}"] = str(d / f"s_{i}.wav")
+            tgt[f"u{i}"] = str(d / f"t_{i}.wav")
+        _write_scp(d, "src_wav.scp", src)
+        _write_scp(d, "wav.scp", tgt)
+    exp = tmp_path / "exp"
+    vc_train.main([
+        "--set", f"exp_dir={exp}", f"data.train_dir={tmp_path/'train'}",
+        f"data.valid_dir={tmp_path/'dev'}", "data.batch_size=4",
+        "max_epoch=1", "keep_nbest=1", "data.frontend.n_fft=128",
+        "data.frontend.hop_length=64", "data.frontend.n_mels=16",
+        "data.mel_bucket_multiple=32", "model.embed_dim=16",
+        "model.enc_conv_layers=1", "model.enc_conv_channels=16",
+        "model.enc_lstm_units=16", "model.prenet_layers=1",
+        "model.prenet_units=16", "model.dec_lstm_units=32",
+        "model.dec_lstm_layers=1", "model.att_dim=16",
+        "model.att_conv_channels=4", "model.att_conv_kernel=7",
+        "model.postnet_layers=2", "model.postnet_channels=16",
+        "model.postnet_kernel=3"])
+    _reporter_ok(exp)
+    vc_inference.main(["--exp_dir", str(exp), "--data_dir",
+                       str(tmp_path / "dev"), "--output_dir",
+                       str(tmp_path / "out"), "--max_frames", "16"])
+    assert (tmp_path / "out" / "wav" / "u0.npy").exists()
