@@ -147,6 +147,47 @@ class _TextLoader(Mapping):
 DATA_TYPES["text"] = _TextLoader
 
 
+class _RandGenLoader(Mapping):
+    """Random-array loader over a shape file (fileio/rand_gen_dataset.py:
+    'rand_float' / 'rand_int_<low>_<high>' DATA_TYPES): path maps
+    uid -> 'd1,d2,...'; arrays are generated deterministically per uid."""
+
+    def __init__(self, shape_path: str, low=None, high=None):
+        self._shapes = {u: tuple(int(d) for d in s.split(","))
+                        for u, s in read_2column_text(shape_path).items()}
+        self._low, self._high = low, high
+
+    def __getitem__(self, key):
+        rng = np.random.RandomState(hash(key) % (2 ** 31))
+        shape = self._shapes[key]
+        if self._low is None:
+            return rng.randn(*shape).astype(np.float32)
+        return rng.randint(self._low, self._high + 1,
+                           size=shape).astype(np.int64)
+
+    def shape(self, key):
+        return self._shapes[key][0]
+
+    def __len__(self):
+        return len(self._shapes)
+
+    def __iter__(self):
+        return iter(self._shapes)
+
+
+def build_loader(path: str, typ: str) -> Mapping:
+    """DATA_TYPES dispatch incl. parametric 'rand_int_<low>_<high>'
+    (train/dataset.py:192-340)."""
+    if typ == "rand_float":
+        return _RandGenLoader(path)
+    if typ.startswith("rand_int_"):
+        low, high = map(int, typ[len("rand_int_"):].split("_"))
+        return _RandGenLoader(path, low, high)
+    if typ not in DATA_TYPES:
+        raise ValueError(f"unknown data type {typ}")
+    return DATA_TYPES[typ](path)
+
+
 def detect_non_silence(x: np.ndarray, threshold: float = 0.01,
                        frame_length: int = 1024,
                        frame_shift: int = 512) -> np.ndarray:
@@ -265,9 +306,7 @@ class SpeechDataset:
                  preprocess: Optional[Callable] = None):
         self.loaders: Dict[str, Mapping] = {}
         for path, name, typ in path_name_type_list:
-            if typ not in DATA_TYPES:
-                raise ValueError(f"unknown data type {typ}")
-            self.loaders[name] = DATA_TYPES[typ](path)
+            self.loaders[name] = build_loader(path, typ)
         self.preprocess = preprocess
         first = next(iter(self.loaders.values()))
         self.keys: List[str] = sorted(first)
@@ -303,7 +342,7 @@ class IterableSpeechDataset:
 
     def __iter__(self):
         files = [open(path, encoding="utf-8") for path, _, _ in self.specs]
-        loaders = [DATA_TYPES[typ](path)
+        loaders = [build_loader(path, typ)
                    for path, _, typ in self.specs]
         try:
             for lines in zip(*files):

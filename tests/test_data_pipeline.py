@@ -162,3 +162,37 @@ def test_detect_non_silence_and_volume_normalize():
     pre = CommonPreprocessor(speech_volume_normalize=0.5)
     out = pre("u0", {"speech": x * 3.0})
     assert abs(float(np.abs(out["speech"]).max()) - 0.5) < 1e-3
+
+
+def test_rand_loader_types(tmp_path):
+    from espnet_slurp_tpu.data.dataset import SpeechDataset
+    shp = tmp_path / "shape"
+    shp.write_text("u1 5,3\nu2 4,3\n")
+    ds = SpeechDataset([(str(shp), "feat", "rand_float"),
+                        (str(shp), "lab", "rand_int_0_9")])
+    uid, d = ds["u1"]
+    assert d["feat"].shape == (5, 3) and d["feat"].dtype == np.float32
+    assert d["lab"].shape == (5, 3)
+    assert d["lab"].min() >= 0 and d["lab"].max() <= 9
+    # deterministic per uid
+    _, d2 = ds["u1"]
+    np.testing.assert_array_equal(d["feat"], d2["feat"])
+
+
+def test_tokenize_and_split_clis(tmp_path):
+    from espnet_slurp_tpu.bin import split_scps, tokenize_text
+    src = tmp_path / "text"
+    src.write_text("u1 hello world\nu2 foo\n")
+    out = tmp_path / "tok.txt"
+    tokenize_text.main(["--input", str(src), "--output", str(out),
+                        "--token_type", "char", "--write_vocabulary"])
+    lines = out.read_text().splitlines()
+    assert lines[0].startswith("u1 h e l l o")
+    assert (tmp_path / "tok.txt.vocab").exists()
+    scp = tmp_path / "wav.scp"
+    scp.write_text("".join(f"u{i} /x/{i}.wav\n" for i in range(5)))
+    split_scps.main(["--scps", str(scp), "--num_splits", "3",
+                     "--output_dir", str(tmp_path / "sp")])
+    n = sum(len((tmp_path / "sp" / "split3" / str(i) / "wav.scp")
+                .read_text().splitlines()) for i in range(3))
+    assert n == 5
