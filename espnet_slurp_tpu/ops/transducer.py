@@ -54,6 +54,21 @@ def rnnt_loss_from_logprobs(
     emit_lp = jnp.pad(emit_lp, ((0, 0), (0, 0), (0, 1)),
                       constant_values=NEG_INF)  # [B, T, U+1]
 
+    if jax.default_backend() == "tpu":
+        # Pallas lattice kernel (ops/pallas/transducer.py): the whole
+        # (T, U+1) recursion as one Mosaic kernel with log2(U1)-step
+        # doubling row scans, vs T+U XLA while-loop dispatches here.
+        from .pallas.transducer import rnnt_lattice_pallas
+        u_pad = -(-u1 // 128) * 128
+        pad = ((0, 0), (0, 0), (0, u_pad - u1))
+        loss = rnnt_lattice_pallas(
+            jnp.pad(blank_lp, pad, constant_values=NEG_INF),
+            jnp.pad(emit_lp, pad, constant_values=NEG_INF),
+            logit_lengths.astype(jnp.int32),
+            label_lengths.astype(jnp.int32))
+        feasible = (label_lengths <= u) & (logit_lengths >= 1)
+        return jnp.where(feasible, loss, 0.0)
+
     n_diag = t + u  # diagonals 1 .. t+u-? we iterate d = 1..t+u-1+? careful
     u_range = jnp.arange(u1)  # [U+1]
 
