@@ -15,6 +15,11 @@ def main(argv=None):
     p.add_argument("--output_dir", required=True)
     p.add_argument("--use_transcript", action="store_true",
                    help="feed the GT transcript stream (two-pass upper bound)")
+    p.add_argument("--asr_exp_dir", default=None,
+                   help="first-pass ASR exp dir: its hypotheses feed the "
+                        "two-pass transcript stream (the full deployment "
+                        "loop, slu_inference.py:241-290)")
+    p.add_argument("--asr_beam_size", type=int, default=5)
     p.add_argument("--max_len", type=int, default=64)
     args = p.parse_args(argv)
 
@@ -22,7 +27,9 @@ def main(argv=None):
     from ..slu.metrics import intent_accuracy, slu_f1
     from ..tasks.slu import Speech2Understand
 
-    s2u = Speech2Understand(args.exp_dir, max_len=args.max_len)
+    s2u = Speech2Understand(args.exp_dir, max_len=args.max_len,
+                            asr_exp_dir=args.asr_exp_dir,
+                            asr_beam_size=args.asr_beam_size)
     d = Path(args.data_dir)
     wavs = read_2column_text(d / "wav.scp")
     trs = read_2column_text(d / "transcript") \

@@ -204,7 +204,8 @@ class Speech2Understand:
     -> intent+entity text, greedy or beam decode over the fused memory."""
 
     def __init__(self, exp_dir: str, ckpt_name: Optional[str] = None,
-                 max_len: int = 64):
+                 max_len: int = 64, asr_exp_dir: Optional[str] = None,
+                 asr_beam_size: int = 5):
         exp = Path(exp_dir)
         self.cfg = load_slu_config(exp / "config.yaml")
         tok, conv, extra, model_cfg = SLUTask.prepare_vocab(self.cfg)
@@ -218,6 +219,14 @@ class Speech2Understand:
         self.params = mgr.load_params(ckpt_name)
         self.max_len = max_len
         self._jit = {}
+        # First-pass recognizer for the full two-pass loop
+        # (slu_inference.py:241-290: the transcript stream is an ASR
+        # hypothesis at test time; GT transcripts are the upper bound).
+        self.first_pass = None
+        if asr_exp_dir is not None:
+            from .asr import Speech2Text
+            self.first_pass = Speech2Text(asr_exp_dir,
+                                          beam_size=asr_beam_size)
 
     def __call__(self, speech: np.ndarray,
                  transcript: Optional[str] = None) -> str:
@@ -232,6 +241,9 @@ class Speech2Understand:
         buf[0, :len(speech)] = speech
         kwargs = {"speech": jnp.asarray(buf),
                   "speech_lengths": jnp.array([len(speech)], np.int32)}
+        if cfg.model.two_pass and transcript is None \
+                and self.first_pass is not None:
+            transcript = self.first_pass(speech)
         if cfg.model.two_pass and transcript is not None:
             wt, wconv = self.extra["transcript"]
             ids = wconv.tokens2ids(wt.text2tokens(transcript))

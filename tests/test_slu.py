@@ -117,3 +117,55 @@ def test_slu_e2e_mini(tmp_path):
     assert isinstance(out, str)
     acc = intent_accuracy({uid: refs[uid]}, {uid: out})
     assert 0.0 <= acc <= 1.0
+
+
+def test_slu_two_pass_with_real_first_pass(tmp_path):
+    """Full deployment loop (VERDICT round-1 weak #9): first-pass ASR
+    hypothesis -> transcript stream -> text encoder -> deliberation ->
+    second pass, with no ground-truth transcript at decode time."""
+    import shutil
+    from espnet_slurp_tpu.tasks.asr import (ASRTask, ASRTaskConfig,
+                                            DataConfig)
+    from espnet_slurp_tpu.tasks.slu import (SLUTask, SLUTaskConfig,
+                                            Speech2Understand)
+    from espnet_slurp_tpu.train.optim import OptimConfig
+    from espnet_slurp_tpu.data.fileio import load_wav, read_2column_text
+
+    train_dir, dev_dir = make_slu_mini_corpus(tmp_path / "corpus",
+                                              n_train=4, n_dev=2)
+    # first-pass ASR corpus: text := transcript
+    for d in (train_dir, dev_dir):
+        a = tmp_path / (d.name + "_asr")
+        a.mkdir()
+        shutil.copy(d / "wav.scp", a / "wav.scp")
+        shutil.copy(d / "transcript", a / "text")
+    asr_cfg = ASRTaskConfig(
+        exp_dir=str(tmp_path / "asr"), model=TINY_ASR,
+        optim=OptimConfig(lr=1e-3, scheduler="constant"),
+        data=DataConfig(train_dir=str(tmp_path / "train_asr"),
+                        valid_dir=str(tmp_path / "dev_asr"),
+                        token_type="word", batch_type="sorted",
+                        batch_size=4, speech_bucket_multiple=2048,
+                        text_bucket_multiple=4),
+        max_epoch=1, keep_nbest=1, nbest_average=1)
+    ASRTask.train(asr_cfg)
+
+    slu_cfg = SLUTaskConfig(
+        exp_dir=str(tmp_path / "slu"),
+        model=SLUConfig(asr=TINY_ASR, two_pass=True,
+                        text_encoder_blocks=1, text_encoder_d_ff=32),
+        optim=OptimConfig(lr=1e-3, scheduler="constant"),
+        data=DataConfig(train_dir=str(train_dir), valid_dir=str(dev_dir),
+                        batch_type="sorted", batch_size=4,
+                        speech_bucket_multiple=2048, text_bucket_multiple=4),
+        max_epoch=1, keep_nbest=1, nbest_average=1)
+    SLUTask.train(slu_cfg)
+
+    s2u = Speech2Understand(slu_cfg.exp_dir, max_len=8,
+                            asr_exp_dir=asr_cfg.exp_dir, asr_beam_size=2)
+    assert s2u.first_pass is not None
+    wavs = read_2column_text(dev_dir / "wav.scp")
+    uid = next(iter(wavs))
+    wav, _ = load_wav(wavs[uid])
+    out = s2u(wav)  # NO transcript argument: first pass supplies it
+    assert isinstance(out, str)
