@@ -196,3 +196,29 @@ def test_tokenize_and_split_clis(tmp_path):
     n = sum(len((tmp_path / "sp" / "split3" / str(i) / "wav.scp")
                 .read_text().splitlines()) for i in range(3))
     assert n == 5
+
+
+def test_data_json_convert_cli(tmp_path):
+    """espnet1 data.json migration (utils/data2json.sh manifest shape)."""
+    import json
+    from espnet_slurp_tpu.bin import data_json_convert
+    manifest = {"utts": {
+        "u1": {"input": [{"name": "input1", "feat": "/d/a.wav",
+                          "shape": [16000]}],
+               "output": [{"name": "target1", "text": "hi there"}],
+               "utt2spk": "s1", "orig_text": "hi there"},
+        "u2": {"input": [{"name": "input1",
+                          "feat": "/d/feats.ark:123", "shape": [50, 80]}],
+               "output": [{"name": "target1", "text": "bye"}]},
+    }}
+    j = tmp_path / "data.json"
+    j.write_text(json.dumps(manifest))
+    out = tmp_path / "dd"
+    data_json_convert.main(["--json", str(j), "--output_dir", str(out)])
+    # mixed: one audio path forces wav.scp naming
+    text = dict(l.split(" ", 1) for l in
+                (out / "text").read_text().splitlines())
+    assert text == {"u1": "hi there", "u2": "bye"}
+    assert (out / "transcript").exists()
+    shape = (out / "speech_shape").read_text()
+    assert "u2 50,80" in shape
