@@ -20,6 +20,10 @@ def main(argv=None):
                         "two-pass transcript stream (the full deployment "
                         "loop, slu_inference.py:241-290)")
     p.add_argument("--asr_beam_size", type=int, default=5)
+    p.add_argument("--use_history", action="store_true",
+                   help="roll decoded turns into the transcript stream "
+                        "(asr_recog --usehistory analogue; utterances are "
+                        "processed in uid order as one dialogue)")
     p.add_argument("--max_len", type=int, default=64)
     args = p.parse_args(argv)
 
@@ -29,7 +33,8 @@ def main(argv=None):
 
     s2u = Speech2Understand(args.exp_dir, max_len=args.max_len,
                             asr_exp_dir=args.asr_exp_dir,
-                            asr_beam_size=args.asr_beam_size)
+                            asr_beam_size=args.asr_beam_size,
+                            use_history=args.use_history)
     d = Path(args.data_dir)
     wavs = read_2column_text(d / "wav.scp")
     trs = read_2column_text(d / "transcript") \

@@ -205,7 +205,8 @@ class Speech2Understand:
 
     def __init__(self, exp_dir: str, ckpt_name: Optional[str] = None,
                  max_len: int = 64, asr_exp_dir: Optional[str] = None,
-                 asr_beam_size: int = 5):
+                 asr_beam_size: int = 5, use_history: bool = False,
+                 history_max_words: int = 48):
         exp = Path(exp_dir)
         self.cfg = load_slu_config(exp / "config.yaml")
         tok, conv, extra, model_cfg = SLUTask.prepare_vocab(self.cfg)
@@ -227,6 +228,16 @@ class Speech2Understand:
             from .asr import Speech2Text
             self.first_pass = Speech2Text(asr_exp_dir,
                                           beam_size=asr_beam_size)
+        # Dialogue history (asr_recog.py --usehistory, asr.py:1280-1473):
+        # previous turns' decoded text rolls into the transcript stream so
+        # the text encoder / KB selection see the conversation context.
+        # Call reset_history() at dialogue boundaries.
+        self.use_history = use_history
+        self.history_max_words = history_max_words
+        self._history = ""
+
+    def reset_history(self):
+        self._history = ""
 
     def __call__(self, speech: np.ndarray,
                  transcript: Optional[str] = None) -> str:
@@ -244,6 +255,10 @@ class Speech2Understand:
         if cfg.model.two_pass and transcript is None \
                 and self.first_pass is not None:
             transcript = self.first_pass(speech)
+        if cfg.model.two_pass and transcript is not None \
+                and self.use_history and self._history:
+            words = (self._history + " " + transcript).split()
+            transcript = " ".join(words[-self.history_max_words:])
         if cfg.model.two_pass and transcript is not None:
             wt, wconv = self.extra["transcript"]
             ids = wconv.tokens2ids(wt.text2tokens(transcript))
@@ -266,7 +281,12 @@ class Speech2Understand:
             self._jit[key] = jax.jit(decode)
         tokens, lengths = self._jit[key](self.params, kwargs)
         ids = np.asarray(tokens)[0][: int(lengths[0])]
-        return self.tokenizer.tokens2text(self.converter.ids2tokens(ids))
+        out = self.tokenizer.tokens2text(self.converter.ids2tokens(ids))
+        if self.use_history:
+            # roll the decoded turn into the context (asr.py:1472-1473
+            # appends the 1-best text)
+            self._history = (self._history + " " + out).strip()
+        return out
 
 
 def _greedy_over_memory(model: SLUModel, params, memory, mem_mask, max_len):

@@ -169,3 +169,37 @@ def test_slu_two_pass_with_real_first_pass(tmp_path):
     wav, _ = load_wav(wavs[uid])
     out = s2u(wav)  # NO transcript argument: first pass supplies it
     assert isinstance(out, str)
+
+
+def test_slu_dialogue_history_rolls(tmp_path):
+    """--usehistory analogue: decoded turns roll into the transcript
+    stream of subsequent calls; reset_history() clears the context."""
+    from espnet_slurp_tpu.tasks.slu import (SLUTask, SLUTaskConfig,
+                                            Speech2Understand)
+    from espnet_slurp_tpu.tasks.asr import DataConfig
+    from espnet_slurp_tpu.train.optim import OptimConfig
+    from espnet_slurp_tpu.data.fileio import load_wav, read_2column_text
+
+    train_dir, dev_dir = make_slu_mini_corpus(tmp_path / "c",
+                                              n_train=4, n_dev=2)
+    cfg = SLUTaskConfig(
+        exp_dir=str(tmp_path / "exp"),
+        model=SLUConfig(asr=TINY_ASR, two_pass=True,
+                        text_encoder_blocks=1, text_encoder_d_ff=32),
+        optim=OptimConfig(lr=1e-3, scheduler="constant"),
+        data=DataConfig(train_dir=str(train_dir), valid_dir=str(dev_dir),
+                        batch_type="sorted", batch_size=4,
+                        speech_bucket_multiple=2048, text_bucket_multiple=4),
+        max_epoch=1, keep_nbest=1, nbest_average=1)
+    SLUTask.train(cfg)
+    s2u = Speech2Understand(cfg.exp_dir, max_len=6, use_history=True,
+                            history_max_words=8)
+    wavs = read_2column_text(dev_dir / "wav.scp")
+    trs = read_2column_text(dev_dir / "transcript")
+    uids = list(wavs)[:2]
+    out1 = s2u(load_wav(wavs[uids[0]])[0], transcript=trs[uids[0]])
+    assert s2u._history.strip() == out1.strip()
+    _ = s2u(load_wav(wavs[uids[1]])[0], transcript=trs[uids[1]])
+    assert len(s2u._history.split()) <= 8 + len(out1.split()) + 6
+    s2u.reset_history()
+    assert s2u._history == ""
