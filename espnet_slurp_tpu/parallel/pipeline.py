@@ -96,9 +96,13 @@ def spmd_pipeline(stage_fn: Callable, stage_params: Any, x: Any,
 
 
 def pipeline(mesh: Mesh, stage_fn: Callable, stacked_params: Any, x: Any,
-             n_micro: int, axis: str = PIPE_AXIS) -> Any:
+             n_micro: int, axis: str = PIPE_AXIS,
+             data_axis: str | None = None) -> Any:
     """shard_map wrapper: ``stacked_params`` [P, ...] sharded over ``axis``,
-    ``x`` replicated, output replicated.
+    ``x`` replicated (or batch-sharded over ``data_axis`` on a 2-D
+    (data, pipe) mesh — each data row runs its own pipeline wavefront over
+    its batch shard; grads psum over data as usual outside), output laid
+    out like ``x``.
 
     ``stage_fn(params_one_stage, x_mb) -> y_mb`` with matching shapes.
     """
@@ -106,11 +110,12 @@ def pipeline(mesh: Mesh, stage_fn: Callable, stacked_params: Any, x: Any,
     kw = ("check_vma"
           if "check_vma" in inspect.signature(shard_map).parameters
           else "check_rep")
+    x_spec = P(data_axis) if data_axis else P()
     run = shard_map(
         partial(spmd_pipeline, stage_fn, n_micro=n_micro, axis=axis),
         mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=P(),
+        in_specs=(P(axis), x_spec),
+        out_specs=x_spec,
         **{kw: False},
     )
     return run(stacked_params, x)

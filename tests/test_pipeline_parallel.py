@@ -135,3 +135,28 @@ def test_pipelined_conformer_train_step():
     # one more step decreases the loss on this fixed batch
     _, _, lp2 = train_step(sp2, opt_state)
     assert float(lp2) < float(lp)
+
+
+def test_pipeline_composes_with_data_axis():
+    """(data=2, pipe=4) mesh: each data row pipelines its batch shard;
+    results equal the serial composition on the full batch."""
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = Mesh(np.array(devs[:8]).reshape(2, 4), ("data", PIPE_AXIS))
+    p, d = 4, 8
+    rng = np.random.RandomState(3)
+    stages = [{"w": jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.3)}
+              for _ in range(p)]
+
+    def stage_fn(params, x):
+        return jnp.tanh(x @ params["w"])
+
+    x = jnp.asarray(rng.randn(8, d).astype(np.float32))
+    want = x
+    for s in stages:
+        want = stage_fn(s, want)
+    got = pipeline(mesh, stage_fn, stack_stages(stages), x, n_micro=2,
+                   data_axis="data")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
