@@ -72,3 +72,16 @@ def test_pallas_rnnt_full_lengths():
     loss_pal = _pallas_loss(log_probs, labels, tlens, ulens)
     np.testing.assert_allclose(np.asarray(loss_pal), np.asarray(loss_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_rnnt_long_labels_cross_lane_boundary():
+    """U+1 > 128 pads to 256 lanes; the doubling scans must stay exact."""
+    rng = np.random.RandomState(2)
+    b, t, u, v = 2, 20, 140, 6
+    log_probs, labels, _, _ = _tables(rng, b, t, u, v)
+    tlens = jnp.asarray([20, 15], jnp.int32)
+    ulens = jnp.asarray([10, 14], jnp.int32)  # T >= U so paths exist
+    loss_ref = tr.rnnt_loss_from_logprobs(log_probs, labels, tlens, ulens)
+    loss_pal = _pallas_loss(log_probs, labels, tlens, ulens)
+    np.testing.assert_allclose(np.asarray(loss_pal), np.asarray(loss_ref),
+                               rtol=1e-4, atol=1e-4)
