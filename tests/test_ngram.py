@@ -164,3 +164,41 @@ def test_ngram_compile_cli(tmp_path):
     assert lm.v == 5
     # unigram for 'a' present at id 1
     assert abs(lm.uni[1] - (-0.60206 * L10)) < 1e-4
+
+
+def test_ngram_training_normalizes(tmp_path):
+    """In-framework lmplz analogue: the written ARPA, read back through the
+    scorer, gives per-context distributions that sum to ~1 and prefer the
+    training bigrams."""
+    from espnet_slurp_tpu.decode.ngram_train import (train_arpa_file,
+                                                     train_ngram,
+                                                     write_arpa)
+
+    sents = [["a", "b", "c"], ["a", "b", "a"], ["b", "c", "a"],
+             ["a", "c"], ["c", "b", "a", "b"]] * 3
+    tables = train_ngram(sents, order=3)
+    p = tmp_path / "lm.arpa"
+    write_arpa(tables, str(p))
+
+    # score through the runtime scorer
+    vocab = {"a": 1, "b": 2, "c": 3, "<s>": 4, "</s>": 4}
+    lm = ArpaLM(str(p), vocab, 5)
+    step, init = make_ngram_fusion(lm, sos_id=4)
+    st = init(1)
+    row, st = step(jnp.asarray([4]), st)   # context (<s>)
+    probs = np.exp(np.asarray(row[0]))
+    # ids 1..4 cover a/b/c/</s>: total prob mass ~1 (id 0 is padding/blank)
+    assert 0.9 < probs[1:].sum() < 1.1
+    # 'a' is the most common sentence starter
+    assert probs[1] == probs[1:4].max()
+    row2, _ = step(jnp.asarray([1]), st)   # context (<s>, a)
+    probs2 = np.exp(np.asarray(row2[0]))
+    assert 0.9 < probs2[1:].sum() < 1.1
+    assert probs2[2] > probs2[3]           # 'a b' dominates 'a c'
+
+    # file-level entry point
+    txt = tmp_path / "text"
+    txt.write_text("u1 a b c\nu2 a b a\n")
+    train_arpa_file(str(txt), str(tmp_path / "lm2.arpa"), order=2)
+    lm2 = ArpaLM(str(tmp_path / "lm2.arpa"), vocab, 5)
+    assert lm2.uni[1] > lm2.uni[3]  # 'a' more frequent than 'c'
