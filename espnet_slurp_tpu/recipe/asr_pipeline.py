@@ -45,6 +45,12 @@ class PipelineOptions:
     max_audio_sec: float = 30.0
     fs: int = 16000
     train_lm: bool = False
+    # Stage 9 (asr.sh ngram stage): train an in-framework ARPA n-gram
+    # (decode/ngram_train.py lmplz analogue) + compiled binary cache, and
+    # fuse it in the decode stage with this weight.
+    train_ngram: bool = False
+    ngram_order: int = 3
+    ngram_weight: float = 0.3
     decode_beam_size: int = 5
     decode_ctc_weight: float = 0.3
     decode_max_len: int = 128
@@ -156,6 +162,26 @@ def run_pipeline(cfg: ASRTaskConfig, opts: PipelineOptions = PipelineOptions(),
             results["lm_ppl"] = ppl
             log.info("stage8: LM ppl %.2f", ppl)
 
+    ngram_file = None
+    if opts.train_ngram and stage <= 9 <= stop_stage:
+        # Train over the DECODE token units (the scorer fuses token ids),
+        # like the reference's BPE-tokenized lmplz input (asr.sh stage 9).
+        from ..decode.ngram import ArpaLM
+        from ..decode.ngram_train import train_ngram, write_arpa
+        tokenizer, conv, _ = ASRTask.prepare_vocab(cfg)
+        sents = [tokenizer.text2tokens(t) for t in
+                 read_2column_text(Path(train_dir) / "text").values()]
+        arpa = exp / "train.arpa"
+        write_arpa(train_ngram(sents, order=opts.ngram_order), str(arpa))
+        ngram_file = str(exp / "train_ngram.npz")
+        tok2id = {t: i for i, t in enumerate(conv.token_list)}
+        sos = len(conv.token_list) - 1
+        tok2id.setdefault("<s>", sos)
+        tok2id.setdefault("</s>", sos)
+        ArpaLM(str(arpa), tok2id, len(conv.token_list)).save_binary(
+            ngram_file)
+        log.info("stage9: ngram trained -> %s", ngram_file)
+
     if stage <= 10 <= stop_stage and cfg.model.use_mvn == "global":
         from ..train.collect_stats import collect_stats
         tokenizer, converter, _ = ASRTask.prepare_vocab(cfg)
@@ -171,7 +197,10 @@ def run_pipeline(cfg: ASRTaskConfig, opts: PipelineOptions = PipelineOptions(),
     if stage <= 12 <= stop_stage:
         s2t = Speech2Text(str(exp), beam_size=opts.decode_beam_size,
                           ctc_weight=opts.decode_ctc_weight,
-                          max_len=opts.decode_max_len)
+                          max_len=opts.decode_max_len,
+                          ngram_file=ngram_file,
+                          ngram_weight=(opts.ngram_weight
+                                        if ngram_file else 0.0))
         for dname in [cfg.data.valid_dir] + list(test_dirs or []):
             dname = Path(dname)
             out = exp / f"decode_{dname.name}"

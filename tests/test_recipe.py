@@ -41,11 +41,14 @@ def test_full_pipeline(tmp_path):
                         speech_bucket_multiple=2048, text_bucket_multiple=4),
         max_epoch=1, keep_nbest=1, nbest_average=1)
     opts = PipelineOptions(speed_perturb_factors=(0.9, 1.0),
-                           decode_beam_size=1, decode_max_len=8,
-                           train_lm=True)
+                           decode_beam_size=2, decode_max_len=8,
+                           train_lm=True, train_ngram=True)
     results = run_pipeline(cfg, opts, stage=1, stop_stage=13)
     assert "wer_dev" in results and np.isfinite(results["wer_dev"])
     assert "lm_ppl" in results and results["lm_ppl"] > 1
+    # stage 9: in-framework ngram trained + compiled
+    assert (tmp_path / "exp" / "train.arpa").exists()
+    assert (tmp_path / "exp" / "train_ngram.npz").exists()
     # sp copies were created and used
     assert (tmp_path / "exp" / "data" / "train_sp" / "wav.scp").exists()
     sp = open(tmp_path / "exp" / "data" / "train_sp" / "wav.scp").read()
