@@ -36,6 +36,7 @@ class EnhConfig:
     # blstm | transformer | tcn | dprnn | dptnet | skim | dccrn | beamformer
     # | fasnet (multichannel time-domain filter-and-sum, fasnet.py)
     # | dpcl (deep clustering: TF embeddings + affinity loss + k-means)
+    # | dan (deep attractor network: oracle/k-means attractors + soft masks)
     separator: str = "blstm"
     hidden: int = 256
     num_layers: int = 3
@@ -87,6 +88,8 @@ class EnhModel(nn.Module):
             return self._separate_dccrn(speech_mix, speech_lengths)
         if c.separator == "dpcl":
             return self._separate_dpcl(speech_mix, speech_lengths)
+        if c.separator == "dan":
+            return self._separate_dan(speech_mix, speech_lengths)
         spec = stft(speech_mix, n_fft=c.n_fft, hop_length=c.hop_length)
         re, im = spec[..., 0], spec[..., 1]  # [B, T, F]
         mag = jnp.sqrt(re**2 + im**2 + 1e-8)
@@ -211,6 +214,23 @@ class EnhModel(nn.Module):
                     n_fft=c.n_fft, hop=c.hop_length)
         return est.reshape(b, s, -1), flens
 
+    def _separate_dan(self, speech_mix, speech_lengths):
+        """DAN inference (dan_separator.py): k-means attractors -> soft
+        masks via embedding-attractor softmax -> iSTFT."""
+        from .separators import attractor_masks, kmeans_centers
+        from ..ops.masks import length_mask
+        c = self.cfg
+        emb, (re, im), flens = self._dpcl_embed(speech_mix, speech_lengths)
+        valid = length_mask(flens, re.shape[1])
+        attractors = kmeans_centers(emb, c.n_spk, valid)
+        masks = attractor_masks(emb, attractors)        # [B, S, T, F]
+        est_re = masks * re[:, None]
+        est_im = masks * im[:, None]
+        b, s, t, f = est_re.shape
+        est = istft((est_re + 1j * est_im).reshape(b * s, t, f),
+                    n_fft=c.n_fft, hop=c.hop_length)
+        return est.reshape(b, s, -1), flens
+
     def _separate_fasnet(self, speech_mix, speech_lengths):
         """Multichannel time-domain path: [B, N, C] -> filter-and-sum wavs
         (fasnet_separator.py analogue; fixed-geometry array)."""
@@ -245,7 +265,7 @@ class EnhModel(nn.Module):
         (deep clustering trains on the TF affinity loss instead — k-means
         masking is not differentiable)."""
         c = self.cfg
-        if c.separator == "dpcl":
+        if c.separator in ("dpcl", "dan"):
             from ..ops.masks import length_mask
             from .losses import dpcl_loss
             emb, (re, im), flens = self.separate(
@@ -257,8 +277,35 @@ class EnhModel(nn.Module):
             rmag = jnp.sqrt(rspec[..., 0]**2 + rspec[..., 1]**2 + 1e-8)
             rmag = rmag.reshape(b, s, *rmag.shape[1:])[:, :, :re.shape[1]]
             valid = length_mask(flens, re.shape[1])
-            loss = jnp.mean(dpcl_loss(emb, rmag, valid))
-            return loss, {"loss": loss, "dpcl_loss": loss}
+            if c.separator == "dpcl":
+                loss = jnp.mean(dpcl_loss(emb, rmag, valid))
+                return loss, {"loss": loss, "dpcl_loss": loss}
+            # DAN: oracle attractors from the dominant-speaker labels
+            # (dan_separator.py:109-129), soft masks, masked SI-SNR —
+            # differentiable end-to-end, no permutation (attractors carry
+            # the reference order).
+            import jax as _jax
+            from .separators import attractor_masks
+            from .losses import si_snr_loss
+            lab = jnp.argmax(rmag, axis=1)                  # [B, T, F]
+            y = _jax.nn.one_hot(lab, s)                     # [B, T, F, S]
+            y = y * valid[..., None, None].astype(y.dtype)[:, :y.shape[1]]
+            v_y = jnp.einsum("btfd,btfs->bsd", emb, y)
+            cnt = jnp.maximum(jnp.einsum("btfs->bs", y), 1.0)
+            attractors = v_y / cnt[..., None]
+            masks = attractor_masks(emb, attractors)        # [B, S, T, F]
+            est_re = masks * re[:, None]
+            est_im = masks * im[:, None]
+            bt, st_, t_, f_ = est_re.shape
+            est = istft((est_re + 1j * est_im).reshape(bt * st_, t_, f_),
+                        n_fft=c.n_fft, hop=c.hop_length).reshape(bt, st_, -1)
+            m = min(est.shape[-1], n)
+            lens = jnp.minimum(speech_mix_lengths, m)
+            loss_b = si_snr_loss(est[..., :m].reshape(bt * st_, -1),
+                                 speech_ref[..., :m].reshape(bt * st_, -1),
+                                 jnp.repeat(lens, st_))
+            loss = jnp.mean(loss_b)
+            return loss, {"loss": loss, "si_snr": -loss}
         est, _ = self.separate(speech_mix, speech_mix_lengths)
         n = min(est.shape[-1], speech_ref.shape[-1])
         lengths = jnp.minimum(speech_mix_lengths, n)

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -445,9 +446,9 @@ class DPCLEmbedder(nn.Module):
         return emb.astype(jnp.float32)
 
 
-def kmeans_masks(emb: jnp.ndarray, n_clusters: int, valid: jnp.ndarray,
-                 iters: int = 10) -> jnp.ndarray:
-    """Cluster [B, T, F, D] embeddings -> one-hot masks [B, S, T, F].
+def kmeans_centers(emb: jnp.ndarray, n_clusters: int, valid: jnp.ndarray,
+                   iters: int = 10) -> jnp.ndarray:
+    """Cluster [B, T, F, D] embeddings -> centers [B, S, D].
 
     valid: [B, T] frame validity. Fixed-iteration Lloyd k-means; centers
     initialize from the first num_spk embeddings as in the reference."""
@@ -466,8 +467,27 @@ def kmeans_masks(emb: jnp.ndarray, n_clusters: int, valid: jnp.ndarray,
         cnt = jnp.maximum(jnp.sum(onehot, 1), 1.0)
         return s / cnt[..., None]
 
-    centers = lax.fori_loop(0, iters, step, centers)
+    return lax.fori_loop(0, iters, step, centers)
+
+
+def kmeans_masks(emb: jnp.ndarray, n_clusters: int, valid: jnp.ndarray,
+                 iters: int = 10) -> jnp.ndarray:
+    """Cluster [B, T, F, D] embeddings -> one-hot masks [B, S, T, F]."""
+    import jax
+    b, t, f, d = emb.shape
+    v = emb.reshape(b, t * f, d)
+    centers = kmeans_centers(emb, n_clusters, valid, iters)
     d2 = jnp.sum((v[:, :, None] - centers[:, None]) ** 2, -1)
     lab = jnp.argmin(d2, -1)
     masks = jax.nn.one_hot(lab, n_clusters).reshape(b, t, f, n_clusters)
     return jnp.moveaxis(masks, 3, 1)                      # [B, S, T, F]
+
+
+def attractor_masks(emb: jnp.ndarray, attractors: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """DAN soft masks (dan_separator.py:150-153): softmax over
+    embedding-attractor dot products. emb [B, T, F, D], attractors
+    [B, S, D] -> [B, S, T, F]."""
+    dist = jnp.einsum("btfd,bsd->btfs", emb, attractors)
+    return jnp.moveaxis(jax.nn.softmax(dist, axis=-1), 3, 1)
+
