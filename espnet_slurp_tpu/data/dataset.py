@@ -113,12 +113,18 @@ class _Hdf5Loader(Mapping):
 DATA_TYPES["hdf5"] = _Hdf5Loader
 
 
-class _TextIntLoader(Mapping):
-    def __init__(self, path):
+class _TextNumLoader(Mapping):
+    """text_int / text_float / csv_int / csv_float loaders
+    (train/dataset.py:249-288): whitespace- or comma-separated numbers."""
+
+    def __init__(self, path, dtype=np.int64, sep=None):
         self._map = read_2column_text(path)
+        self._dtype = dtype
+        self._sep = sep
 
     def __getitem__(self, k):
-        return np.array([int(x) for x in self._map[k].split()], dtype=np.int64)
+        return np.array([float(x) for x in self._map[k].split(self._sep)],
+                        dtype=self._dtype)
 
     def __len__(self):
         return len(self._map)
@@ -127,7 +133,13 @@ class _TextIntLoader(Mapping):
         return iter(self._map)
 
 
-DATA_TYPES["text_int"] = _TextIntLoader
+DATA_TYPES["text_int"] = _TextNumLoader
+DATA_TYPES["text_float"] = lambda p: _TextNumLoader(p, np.float32)
+DATA_TYPES["csv_int"] = lambda p: _TextNumLoader(p, np.int64, ",")
+DATA_TYPES["csv_float"] = lambda p: _TextNumLoader(p, np.float32, ",")
+# duration: frame counts per token (train/dataset.py:221; FastSpeech GT
+# durations) — same numeric layout as text_int.
+DATA_TYPES["duration"] = _TextNumLoader
 
 
 class _TextLoader(Mapping):

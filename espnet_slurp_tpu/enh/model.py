@@ -10,8 +10,11 @@ SURVEY.md §2.7). Separator families provided:
 - 'dccrn': complex conv recurrent U-Net over the STFT
   (dccrn_separator.py);
 - 'beamformer': multichannel mask-based MVDR (neural_beamformer.py);
-- 'fasnet': multichannel time-domain filter-and-sum + TAC (fasnet.py).
-All train with SI-SNR + PIT.
+- 'fasnet': multichannel time-domain filter-and-sum + TAC (fasnet.py);
+- 'dpcl' / 'dan': TF-embedding clustering families (dpcl/dan_separator.py)
+  — affinity loss / attractor soft masks; k-means at inference.
+Mask/filter families train with SI-SNR + PIT; dpcl trains on the affinity
+loss, dan on oracle-attractor masked SI-SNR.
 """
 from __future__ import annotations
 

@@ -222,3 +222,23 @@ def test_data_json_convert_cli(tmp_path):
     assert (out / "transcript").exists()
     shape = (out / "speech_shape").read_text()
     assert "u2 50,80" in shape
+
+
+def test_numeric_text_loader_types(tmp_path):
+    from espnet_slurp_tpu.data.dataset import SpeechDataset
+    (tmp_path / "ti").write_text("u1 1 2 3\n")
+    (tmp_path / "tf").write_text("u1 0.5 1.5\n")
+    (tmp_path / "ci").write_text("u1 4,5,6\n")
+    (tmp_path / "cf").write_text("u1 0.25,0.75\n")
+    ds = SpeechDataset([(str(tmp_path / "ti"), "a", "text_int"),
+                        (str(tmp_path / "tf"), "b", "text_float"),
+                        (str(tmp_path / "ci"), "c", "csv_int"),
+                        (str(tmp_path / "cf"), "d", "csv_float"),
+                        (str(tmp_path / "ti"), "e", "duration")])
+    _, d = ds["u1"]
+    np.testing.assert_array_equal(d["a"], [1, 2, 3])
+    np.testing.assert_allclose(d["b"], [0.5, 1.5])
+    np.testing.assert_array_equal(d["c"], [4, 5, 6])
+    np.testing.assert_allclose(d["d"], [0.25, 0.75])
+    np.testing.assert_array_equal(d["e"], [1, 2, 3])
+    assert d["a"].dtype == np.int64 and d["d"].dtype == np.float32
