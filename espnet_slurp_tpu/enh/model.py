@@ -289,7 +289,6 @@ class EnhModel(nn.Module):
             # the reference order).
             import jax as _jax
             from .separators import attractor_masks
-            from .losses import si_snr_loss
             lab = jnp.argmax(rmag, axis=1)                  # [B, T, F]
             y = _jax.nn.one_hot(lab, s)                     # [B, T, F, S]
             y = y * valid[..., None, None].astype(y.dtype)[:, :y.shape[1]]
