@@ -357,7 +357,8 @@ class ASRTask:
                            log_interval=cfg.log_interval,
                            resume=cfg.resume),
             mesh=mesh, attention_hook=attention_hook)
-        return trainer.run(state, train_if, valid_if)
+        from ..data.prefetch import prefetch_factory
+        return trainer.run(state, prefetch_factory(train_if), valid_if)
 
 
 class Speech2Text:

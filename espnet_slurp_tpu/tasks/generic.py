@@ -94,7 +94,11 @@ def run_training(*, exp_dir: str, model, init_fn: Callable,
                        nbest_average=run.nbest_average,
                        log_interval=run.log_interval, resume=run.resume),
         mesh=mesh, attention_hook=attention_hook)
-    return trainer.run(state, train_factory, valid_factory)
+    # Overlap host-side loading/collation with device steps (the
+    # reference's DataLoader workers; data/prefetch.py).
+    from ..data.prefetch import prefetch_factory
+    return trainer.run(state, prefetch_factory(train_factory),
+                       valid_factory)
 
 
 def load_config(cls, path=None, overrides=None):
