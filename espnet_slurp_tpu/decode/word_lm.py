@@ -299,7 +299,9 @@ def select_class_roots(class_logits: jnp.ndarray,
                        ) -> jnp.ndarray:
     """Selection-LM KB choice (asr_recog.py --select --classlm, topk=1,
     decoders.py:1074-1097): per-hypothesis class posterior -> biasing-trie
-    reset root. class_logits [N, C]; class_roots [C] -> roots [N]."""
+    reset root. class_logits [N, C]; class_roots [C] -> roots [N].
+    class_mask: True EXCLUDES a class from selection (already-used or
+    disallowed KB classes)."""
     if class_mask is not None:
         class_logits = jnp.where(class_mask[None, :], -1e9, class_logits)
     return class_roots[jnp.argmax(class_logits, axis=-1)]
