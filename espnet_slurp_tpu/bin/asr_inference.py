@@ -78,6 +78,14 @@ def main(argv=None):
     ref_path = Path(args.data_dir) / "text"
     if ref_path.exists():
         refs = read_2column_text(ref_path)
+        # score against CLEANED references when the model was trained with
+        # a text cleaner (asr.sh stage 13 passes --cleaner to the scoring
+        # tokenization too) — hypotheses come out of the cleaned vocab
+        cleaner_type = getattr(s2t.cfg.data, "text_cleaner", "")
+        if cleaner_type:
+            from ..data.cleaner import TextCleaner
+            clean = TextCleaner(cleaner_type)
+            refs = {k: clean(v) for k, v in refs.items()}
         wer, stats = error_rate(refs, hyps, unit="word")
         cer, _ = error_rate(refs, hyps, unit="char")
         logging.info("WER=%.2f%% CER=%.2f%% (%d ref words)", wer * 100,

@@ -241,11 +241,15 @@ class CommonPreprocessor:
                  noise_db_range: Tuple[float, float] = (13.0, 30.0),
                  speech_name: str = "speech",
                  speech_volume_normalize: Optional[float] = None,
+                 cleaner: Optional[Callable[[str], str]] = None,
                  seed: int = 0):
         self.tokenizer = tokenizer
         self.converter = converter
         self.text_names = tuple(text_names)
         self.extra = extra or {}
+        # text cleaner applied before tokenization (espnet2/text/cleaner.py
+        # TextCleaner, wired via preprocessor text_cleaner)
+        self.cleaner = cleaner
         # RIR convolution + noise mixing (preprocessor.py:123-332): applied
         # host-side per utterance before collation, like the reference.
         self.speech_name = speech_name
@@ -303,6 +307,8 @@ class CommonPreprocessor:
                     tok, conv = self.tokenizer, self.converter
                 else:
                     continue  # raw text stream left out of the batch
+                if self.cleaner is not None:
+                    value = self.cleaner(value)
                 ids = conv.tokens2ids(tok.text2tokens(value))
                 out[name] = np.asarray(ids, dtype=np.int64)
             else:

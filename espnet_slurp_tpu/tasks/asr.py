@@ -25,6 +25,7 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import numpy as np
 
+from ..data.cleaner import TextCleaner
 from ..data.collate import asr_batch, common_collate
 from ..data.dataset import CommonPreprocessor, SpeechDataset
 from ..data.fileio import read_2column_text
@@ -47,6 +48,10 @@ class DataConfig:
     train_dir: str = ""
     valid_dir: str = ""
     token_type: str = "char"  # char | word | bpe
+    # Text cleaner applied before tokenization AND before token-list/BPE
+    # building: "" | tacotron | jaconv | lowercase | uppercase | whitespace
+    # (espnet2/text/cleaner.py --cleaner flag analogue).
+    text_cleaner: str = ""
     bpemodel: Optional[str] = None
     bpe_vocab_size: int = 300
     batch_type: str = "numel"
@@ -99,6 +104,9 @@ class ASRTask:
         (tokenizer, converter, resolved ASRConfig with true vocab_size)."""
         data = cfg.data
         texts = read_2column_text(Path(data.train_dir) / "text")
+        if data.text_cleaner:
+            clean = TextCleaner(data.text_cleaner)
+            texts = {k: clean(v) for k, v in texts.items()}
         if data.token_type == "bpe":
             bpe_path = data.bpemodel or str(Path(cfg.exp_dir) / "bpe.json")
             if not Path(bpe_path).exists():
@@ -124,7 +132,8 @@ class ASRTask:
 
     @staticmethod
     def build_dataset(data_dir: str, tokenizer, converter,
-                      num_ref: int = 1) -> SpeechDataset:
+                      num_ref: int = 1,
+                      text_cleaner: str = "") -> SpeechDataset:
         streams = [(str(Path(data_dir) / "wav.scp"), "speech", "sound"),
                    (str(Path(data_dir) / "text"), "text", "text")]
         text_names = ["text"]
@@ -133,8 +142,10 @@ class ASRTask:
             streams.append((str(Path(data_dir) / f"text_spk{k}"),
                             f"text_spk{k}", "text"))
             text_names.append(f"text_spk{k}")
+        cleaner = TextCleaner(text_cleaner) if text_cleaner else None
         pre = CommonPreprocessor(tokenizer, converter,
-                                 text_names=tuple(text_names))
+                                 text_names=tuple(text_names),
+                                 cleaner=cleaner)
         ds = SpeechDataset(streams, preprocess=pre)
         ds.data_dir = data_dir
         return ds
@@ -311,9 +322,11 @@ class ASRTask:
             state = jax.device_put(state, replicated(mesh))
 
         train_ds = cls.build_dataset(cfg.data.train_dir, tokenizer, converter,
-                                     num_ref=model_cfg.num_ref)
+                                     num_ref=model_cfg.num_ref,
+                                     text_cleaner=cfg.data.text_cleaner)
         valid_ds = cls.build_dataset(cfg.data.valid_dir, tokenizer, converter,
-                                     num_ref=model_cfg.num_ref)
+                                     num_ref=model_cfg.num_ref,
+                                     text_cleaner=cfg.data.text_cleaner)
         # Per-process data sharding on pods: every process builds the same
         # global batch list and loads only its rank's slice of each batch
         # (weak #2 fix: multi-host wiring is real, not just mesh math).

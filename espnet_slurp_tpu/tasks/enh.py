@@ -37,6 +37,12 @@ class EnhTaskConfig:
     valid_dir: str = ""
     batch_size: int = 8
     speech_bucket_multiple: int = 4096
+    # Dynamic mixing (tasks/enh.py:316-377 --dynamic_mixing): synthesize
+    # training mixtures on the fly from the spk1.scp sources instead of a
+    # premixed wav.scp. Validation always uses the premixed corpus.
+    dynamic_mixing: bool = False
+    dynamic_mixing_gain_db: float = 0.0
+    utt2spk: str = ""  # speaker map so interferers come from other speakers
 
 
 def load_enh_config(path=None, overrides=None) -> EnhTaskConfig:
@@ -50,7 +56,20 @@ MULTICHANNEL_SEPARATORS = ("beamformer", "fasnet")
 class EnhTask:
     @staticmethod
     def build_dataset(data_dir: str, n_spk: int,
-                      multichannel: bool = False) -> SpeechDataset:
+                      multichannel: bool = False,
+                      dynamic_mixing: bool = False,
+                      dynamic_mixing_gain_db: float = 0.0,
+                      utt2spk: str = "",
+                      seed: int = 0) -> SpeechDataset:
+        if dynamic_mixing:
+            # only the source stream is read from disk; the mixture and
+            # the other references are synthesized per __getitem__
+            from ..enh.mixing import DynamicMixer
+            src = str(Path(data_dir) / "spk1.scp")
+            mixer = DynamicMixer(src, n_spk=n_spk,
+                                 gain_db=dynamic_mixing_gain_db,
+                                 utt2spk=utt2spk or None, seed=seed)
+            return SpeechDataset([(src, "spk1", "sound")], preprocess=mixer)
         mix_type = "sound_mc" if multichannel else "sound"
         streams = [(str(Path(data_dir) / "wav.scp"), "speech_mix", mix_type)]
         for i in range(n_spk):
@@ -78,10 +97,15 @@ class EnhTask:
         adapt = cls.batch_adapter(n_spk)
         buckets = {"speech_mix": cfg.speech_bucket_multiple}
         mc = cfg.model.separator in MULTICHANNEL_SEPARATORS
-        mk = lambda d, sh: simple_iter_factory(
-            cls.build_dataset(d, n_spk, mc), adapt, cfg.batch_size,
-            cfg.run.seed, sh, buckets)
-        batch0 = next(iter(mk(cfg.train_dir, False)(1)))
+        # dynamic mixing applies to training only (preprocessor.py:716-721
+        # `if self.train`); validation scores against the premixed corpus
+        mk = lambda d, sh, dyn=False: simple_iter_factory(
+            cls.build_dataset(d, n_spk, mc, dynamic_mixing=dyn,
+                              dynamic_mixing_gain_db=cfg.dynamic_mixing_gain_db,
+                              utt2spk=cfg.utt2spk, seed=cfg.run.seed),
+            adapt, cfg.batch_size, cfg.run.seed, sh, buckets)
+        batch0 = next(iter(mk(cfg.train_dir, False,
+                      dyn=cfg.dynamic_mixing)(1)))
 
         def init_fn(rng):
             return model.init(rng, **batch0)["params"]
@@ -94,7 +118,7 @@ class EnhTask:
 
         return run_training(
             exp_dir=cfg.exp_dir, model=model, init_fn=init_fn,
-            train_factory=mk(cfg.train_dir, True),
+            train_factory=mk(cfg.train_dir, True, dyn=cfg.dynamic_mixing),
             valid_factory=mk(cfg.valid_dir, False),
             optim=cfg.optim, run=cfg.run, train_apply=train_apply,
             eval_apply=eval_apply, mesh=mesh, resolved_cfg=cfg)
