@@ -66,6 +66,10 @@ class DataConfig:
 @dataclasses.dataclass(frozen=True)
 class ASRTaskConfig:
     exp_dir: str = "exp/asr"
+    # "asr" (hybrid CTC/attention, default) | "maskctc" (non-autoregressive
+    # mask-predict; reference espnet2/asr/maskctc_model.py selected via
+    # --model maskctc in tasks/asr.py ClassChoices).
+    model_arch: str = "asr"
     model: ASRConfig = ASRConfig()
     optim: OptimConfig = OptimConfig()
     data: DataConfig = DataConfig()
@@ -257,7 +261,11 @@ class ASRTask:
     # ---------- model/training ----------
 
     @staticmethod
-    def build_model(model_cfg: ASRConfig):
+    def build_model(model_cfg: ASRConfig, arch: str = "asr"):
+        if arch == "maskctc":
+            # Non-autoregressive mask-predict (maskctc_model.py analogue).
+            from ..models.maskctc import MaskCTCModel
+            return MaskCTCModel(model_cfg)
         if model_cfg.num_ref >= 2:
             # Multi-speaker PIT (pit_espnet_model.py analogue).
             from ..models.pit_asr import PITASRModel
@@ -311,7 +319,7 @@ class ASRTask:
         resolved = dataclasses.replace(cfg, model=model_cfg)
         save_yaml(resolved, exp / "config.yaml")
 
-        model = cls.build_model(model_cfg)
+        model = cls.build_model(model_cfg, cfg.model_arch)
         params = cls.init_params(model, cfg.data.seed)
         tx = build_optimizer(cfg.optim)
         state = TrainState.create(params, tx,
@@ -355,15 +363,34 @@ class ASRTask:
                                                 plot_batch)
                 plot_attentions(atts, exp / "att_ws" / f"{epoch}ep")
 
+        train_apply = eval_apply = None
+        if cfg.model_arch == "maskctc":
+            # MaskCTC threads an extra target-masking rng through the step.
+            def train_apply(params, batch, dropout_rng, specaug_rng):
+                sa_rng, mask_rng = jax.random.split(specaug_rng)
+                return model.apply(
+                    {"params": params}, train=True, specaug_rng=sa_rng,
+                    mask_rng=mask_rng, mvn_stats=mvn_stats,
+                    rngs={"dropout": dropout_rng}, **batch)
+
+            def eval_apply(params, batch):
+                return model.apply(
+                    {"params": params}, train=False,
+                    mask_rng=jax.random.PRNGKey(0), mvn_stats=mvn_stats,
+                    **batch)
+
         trainer = Trainer(
             make_train_step(model, tx, mvn_stats=mvn_stats,
                             grad_noise_eta=cfg.optim.grad_noise_eta,
                             ema_decay=cfg.optim.ema_decay,
+                            apply_fn=train_apply,
                             aux_loss_fn=(make_mbr_aux_loss(
                                 model, cfg.mbr, mvn_stats=mvn_stats,
                                 kb_token_mask=cls._kb_token_mask(cfg))
-                                if cfg.mbr.weight > 0 else None)),
-            make_eval_step(model, mvn_stats=mvn_stats), ckpt,
+                                if cfg.mbr.weight > 0
+                                and cfg.model_arch == "asr" else None)),
+            make_eval_step(model, mvn_stats=mvn_stats, apply_fn=eval_apply),
+            ckpt,
             TrainerOptions(max_epoch=cfg.max_epoch, patience=cfg.patience,
                            keep_nbest=cfg.keep_nbest,
                            nbest_average=cfg.nbest_average,
@@ -545,6 +572,66 @@ class Speech2Text:
         out = []
         for i in range(b):
             ids = np.asarray(tokens)[i][: int(lengths[i])]
+            out.append(self.tokenizer.tokens2text(
+                self.converter.ids2tokens(ids)))
+        return out
+
+
+class Speech2TextMaskCTC:
+    """Non-autoregressive mask-predict inference wrapper.
+
+    Parity target: reference espnet2/bin/asr_inference_maskctc.py
+    (Speech2Text over MaskCTCModel: CTC greedy init + K mask-predict
+    refinement passes). Loads an exp dir trained with model_arch=maskctc.
+    """
+
+    def __init__(self, exp_dir: str, ckpt_name: Optional[str] = None,
+                 max_len: int = 128, n_iterations: int = 4,
+                 threshold: float = 0.99):
+        exp = Path(exp_dir)
+        self.cfg = load_task_config(exp / "config.yaml")
+        tokenizer, converter, model_cfg = ASRTask.prepare_vocab(self.cfg)
+        self.tokenizer, self.converter = tokenizer, converter
+        self.model = ASRTask.build_model(model_cfg, "maskctc")
+        mgr = CheckpointManager(exp, self.cfg.keep_nbest)
+        if ckpt_name is None:
+            cands = sorted(exp.glob("valid.*best"))
+            ckpt_name = cands[0].name if cands \
+                else f"{mgr.latest_epoch()}epoch"
+        self.params = mgr.load_params(ckpt_name)
+        self.mvn_stats = ASRTask.load_mvn_stats(self.cfg)
+        self.max_len = max_len
+        self.n_iterations = n_iterations
+        self.threshold = threshold
+
+    def __call__(self, speech: np.ndarray) -> str:
+        return self.decode_batch([speech])[0]
+
+    def decode_batch(self, speeches) -> list:
+        from ..data.sampler import bucket_length
+        b = len(speeches)
+        bb = 1
+        while bb < b:
+            bb *= 2
+        n = bucket_length(max(len(s) for s in speeches),
+                          self.cfg.data.speech_bucket_multiple)
+        buf = np.zeros((bb, n), np.float32)
+        lens = np.zeros((bb,), np.int32)
+        for i, s in enumerate(speeches):
+            buf[i, :len(s)] = s
+            lens[i] = len(s)
+        lens[b:] = 1
+        mvn = self.mvn_stats
+        tokens, lengths = self.model.apply(
+            {"params": self.params}, buf, lens, self.max_len,
+            self.n_iterations,
+            method=lambda m, s, sl, ml, it: m.decode(
+                s, sl, max_len=ml, n_iterations=it,
+                threshold=self.threshold, mvn_stats=mvn))
+        out = []
+        for i in range(b):
+            ids = np.asarray(tokens)[i][: int(lengths[i])]
+            ids = ids[ids != self.model.cfg.blank_id]
             out.append(self.tokenizer.tokens2text(
                 self.converter.ids2tokens(ids)))
         return out
