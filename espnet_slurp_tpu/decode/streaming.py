@@ -29,7 +29,8 @@ class StreamingRecognizer:
 
     def __init__(self, model: ASRModel, params, tokenizer=None,
                  converter=None, chunk_samples: int = 8192,
-                 max_len: int = 128, beam_size: int = 1):
+                 max_len: int = 128, beam_size: int = 1,
+                 ctc_weight: float = 0.3):
         assert model.cfg.chunk_size > 0, \
             "streaming requires a chunk-attention model (cfg.chunk_size > 0)"
         self.model = model
@@ -39,6 +40,9 @@ class StreamingRecognizer:
         self.chunk_samples = chunk_samples
         self.max_len = max_len
         self.beam_size = beam_size
+        # 0.0 for models whose CTC head is untrained/absent (e.g. the ST
+        # inner ASR model — final beam is attention-only there).
+        self.ctc_weight = ctc_weight
         self.reset()
         self._encode_jit = jax.jit(self._encode, static_argnums=(2,))
 
@@ -77,6 +81,11 @@ class StreamingRecognizer:
         speech[:n] = self._buffer
         hs, h_lengths, _ = self._encode_jit(jnp.asarray(speech), n, pad_to)
         if not is_final:
+            # Partial hypotheses need a trained CTC head; models without
+            # one (e.g. the ST inner ASR: attention-only over tgt vocab)
+            # emit no partials and only the final beam result.
+            if "ctc" not in self.params:
+                return [], False
             return self._ctc_partial(hs, h_lengths), False
         if self.beam_size > 1:
             from .beam import BeamSearchConfig, batch_beam_search
@@ -84,7 +93,7 @@ class StreamingRecognizer:
                 self.model, self.params, hs, h_lengths,
                 BeamSearchConfig(beam_size=self.beam_size,
                                  max_len=self.max_len,
-                                 ctc_weight=0.3))
+                                 ctc_weight=self.ctc_weight))
         else:
             from .greedy import attention_greedy_decode
             tokens, lengths = attention_greedy_decode(

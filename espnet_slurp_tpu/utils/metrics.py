@@ -125,3 +125,47 @@ def rare_word_error_rate(refs: Dict[str, str], hyps: Dict[str, str],
                 common.insertions += 1
                 j -= 1
     return rare.error_rate, common.error_rate, rare, common
+
+
+def corpus_bleu(refs: Dict[str, str], hyps: Dict[str, str],
+                max_n: int = 4) -> float:
+    """Corpus-level BLEU in [0, 100] (sacrebleu analogue, host-side).
+
+    Parity target: the reference's ST scoring stage (st.sh stage 13 scores
+    hypotheses with sacrebleu, an external dep); standard BLEU-4: geometric
+    mean of clipped n-gram precisions (n=1..max_n) with add-0 smoothing via
+    the usual "precision floor at counts>0" convention and the brevity
+    penalty exp(1 - ref_len/hyp_len) for hyp_len < ref_len.
+    """
+    import math
+    from collections import Counter
+
+    match = [0] * max_n
+    total = [0] * max_n
+    hyp_len = 0
+    ref_len = 0
+    for uid, ref in refs.items():
+        r = ref.split()
+        h = hyps.get(uid, "").split()
+        hyp_len += len(h)
+        ref_len += len(r)
+        for n in range(1, max_n + 1):
+            h_ngrams = Counter(tuple(h[i:i + n])
+                               for i in range(len(h) - n + 1))
+            r_ngrams = Counter(tuple(r[i:i + n])
+                               for i in range(len(r) - n + 1))
+            overlap = sum(min(c, r_ngrams[g]) for g, c in h_ngrams.items())
+            match[n - 1] += overlap
+            total[n - 1] += max(len(h) - n + 1, 0)
+    if hyp_len == 0:
+        return 0.0
+    log_p = 0.0
+    for n in range(max_n):
+        if total[n] == 0:
+            return 0.0
+        if match[n] == 0:
+            return 0.0
+        log_p += math.log(match[n] / total[n])
+    log_p /= max_n
+    bp = 1.0 if hyp_len >= ref_len else math.exp(1.0 - ref_len / hyp_len)
+    return 100.0 * bp * math.exp(log_p)
