@@ -72,6 +72,12 @@ class ASRConfig:
     num_ref: int = 1
     pit_branch_blocks: int = 2
     wav2vec2: Optional[Wav2Vec2Config] = None  # encoder="wav2vec2" opts
+    # Pre-encoder between normalize and encoder (espnet2/asr/preencoder/):
+    # "" (none) | "sinc" (LightweightSincConvs over sliding-window frames,
+    # set frontend.type="sliding_window") | "linear" (projection).
+    preencoder: str = ""
+    preencoder_dim: int = 256     # sinc out_channels / linear output size
+    preencoder_scale: str = "mel"  # sinc filter init: mel | bark
     use_tcpgen: bool = False
     tcpgen_gcn_layers: int = 2
     tcpgen_tree_encoder: str = "gcn"  # gcn | gat | sage | treelstm
@@ -201,6 +207,15 @@ class ASRModel(nn.Module):
     def setup(self):
         c = self.cfg
         self.encoder = build_encoder(c)
+        if c.preencoder == "sinc":
+            from .preencoder import LightweightSincConvs
+            self.preenc = LightweightSincConvs(
+                out_channels=c.preencoder_dim, fs=float(c.frontend.fs),
+                scale=c.preencoder_scale, name="preencoder")
+        elif c.preencoder == "linear":
+            from .preencoder import LinearPreencoder
+            self.preenc = LinearPreencoder(output_size=c.preencoder_dim,
+                                           name="preencoder")
         self.ctc_proj = nn.Dense(c.vocab_size, dtype=c.jax_dtype, name="ctc")
         if c.decoder == "rnn":
             from .rnn_decoder import RNNDecoder
@@ -237,6 +252,10 @@ class ASRModel(nn.Module):
         elif c.use_mvn == "utterance":
             feats = utterance_mvn(feats, feat_lengths)
         feats = feats.astype(c.jax_dtype)
+        if c.preencoder:
+            # Pre-encoder stage (abs_task flow: frontend -> specaug ->
+            # normalize -> PREENCODER -> encoder).
+            feats = self.preenc(feats, deterministic=not train)
         return self.encoder(feats, feat_lengths, deterministic=not train)
 
     def encode_feats(self, feats, feat_lengths, train=False):
