@@ -46,6 +46,10 @@ class ASRConfig:
     decoder: str = "transformer"  # transformer | rnn (LAS, location-aware)
     rnn_decoder_units: int = 320
     rnn_decoder_layers: int = 1
+    # encoder="rnn"/"vgg_rnn" (espnet1 RNNP / VGG2L+RNNP family) options.
+    rnn_encoder_units: int = 320
+    rnn_encoder_layers: int = 4
+    rnn_encoder_subsample: Tuple[int, ...] = (1, 2, 2, 1)
     d_model: int = 256
     n_head: int = 4
     d_ff: int = 2048
@@ -182,6 +186,16 @@ def build_encoder(c: ASRConfig, name: str = "encoder"):
     if c.encoder == "wav2vec2":
         from .wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
         return Wav2Vec2Encoder(c.wav2vec2 or Wav2Vec2Config(), name=name)
+    if c.encoder in ("rnn", "vgg_rnn"):
+        # espnet1 classic family (rnn/encoders.py RNNP / VGG2L+RNNP).
+        from .rnn_encoders import RNNEncoder, VGGRNNEncoder
+        cls = VGGRNNEncoder if c.encoder == "vgg_rnn" else RNNEncoder
+        kw = {} if c.encoder == "vgg_rnn" else \
+            {"subsample": c.rnn_encoder_subsample}
+        return cls(d_model=c.d_model, units=c.rnn_encoder_units,
+                   num_layers=c.rnn_encoder_layers,
+                   dropout_rate=c.dropout_rate, dtype=c.jax_dtype,
+                   name=name, **kw)
     if c.encoder == "contextual_block_conformer":
         from .contextual_block import ContextualBlockConformerEncoder
         return ContextualBlockConformerEncoder(

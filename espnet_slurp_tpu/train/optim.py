@@ -16,11 +16,20 @@ import optax
 
 @dataclasses.dataclass(frozen=True)
 class OptimConfig:
+    # adam | adamw | sgd (momentum below) | adadelta (espnet1's default for
+    # RNN/LAS models, asr.py train --opt adadelta) | adagrad | rmsprop
     name: str = "adam"
     lr: float = 2e-3
-    scheduler: str = "warmuplr"  # warmuplr | noam | constant
+    # warmuplr | noam | warmup_step (warmup_step_lr.py: warmuplr with
+    # staircase decay every steps_per_decay) | exponential | cosine |
+    # constant
+    scheduler: str = "warmuplr"
     warmup_steps: int = 25000
     d_model: int = 256  # used by "noam"
+    decay_rate: float = 0.96      # exponential / warmup_step decay factor
+    decay_steps: int = 10000      # exponential/cosine horizon, step period
+    momentum: float = 0.0         # sgd momentum / rmsprop decay-momentum
+    rho: float = 0.95             # adadelta decay
     weight_decay: float = 0.0
     betas: tuple = (0.9, 0.98)
     eps: float = 1e-9
@@ -45,6 +54,29 @@ def build_schedule(cfg: OptimConfig) -> optax.Schedule:
             return cfg.lr * cfg.d_model**-0.5 * jnp.minimum(
                 s**-0.5, s * cfg.warmup_steps**-1.5)
         return sched
+    if cfg.scheduler == "warmup_step":
+        # warmup_step_lr.py: warmuplr shape, then staircase ×decay_rate
+        # every decay_steps after warmup.
+        def sched(step):
+            s = jnp.maximum(jnp.asarray(step, jnp.float32), 1.0)
+            base = cfg.lr * cfg.warmup_steps**0.5 * jnp.minimum(
+                s**-0.5, s * cfg.warmup_steps**-1.5)
+            k = jnp.floor(jnp.maximum(s - cfg.warmup_steps, 0.0)
+                          / cfg.decay_steps)
+            return base * cfg.decay_rate**k
+        return sched
+    if cfg.scheduler == "exponential":
+        def sched(step):
+            s = jnp.asarray(step, jnp.float32)
+            return cfg.lr * cfg.decay_rate ** (s / cfg.decay_steps)
+        return sched
+    if cfg.scheduler == "cosine":
+        def sched(step):
+            s = jnp.minimum(jnp.asarray(step, jnp.float32),
+                            float(cfg.decay_steps))
+            return cfg.lr * 0.5 * (1.0 + jnp.cos(
+                jnp.pi * s / cfg.decay_steps))
+        return sched
     raise ValueError(f"unknown scheduler {cfg.scheduler}")
 
 
@@ -54,7 +86,16 @@ def build_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
         core = optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1],
                                    eps=cfg.eps)
     elif cfg.name == "sgd":
-        core = optax.identity()
+        core = optax.trace(decay=cfg.momentum) if cfg.momentum > 0 \
+            else optax.identity()
+    elif cfg.name == "adadelta":
+        # espnet1's default for LAS/RNN models (asr.py --opt adadelta).
+        core = optax.scale_by_adadelta(rho=cfg.rho, eps=max(cfg.eps, 1e-8))
+    elif cfg.name == "adagrad":
+        core = optax.scale_by_rss(initial_accumulator_value=0.0,
+                                  eps=max(cfg.eps, 1e-8))
+    elif cfg.name == "rmsprop":
+        core = optax.scale_by_rms(decay=0.99, eps=max(cfg.eps, 1e-8))
     else:
         raise ValueError(f"unknown optimizer {cfg.name}")
     parts = []
