@@ -82,6 +82,15 @@ class ASRConfig:
     preencoder: str = ""
     preencoder_dim: int = 256     # sinc out_channels / linear output size
     preencoder_scale: str = "mel"  # sinc filter init: mel | bark
+    # Post-encoder over encoder states (espnet2/asr/postencoder/
+    # hugging_face_transformers_postencoder.py): "" | "hf_bert".
+    postencoder: str = ""
+    postencoder_hf_dir: Optional[str] = None  # pretrained HF checkpoint dir
+    postencoder_layers: int = 2        # from-scratch geometry (no hf_dir)
+    postencoder_hidden: int = 256
+    postencoder_heads: int = 4
+    postencoder_ff: int = 1024
+    postencoder_length_adaptor: int = 0  # x2 conv subsampling layers
     use_tcpgen: bool = False
     tcpgen_gcn_layers: int = 2
     tcpgen_tree_encoder: str = "gcn"  # gcn | gat | sage | treelstm
@@ -230,6 +239,16 @@ class ASRModel(nn.Module):
             from .preencoder import LinearPreencoder
             self.preenc = LinearPreencoder(output_size=c.preencoder_dim,
                                            name="preencoder")
+        if c.postencoder == "hf_bert":
+            from .postencoder import HFTransformersPostencoder
+            self.postenc = HFTransformersPostencoder(
+                d_model=c.d_model, hidden_size=c.postencoder_hidden,
+                num_layers=c.postencoder_layers,
+                num_heads=c.postencoder_heads,
+                intermediate_size=c.postencoder_ff,
+                length_adaptor_n_layers=c.postencoder_length_adaptor,
+                hf_dir=c.postencoder_hf_dir, dtype=c.jax_dtype,
+                name="postencoder")
         self.ctc_proj = nn.Dense(c.vocab_size, dtype=c.jax_dtype, name="ctc")
         if c.decoder == "rnn":
             from .rnn_decoder import RNNDecoder
@@ -255,8 +274,11 @@ class ASRModel(nn.Module):
         c = self.cfg
         if c.encoder == "wav2vec2":
             # SSL encoder consumes the raw waveform; no frontend/specaug/mvn
-            return self.encoder(speech, speech_lengths,
-                                deterministic=not train)
+            hs, h_lengths, inter = self.encoder(speech, speech_lengths,
+                                                deterministic=not train)
+            if c.postencoder:
+                hs, h_lengths = self.postenc(hs, h_lengths)
+            return hs, h_lengths, inter
         feats, feat_lengths = default_frontend(speech, speech_lengths,
                                                c.frontend)
         if train and c.specaug is not None and specaug_rng is not None:
@@ -270,7 +292,12 @@ class ASRModel(nn.Module):
             # Pre-encoder stage (abs_task flow: frontend -> specaug ->
             # normalize -> PREENCODER -> encoder).
             feats = self.preenc(feats, deterministic=not train)
-        return self.encoder(feats, feat_lengths, deterministic=not train)
+        hs, h_lengths, inter = self.encoder(feats, feat_lengths,
+                                            deterministic=not train)
+        if c.postencoder:
+            # Post-encoder stage (encoder -> POSTENCODER -> decoder/CTC).
+            hs, h_lengths = self.postenc(hs, h_lengths)
+        return hs, h_lengths, inter
 
     def encode_feats(self, feats, feat_lengths, train=False):
         """Pre-extracted features -> encoder states (for tests/decoding)."""

@@ -77,15 +77,25 @@ class BertModel(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask=None, token_type_ids=None):
+    def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
+                 inputs_embeds=None):
+        """``inputs_embeds`` (HF semantics): [B, T, H] continuous inputs
+        bypass the word embedding — the acoustic-postencoder path
+        (hugging_face_transformers_postencoder.py model(inputs_embeds=...))."""
         c = self.cfg
-        b, t = input_ids.shape
+        if inputs_embeds is not None:
+            b, t = inputs_embeds.shape[:2]
+        else:
+            b, t = input_ids.shape
         if attention_mask is None:
             attention_mask = jnp.ones((b, t), jnp.int32)
         if token_type_ids is None:
             token_type_ids = jnp.zeros((b, t), jnp.int32)
-        x = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype,
-                     name="word_embeddings")(input_ids)
+        if inputs_embeds is not None:
+            x = inputs_embeds
+        else:
+            x = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype,
+                         name="word_embeddings")(input_ids)
         x = x + nn.Embed(c.max_position_embeddings, c.hidden_size,
                          dtype=self.dtype, name="position_embeddings")(
             jnp.arange(t)[None, :])

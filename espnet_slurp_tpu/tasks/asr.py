@@ -273,6 +273,22 @@ class ASRTask:
         return ASRModel(model_cfg)
 
     @staticmethod
+    def load_postencoder_weights(params, model_cfg: ASRConfig):
+        """Graft pretrained HF BERT weights into the postencoder subtree
+        (hugging_face_transformers_postencoder.py AutoModel.from_pretrained
+        analogue; same graft path as SLUTask.load_postdecoder_weights)."""
+        if model_cfg.postencoder != "hf_bert" \
+                or not model_cfg.postencoder_hf_dir:
+            return params
+        from ..models.hf_transformer import load_bert_from_dir
+        _, bert_params = load_bert_from_dir(model_cfg.postencoder_hf_dir)
+        params = dict(params)
+        pe = dict(params["postencoder"])
+        pe["bert"] = bert_params
+        params["postencoder"] = pe
+        return params
+
+    @staticmethod
     def load_mvn_stats(cfg: ASRTaskConfig):
         """(mean, inv_std) from the collect-stats output, if GlobalMVN."""
         if cfg.model.use_mvn != "global":
@@ -321,6 +337,7 @@ class ASRTask:
 
         model = cls.build_model(model_cfg, cfg.model_arch)
         params = cls.init_params(model, cfg.data.seed)
+        params = cls.load_postencoder_weights(params, model_cfg)
         tx = build_optimizer(cfg.optim)
         state = TrainState.create(params, tx,
                                   jax.random.PRNGKey(cfg.data.seed),
