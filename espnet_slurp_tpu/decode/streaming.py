@@ -106,3 +106,99 @@ class StreamingRecognizer:
         if self.tokenizer is None or self.converter is None:
             return " ".join(map(str, ids))
         return self.tokenizer.tokens2text(self.converter.ids2tokens(ids))
+
+
+class StreamingTransducerRecognizer:
+    """Incremental transducer decode over a chunk-attention encoder.
+
+    Parity target: reference espnet2/bin/asr_transducer_inference.py
+    --streaming/--chunk_size simulation over the standalone transducer's
+    chunk_forward encoder (espnet2/asr_transducer/encoder/encoder.py:147).
+    Same exactness argument as StreamingRecognizer: a chunk-attention +
+    causal-conv encoder produces identical states for past frames whether
+    run incrementally or over the full prefix, so each call re-encodes the
+    accumulated audio; partials are frame-synchronous greedy (the natural
+    streaming decoder for RNN-T), the final pass runs the configured beam.
+    """
+
+    def __init__(self, model, params, tokenizer=None, converter=None,
+                 chunk_samples: int = 8192, max_len: int = 128,
+                 beam_size: int = 1, search: str = "alsa"):
+        assert model.cfg.asr.chunk_size > 0, \
+            "streaming transducer needs cfg.asr.chunk_size > 0"
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.converter = converter
+        self.chunk_samples = chunk_samples
+        self.max_len = max_len
+        self.beam_size = beam_size
+        self.search = search
+        self.reset()
+        self._encode_jit = jax.jit(self._encode, static_argnums=(2,))
+
+    def reset(self):
+        self._buffer = np.zeros((0,), np.float32)
+
+    def _encode(self, speech, length, pad_to):
+        buf = jnp.zeros((1, pad_to), jnp.float32)
+        buf = jax.lax.dynamic_update_slice(buf, speech[None], (0, 0))
+        return self.model.apply(
+            {"params": self.params}, buf, jnp.asarray([length]),
+            method=lambda m, s, sl: m.encode(s, sl))
+
+    def _final_search(self, hs, h_lengths):
+        from .transducer_beam import (MAESConfig, NSCConfig, TSDConfig,
+                                      TransducerBeamConfig, maes_search,
+                                      nsc_search, transducer_beam_search,
+                                      tsd_search)
+        from ..models.transducer import transducer_greedy_decode
+        if self.beam_size <= 1 or self.search == "greedy":
+            return transducer_greedy_decode(self.model, self.params, hs,
+                                            h_lengths, max_len=self.max_len)
+        if self.search == "maes":
+            return maes_search(self.model, self.params, hs, h_lengths,
+                               MAESConfig(beam_size=self.beam_size,
+                                          max_len=self.max_len))
+        if self.search == "tsd":
+            return tsd_search(self.model, self.params, hs, h_lengths,
+                              TSDConfig(beam_size=self.beam_size,
+                                        max_len=self.max_len))
+        if self.search == "nsc":
+            return nsc_search(self.model, self.params, hs, h_lengths,
+                              NSCConfig(beam_size=self.beam_size,
+                                        max_len=self.max_len))
+        return transducer_beam_search(
+            self.model, self.params, hs, h_lengths,
+            TransducerBeamConfig(beam_size=self.beam_size,
+                                 max_len=self.max_len))
+
+    def __call__(self, speech_chunk: np.ndarray, is_final: bool = False
+                 ) -> Tuple[List[int], bool]:
+        from ..data.sampler import bucket_length
+        from ..models.transducer import transducer_greedy_decode
+        self._buffer = np.concatenate(
+            [self._buffer, np.asarray(speech_chunk, np.float32)])
+        n = len(self._buffer)
+        if n < self.chunk_samples and not is_final:
+            return [], False
+        pad_to = bucket_length(max(n, self.chunk_samples),
+                               self.chunk_samples)
+        speech = np.zeros((pad_to,), np.float32)
+        speech[:n] = self._buffer
+        hs, h_lengths, _ = self._encode_jit(jnp.asarray(speech), n, pad_to)
+        if not is_final:
+            tokens, lengths = transducer_greedy_decode(
+                self.model, self.params, hs, h_lengths,
+                max_len=self.max_len)
+            ids = list(np.asarray(tokens)[0][: int(lengths[0])])
+            return ids, False
+        tokens, lengths = self._final_search(hs, h_lengths)
+        ids = list(np.asarray(tokens)[0][: int(lengths[0])])
+        self.reset()
+        return ids, True
+
+    def text(self, ids: List[int]) -> str:
+        if self.tokenizer is None or self.converter is None:
+            return " ".join(map(str, ids))
+        return self.tokenizer.tokens2text(self.converter.ids2tokens(ids))

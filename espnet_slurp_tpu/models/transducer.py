@@ -106,9 +106,13 @@ class TransducerModel(nn.Module):
     def setup(self):
         c = self.cfg
         a = c.asr
+        # chunk_size > 0 gives the streaming encoder (chunked attention +
+        # causal convs) — the standalone transducer's chunk_forward
+        # analogue (espnet2/asr_transducer/encoder/encoder.py:147).
         self.encoder = ConformerEncoder(
             a.d_model, a.n_head, a.d_ff, a.num_encoder_blocks, a.kernel_size,
-            a.dropout_rate, dtype=a.jax_dtype, name="encoder")
+            a.dropout_rate, chunk_size=a.chunk_size,
+            left_chunks=a.left_chunks, dtype=a.jax_dtype, name="encoder")
         self.prediction = PredictionNetwork(
             a.vocab_size, c.pred_dim, c.pred_layers, c.prediction,
             dtype=a.jax_dtype, name="prediction")

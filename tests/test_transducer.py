@@ -431,3 +431,64 @@ def test_tsd_nsc_match_serial_reference(search, nstep, mc):
     want = max(hyps, key=lambda x: x[1])[0]
     got = list(np.asarray(got_t)[0][: int(got_l[0])])
     assert got == want, (got, want)
+
+
+def test_transducer_streaming_e2e(tmp_path):
+    """Streaming transducer: chunk-attention train -> incremental decode
+    matches the full-utterance greedy result (exact streaming semantics),
+    driven through the CLI --streaming path too."""
+    from espnet_slurp_tpu.data.mini_corpus import make_mini_corpus
+    from espnet_slurp_tpu.data.fileio import load_wav, read_2column_text
+    from espnet_slurp_tpu.decode.streaming import (
+        StreamingTransducerRecognizer)
+    from espnet_slurp_tpu.models.asr_model import ASRConfig
+    from espnet_slurp_tpu.models.transducer import TransducerConfig
+    from espnet_slurp_tpu.ops.frontend import FrontendConfig
+    from espnet_slurp_tpu.tasks.asr import DataConfig
+    from espnet_slurp_tpu.tasks.asr_transducer import (
+        ASRTransducerTask, Speech2TextTransducer, TransducerTaskConfig)
+    from espnet_slurp_tpu.train.optim import OptimConfig
+
+    train_dir, dev_dir = make_mini_corpus(tmp_path / "c", n_train=8,
+                                          n_dev=2)
+    cfg = TransducerTaskConfig(
+        exp_dir=str(tmp_path / "exp"),
+        model=TransducerConfig(
+            asr=ASRConfig(d_model=32, n_head=2, d_ff=64,
+                          num_encoder_blocks=1, kernel_size=7,
+                          dropout_rate=0.0, chunk_size=4, left_chunks=1,
+                          frontend=FrontendConfig(n_fft=128, hop_length=64,
+                                                  n_mels=16),
+                          specaug=None),
+            pred_dim=32, joint_dim=32),
+        optim=OptimConfig(lr=1e-3, scheduler="constant"),
+        data=DataConfig(train_dir=str(train_dir), valid_dir=str(dev_dir),
+                        token_type="word", batch_type="sorted",
+                        batch_size=4, speech_bucket_multiple=2048,
+                        text_bucket_multiple=4),
+        max_epoch=1, keep_nbest=1, nbest_average=1)
+    ASRTransducerTask.train(cfg)
+
+    s2t = Speech2TextTransducer(cfg.exp_dir, beam_size=1, max_len=8,
+                                search="greedy")
+    wavs = read_2column_text(dev_dir / "wav.scp")
+    wav, _ = load_wav(next(iter(wavs.values())))
+    full = s2t(wav)
+
+    rec = StreamingTransducerRecognizer(
+        s2t.model, s2t.params, tokenizer=s2t.tokenizer,
+        converter=s2t.converter, chunk_samples=800, max_len=8,
+        beam_size=1, search="greedy")
+    ids = []
+    n = 800
+    for off in range(0, len(wav), n):
+        ids, done = rec(wav[off:off + n], is_final=off + n >= len(wav))
+    assert rec.text(ids) == full
+
+    from espnet_slurp_tpu.bin.asr_transducer_inference import (
+        main as cli_main)
+    rc = cli_main(["--exp_dir", cfg.exp_dir, "--data_dir", str(dev_dir),
+                   "--output_dir", str(tmp_path / "dec"), "--beam_size",
+                   "2", "--streaming", "--sim_chunk_length", "800"])
+    assert rc == 0
+    assert (tmp_path / "dec" / "text").exists()
