@@ -82,6 +82,19 @@ class ASRConfig:
     preencoder: str = ""
     preencoder_dim: int = 256     # sinc out_channels / linear output size
     preencoder_scale: str = "mel"  # sinc filter init: mel | bark
+    # Multichannel front-end enhancement (reference DefaultFrontend
+    # use_wpe/use_beamformer, espnet/nets/pytorch_backend/frontends/):
+    # applied when speech arrives as [B, N, C]. use_beamformer runs the
+    # neural MVDR-Souden (enh/beamformer.py, n_spk=1, optional WPE inside);
+    # use_wpe alone dereverberates then takes ref_channel.
+    use_beamformer: bool = False
+    use_wpe: bool = False
+    ref_channel: int = 0
+    bf_hidden: int = 128
+    bf_layers: int = 2
+    wpe_taps: int = 5
+    wpe_delay: int = 3
+    wpe_iters: int = 3
     # Post-encoder over encoder states (espnet2/asr/postencoder/
     # hugging_face_transformers_postencoder.py): "" | "hf_bert".
     postencoder: str = ""
@@ -239,6 +252,15 @@ class ASRModel(nn.Module):
             from .preencoder import LinearPreencoder
             self.preenc = LinearPreencoder(output_size=c.preencoder_dim,
                                            name="preencoder")
+        if c.use_beamformer:
+            from ..enh.beamformer import NeuralBeamformer
+            self.beamformer = NeuralBeamformer(
+                n_spk=1, n_fft=c.frontend.n_fft,
+                hop_length=c.frontend.hop_length, hidden=c.bf_hidden,
+                n_layers=c.bf_layers, ref_channel=c.ref_channel,
+                use_wpe=c.use_wpe, wpe_taps=c.wpe_taps,
+                wpe_delay=c.wpe_delay, wpe_iters=c.wpe_iters,
+                dtype=c.jax_dtype, name="beamformer")
         if c.postencoder == "hf_bert":
             from .postencoder import HFTransformersPostencoder
             self.postenc = HFTransformersPostencoder(
@@ -279,8 +301,15 @@ class ASRModel(nn.Module):
             if c.postencoder:
                 hs, h_lengths = self.postenc(hs, h_lengths)
             return hs, h_lengths, inter
-        feats, feat_lengths = default_frontend(speech, speech_lengths,
-                                               c.frontend)
+        if speech.ndim == 3:
+            # Multichannel [B, N, C]: WPE/MVDR enhancement before log-mel
+            # (DefaultFrontend use_wpe/use_beamformer path,
+            # frontend/default.py:17-131 + frontends/dnn_{wpe,beamformer}).
+            feats, feat_lengths = self._multichannel_frontend(
+                speech, speech_lengths)
+        else:
+            feats, feat_lengths = default_frontend(speech, speech_lengths,
+                                                   c.frontend)
         if train and c.specaug is not None and specaug_rng is not None:
             feats = specaug(specaug_rng, feats, feat_lengths, c.specaug)
         if c.use_mvn == "global" and mvn_stats is not None:
@@ -298,6 +327,40 @@ class ASRModel(nn.Module):
             # Post-encoder stage (encoder -> POSTENCODER -> decoder/CTC).
             hs, h_lengths = self.postenc(hs, h_lengths)
         return hs, h_lengths, inter
+
+    def _multichannel_frontend(self, speech, speech_lengths):
+        """[B, N, C] waveforms -> ([B, T, n_mels] log-mel, [B] lengths)."""
+        from ..ops.mel import logmel
+        from ..ops.stft import stft, stft_out_lengths
+        c = self.cfg
+        fc = c.frontend
+        if c.use_beamformer:
+            (re, im), flens = self.beamformer(speech, speech_lengths)
+            power = re[:, 0] ** 2 + im[:, 0] ** 2          # [B, T, F]
+        else:
+            b, n, ch = speech.shape
+            wavs = jnp.moveaxis(speech, 2, 1).reshape(b * ch, n)
+            spec = stft(wavs, n_fft=fc.n_fft, win_length=fc.win_length,
+                        hop_length=fc.hop_length, window=fc.window,
+                        center=fc.center)
+            t, f = spec.shape[1], spec.shape[2]
+            spec = spec.reshape(b, ch, t, f, 2)
+            flens = stft_out_lengths(
+                speech_lengths, n_fft=fc.n_fft, hop=fc.hop_length,
+                center=fc.center)
+            if c.use_wpe:
+                from ..ops.wpe import wpe_dereverb
+                cx = wpe_dereverb(spec[..., 0] + 1j * spec[..., 1],
+                                  c.wpe_taps, c.wpe_delay, c.wpe_iters)
+                ref = cx[:, c.ref_channel]                 # [B, T, F]
+                power = jnp.real(ref) ** 2 + jnp.imag(ref) ** 2
+            else:
+                ref = spec[:, c.ref_channel]               # [B, T, F, 2]
+                power = ref[..., 0] ** 2 + ref[..., 1] ** 2
+        feats = logmel(power, flens, fs=fc.fs, n_fft=fc.n_fft,
+                       n_mels=fc.n_mels, fmin=fc.fmin, fmax=fc.fmax,
+                       htk=fc.htk)
+        return feats, flens
 
     def encode_feats(self, feats, feat_lengths, train=False):
         """Pre-extracted features -> encoder states (for tests/decoding)."""

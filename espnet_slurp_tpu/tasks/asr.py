@@ -54,6 +54,9 @@ class DataConfig:
     text_cleaner: str = ""
     bpemodel: Optional[str] = None
     bpe_vocab_size: int = 300
+    # Multichannel audio ([N, C] wavs via the sound_mc loader) for the
+    # WPE/MVDR frontend path (model.use_beamformer / use_wpe).
+    multichannel: bool = False
     batch_type: str = "numel"
     batch_size: int = 16
     batch_bins: int = 2_000_000
@@ -137,8 +140,10 @@ class ASRTask:
     @staticmethod
     def build_dataset(data_dir: str, tokenizer, converter,
                       num_ref: int = 1,
-                      text_cleaner: str = "") -> SpeechDataset:
-        streams = [(str(Path(data_dir) / "wav.scp"), "speech", "sound"),
+                      text_cleaner: str = "",
+                      multichannel: bool = False) -> SpeechDataset:
+        sound_type = "sound_mc" if multichannel else "sound"
+        streams = [(str(Path(data_dir) / "wav.scp"), "speech", sound_type),
                    (str(Path(data_dir) / "text"), "text", "text")]
         text_names = ["text"]
         # Multi-speaker references (pit_espnet_model.py text_spk{n} keys).
@@ -312,7 +317,8 @@ class ASRTask:
         for k in range(2, cfg.num_ref + 1):
             spk[f"text_spk{k}"] = np.ones((b, u), np.int32)
             spk[f"text_spk{k}_lengths"] = np.full((b,), u, np.int32)
-        return model.init(rng, np.zeros((b, n), np.float32),
+        shape = (b, n, 2) if (cfg.use_beamformer or cfg.use_wpe) else (b, n)
+        return model.init(rng, np.zeros(shape, np.float32),
                           np.full((b,), n, np.int32),
                           np.ones((b, u), np.int32),
                           np.full((b,), u, np.int32), **spk)["params"]
@@ -348,10 +354,12 @@ class ASRTask:
 
         train_ds = cls.build_dataset(cfg.data.train_dir, tokenizer, converter,
                                      num_ref=model_cfg.num_ref,
-                                     text_cleaner=cfg.data.text_cleaner)
+                                     text_cleaner=cfg.data.text_cleaner,
+                                     multichannel=cfg.data.multichannel)
         valid_ds = cls.build_dataset(cfg.data.valid_dir, tokenizer, converter,
                                      num_ref=model_cfg.num_ref,
-                                     text_cleaner=cfg.data.text_cleaner)
+                                     text_cleaner=cfg.data.text_cleaner,
+                                     multichannel=cfg.data.multichannel)
         # Per-process data sharding on pods: every process builds the same
         # global batch list and loads only its rank's slice of each batch
         # (weak #2 fix: multi-host wiring is real, not just mesh math).
