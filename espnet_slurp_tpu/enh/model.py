@@ -107,6 +107,23 @@ class EnhModel(nn.Module):
                                                   dtype=c.jax_dtype),
                              name=f"bwd_{i}", reverse=True, keep_order=True)
                 x = jnp.concatenate([fwd(x), bwd(x)], axis=-1)
+        elif c.separator == "conformer":
+            # conformer_separator.py analogue: conformer blocks over
+            # log-magnitude frames at full time resolution (no subsampling
+            # — masks need every frame).
+            from ..models.conformer import (ConformerBlock,
+                                            rel_positional_embedding)
+            d = c.hidden
+            x = nn.Dense(d, dtype=c.jax_dtype, name="in_proj")(x)
+            t = x.shape[1]
+            mask_b = length_mask(flens, t)
+            bias = attention_bias(mask_b[:, None, None, :])
+            pos_emb = rel_positional_embedding(t, d, c.jax_dtype)
+            for i in range(c.num_layers):
+                x = ConformerBlock(d, c.n_head, 4 * d, kernel_size=15,
+                                   dtype=c.jax_dtype,
+                                   name=f"block_{i}")(x, pos_emb, bias,
+                                                      mask_b)
         else:
             from ..models.attention import MultiHeadAttention
             d = c.hidden

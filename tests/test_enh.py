@@ -432,3 +432,28 @@ def test_dan_separator_trains_and_separates():
                          method=lambda m, s, sl: m.separate(s, sl))
     assert est.shape[:2] == (1, 2)
     assert np.isfinite(np.asarray(est)).all()
+
+
+def test_enh_conformer_separator():
+    """conformer_separator.py analogue: TF-masking with conformer blocks."""
+    cfg = EnhConfig(n_spk=2, n_fft=128, hop_length=64, hidden=32,
+                    num_layers=1, separator="conformer")
+    model = EnhModel(cfg)
+    rng = np.random.RandomState(6)
+    mix = jnp.asarray(rng.randn(1, 1000).astype(np.float32))
+    ref = jnp.asarray(rng.randn(1, 2, 1000).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), mix, jnp.array([1000]),
+                        ref)["params"]
+
+    def loss_fn(p):
+        loss, stats = model.apply({"params": p}, mix, jnp.array([1000]),
+                                  ref)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads))
+    est, _ = model.apply({"params": params}, mix, jnp.array([1000]),
+                         method=lambda m, s, sl: m.separate(s, sl))
+    assert est.shape[:2] == (1, 2)
