@@ -39,6 +39,10 @@ class FrontendConfig:
     fmin: float = 0.0
     fmax: float | None = None
     htk: bool = False
+    # Append regression delta features (espnet/transform/add_deltas.py):
+    # 0 = off, 1 = +Δ, 2 = +Δ+ΔΔ. Feature dim becomes n_mels*(1+order).
+    delta_order: int = 0
+    delta_window: int = 2
 
 
 def default_frontend(
@@ -63,7 +67,33 @@ def default_frontend(
         power, feat_lengths, fs=cfg.fs, n_fft=cfg.n_fft, n_mels=cfg.n_mels,
         fmin=cfg.fmin, fmax=cfg.fmax, htk=cfg.htk,
     )
+    if cfg.delta_order > 0:
+        feats = add_deltas(feats, order=cfg.delta_order,
+                           window=cfg.delta_window)
     return feats, feat_lengths
+
+
+def delta_features(feats: jnp.ndarray, window: int = 2) -> jnp.ndarray:
+    """Regression deltas (espnet/transform/add_deltas.py:delta — Kaldi
+    formula): d_t = sum_n n*(f_{t+n} - f_{t-n}) / (2 sum n^2) with edge
+    replication. [B, T, F] -> [B, T, F]."""
+    denom = 2.0 * sum(n * n for n in range(1, window + 1))
+    t = feats.shape[1]
+    out = jnp.zeros_like(feats)
+    for n in range(1, window + 1):
+        idx_p = jnp.clip(jnp.arange(t) + n, 0, t - 1)
+        idx_m = jnp.clip(jnp.arange(t) - n, 0, t - 1)
+        out = out + n * (feats[:, idx_p] - feats[:, idx_m])
+    return out / denom
+
+
+def add_deltas(feats: jnp.ndarray, order: int = 2, window: int = 2
+               ) -> jnp.ndarray:
+    """[B, T, F] -> [B, T, F*(1+order)]: base ++ Δ ++ ΔΔ ..."""
+    outs = [feats]
+    for _ in range(order):
+        outs.append(delta_features(outs[-1], window))
+    return jnp.concatenate(outs, axis=-1)
 
 
 def sliding_window_frontend(

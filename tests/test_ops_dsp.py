@@ -181,3 +181,36 @@ def test_asr_model_frontend_types():
         params = model.init(jax.random.PRNGKey(0), **batch)["params"]
         loss, stats = model.apply({"params": params}, **batch)
         assert np.isfinite(float(loss))
+
+
+def test_add_deltas_matches_manual():
+    """Delta features (espnet/transform/add_deltas.py Kaldi regression)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from espnet_slurp_tpu.ops.frontend import add_deltas, delta_features
+    rng = np.random.RandomState(0)
+    f = rng.randn(2, 10, 4).astype(np.float32)
+    d = np.asarray(delta_features(jnp.asarray(f), window=2))
+    # manual at an interior frame
+    t = 5
+    want = (1 * (f[:, t + 1] - f[:, t - 1])
+            + 2 * (f[:, t + 2] - f[:, t - 2])) / (2 * (1 + 4))
+    np.testing.assert_allclose(d[:, t], want, rtol=1e-5)
+    # linear ramp has constant delta equal to the slope
+    ramp = np.tile(np.arange(10, dtype=np.float32)[None, :, None],
+                   (1, 1, 3)) * 0.5
+    dr = np.asarray(delta_features(jnp.asarray(ramp)))
+    np.testing.assert_allclose(dr[0, 3:7], 0.5, rtol=1e-5)
+    out = add_deltas(jnp.asarray(f), order=2)
+    assert out.shape == (2, 10, 12)
+
+
+def test_frontend_delta_order():
+    import numpy as np
+    import jax.numpy as jnp
+    from espnet_slurp_tpu.ops.frontend import FrontendConfig, default_frontend
+    cfg = FrontendConfig(n_fft=128, hop_length=64, n_mels=8, delta_order=2)
+    speech = jnp.asarray(
+        np.random.RandomState(1).randn(2, 800).astype(np.float32))
+    feats, flens = default_frontend(speech, jnp.asarray([800, 400]), cfg)
+    assert feats.shape[-1] == 24
