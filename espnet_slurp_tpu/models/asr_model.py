@@ -71,6 +71,13 @@ class ASRConfig:
     remat_encoder: bool = False
     # Fused rel-pos flash attention: "auto" (TPU only) | "on" | "off".
     flash_attention: str = "auto"
+    # Routed mixture-of-experts FFNs in the conformer encoder (models/
+    # moe.py; expert-parallel over the mesh's "expert" axis). New
+    # capability beyond the reference (SURVEY §2.10 parallelism goals).
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01  # Switch load-balance loss weight
     # Multi-speaker PIT (pit_espnet_model.py num_inf/num_ref): >= 2 selects
     # PITASRModel (models/pit_asr.py) with this many speaker streams.
     num_ref: int = 1
@@ -184,6 +191,8 @@ def build_encoder(c: ASRConfig, name: str = "encoder"):
             c.kernel_size, c.dropout_rate, c.interctc_layers,
             chunk_size=c.chunk_size, left_chunks=c.left_chunks,
             remat=c.remat_encoder, flash=c.flash_attention,
+            moe_experts=c.moe_experts, moe_every=c.moe_every,
+            moe_capacity_factor=c.moe_capacity_factor,
             dtype=c.jax_dtype, name=name)
     if c.encoder == "ebranchformer":
         from .branchformer import EBranchformerEncoder
@@ -397,19 +406,31 @@ class ASRModel(nn.Module):
             mvn_stats=mvn_stats)
         stats: Dict[str, jnp.ndarray] = {}
         loss = 0.0
+        # Split tagged entries off the interCTC taps (the encoder appends
+        # ("moe_aux", scalar) when routed-MoE FFNs are active).
+        moe_aux = None
+        ctc_taps = []
+        for tag, xs in inter:
+            if tag == "moe_aux":
+                moe_aux = xs
+            else:
+                ctc_taps.append((tag, xs))
+        if moe_aux is not None and c.moe_aux_weight > 0.0:
+            stats["loss_moe_aux"] = moe_aux
+            loss = loss + c.moe_aux_weight * moe_aux
         if c.ctc_weight > 0.0:
             # Fused gather+logsumexp CTC: no f32 [B,T,V] log-softmax buffer.
             loss_ctc = ctc_ops.ctc_loss_mean_logits(
                 self.ctc_proj(hs), h_lengths, jnp.maximum(text, 0),
                 text_lengths, c.blank_id)
             stats["loss_ctc"] = loss_ctc
-            if c.interctc_weight > 0.0 and inter:
+            if c.interctc_weight > 0.0 and ctc_taps:
                 inter_loss = 0.0
-                for _, xs in inter:
+                for _, xs in ctc_taps:
                     inter_loss += ctc_ops.ctc_loss_mean_logits(
                         self.ctc_proj(xs), h_lengths, jnp.maximum(text, 0),
                         text_lengths, c.blank_id)
-                inter_loss /= len(inter)
+                inter_loss /= len(ctc_taps)
                 stats["loss_interctc"] = inter_loss
                 loss_ctc = ((1.0 - c.interctc_weight) * loss_ctc
                             + c.interctc_weight * inter_loss)

@@ -78,6 +78,11 @@ class ConformerBlock(nn.Module):
     use_flash: bool = False
     chunk_size: int = 0
     left_chunks: int = -1
+    # > 0: the second macaron FFN becomes a routed mixture-of-experts
+    # (models/moe.py, expert-parallel capable) and __call__ returns
+    # (x, aux_load_balance_loss) instead of x.
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, x, pos_emb, mask_bias, pad_mask, deterministic=True,
@@ -98,8 +103,16 @@ class ConformerBlock(nn.Module):
         h = nn.LayerNorm(dtype=self.dtype, name="norm_conv")(x)
         x = x + ConvModule(self.d_model, self.kernel_size, self.causal_conv,
                            self.dtype, name="conv")(h, pad_mask)
-        # Macaron FF half 2.
+        # Macaron FF half 2 (routed MoE when moe_experts > 0).
         h = nn.LayerNorm(dtype=self.dtype, name="norm_ff2")(x)
+        if self.moe_experts > 0:
+            from .moe import MoEFeedForward
+            y, aux = MoEFeedForward(self.d_model, self.d_ff,
+                                    self.moe_experts,
+                                    self.moe_capacity_factor,
+                                    self.dtype, name="moe")(h, deterministic)
+            x = x + 0.5 * y
+            return nn.LayerNorm(dtype=self.dtype, name="norm_final")(x), aux
         x = x + 0.5 * FeedForward(self.d_model, self.d_ff, self.dropout_rate,
                                   self.dtype, name="ff2")(h, deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="norm_final")(x)
@@ -133,6 +146,11 @@ class ConformerEncoder(nn.Module):
     # Fused rel-pos flash attention (ops/pallas/flash_attention.py):
     # "auto" = on TPU backends, "on"/"off" force. Pads T' to a 128 multiple.
     flash: str = "auto"
+    # Routed mixture-of-experts FFNs (models/moe.py): every moe_every-th
+    # block's second macaron FFN becomes a num-expert Switch layer.
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_capacity_factor: float = 1.25
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -175,16 +193,32 @@ class ConformerEncoder(nn.Module):
         # gathers only around attention.
         from ..parallel.seq import constrain_acts
         x = constrain_acts(x)
+        moe_aux = 0.0
         for i in range(self.num_blocks):
-            x = block_cls(
+            # Routed-MoE FFN on every moe_every-th block (interleaved
+            # dense/sparse, the common MoE-transformer layout).
+            moe_e = self.moe_experts if (
+                self.moe_experts > 0
+                and (i + 1) % max(self.moe_every, 1) == 0) else 0
+            out = block_cls(
                 self.d_model, self.n_head, self.d_ff, self.kernel_size,
                 self.dropout_rate, self.dtype, causal_conv=self.chunk_size > 0,
                 use_flash=use_flash, chunk_size=self.chunk_size,
-                left_chunks=self.left_chunks,
+                left_chunks=self.left_chunks, moe_experts=moe_e,
+                moe_capacity_factor=self.moe_capacity_factor,
                 name=f"block_{i}")(
                     x, pos_emb, bias, pad, deterministic, lengths=olens)
+            if moe_e > 0:
+                x, aux = out
+                moe_aux = moe_aux + aux
+            else:
+                x = out
             x = constrain_acts(x)
             if (i + 1) in self.interctc_layers:
                 inter.append((i + 1, x))
         x = jnp.where(pad[..., None], x, 0.0)
+        if self.moe_experts > 0:
+            # Tagged entry consumed by ASRModel's loss (filtered out of the
+            # interCTC taps).
+            inter.append(("moe_aux", moe_aux))
         return x, olens, inter

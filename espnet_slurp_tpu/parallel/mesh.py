@@ -17,30 +17,36 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 SEQ_AXIS = "seq"
+EXPERT_AXIS = "expert"
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
-              n_seq: int = 1,
+              n_seq: int = 1, n_expert: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (data[, seq], model) mesh over all (or given) devices.
+    """Build a (data[, seq][, expert], model) mesh over the devices.
 
-    n_data defaults to len(devices) // (n_model * n_seq). On a pod slice,
-    call `jax.distributed.initialize()` first so jax.devices() spans all
-    hosts; axis order puts `model` innermost (fastest ICI links for
-    tensor-parallel collectives) with `seq` between data and model. A
-    `seq` axis only appears when n_seq > 1 (sequence parallelism,
-    parallel/seq.py).
+    n_data defaults to len(devices) // (n_model * n_seq * n_expert). On a
+    pod slice, call `jax.distributed.initialize()` first so jax.devices()
+    spans all hosts; axis order puts `model` innermost (fastest ICI links
+    for tensor-parallel collectives), `expert` next (all-to-all dispatch),
+    then `seq`, then `data`. Optional axes only appear when their size
+    is > 1 (sequence parallelism parallel/seq.py; expert parallelism
+    models/moe.py sharding rules).
     """
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // (n_model * n_seq)
-    assert n_data * n_model * n_seq == len(devices), (
-        f"mesh {n_data}x{n_seq}x{n_model} != {len(devices)} devices")
+        n_data = len(devices) // (n_model * n_seq * n_expert)
+    assert n_data * n_model * n_seq * n_expert == len(devices), (
+        f"mesh {n_data}x{n_seq}x{n_expert}x{n_model} != "
+        f"{len(devices)} devices")
+    dims = [(DATA_AXIS, n_data)]
     if n_seq > 1:
-        arr = np.asarray(devices).reshape(n_data, n_seq, n_model)
-        return Mesh(arr, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
-    arr = np.asarray(devices).reshape(n_data, n_model)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+        dims.append((SEQ_AXIS, n_seq))
+    if n_expert > 1:
+        dims.append((EXPERT_AXIS, n_expert))
+    dims.append((MODEL_AXIS, n_model))
+    arr = np.asarray(devices).reshape([n for _, n in dims])
+    return Mesh(arr, tuple(a for a, _ in dims))
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:

@@ -14,12 +14,16 @@ from typing import Any, Sequence, Tuple
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import DATA_AXIS, MODEL_AXIS
+from .mesh import DATA_AXIS, EXPERT_AXIS, MODEL_AXIS
 
 # (regex over 'path/to/param', PartitionSpec) — first match wins.
 # Dense kernels are [in, out]; Embed tables are [vocab, d]; conv kernels
 # [k, in, out].
 DEFAULT_RULES: Sequence[Tuple[str, P]] = (
+    # Mixture-of-experts kernels [E, ...]: shard the expert dim over the
+    # `expert` axis (expert parallelism, models/moe.py).
+    (r".*moe/(w1|w2)$", P(EXPERT_AXIS, None, None)),
+    (r".*moe/(b1|b2)$", P(EXPERT_AXIS, None)),
     # FFN up-projections: shard the hidden (out) dim.
     (r".*(ff1?|ff_\d+|w1|ff/w1|pointwise1|conv1)/kernel$",
      P(None, MODEL_AXIS)),
@@ -50,10 +54,10 @@ def param_sharding_rules(params: Any, mesh: Mesh,
                          rules: Sequence[Tuple[str, P]] = DEFAULT_RULES):
     """Pytree of NamedSharding matching `params` (replicated by default).
 
-    A rule only applies if the spec's sharded dims divide the param's shape
-    on the mesh axis size; otherwise the param replicates (safe fallback).
+    A rule only applies if every named mesh axis in the spec exists in the
+    mesh AND the spec's sharded dims divide the param's shape by that
+    axis's size; otherwise the param replicates (safe fallback).
     """
-    n_model = mesh.shape[MODEL_AXIS]
 
     def assign(path, x):
         name = _path_str(path)
@@ -63,7 +67,8 @@ def param_sharding_rules(params: Any, mesh: Mesh,
                 for dim, axis in enumerate(spec):
                     if axis is None:
                         continue
-                    if dim >= x.ndim or x.shape[dim] % n_model != 0:
+                    if (axis not in mesh.shape or dim >= x.ndim
+                            or x.shape[dim] % mesh.shape[axis] != 0):
                         ok = False
                         break
                 if ok:
