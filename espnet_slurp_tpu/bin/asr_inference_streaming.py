@@ -28,6 +28,11 @@ def get_parser():
     p.add_argument("--max_len", type=int, default=128)
     p.add_argument("--print_partial", action="store_true",
                    help="log intermediate CTC-greedy hypotheses per chunk")
+    p.add_argument("--incremental", action="store_true",
+                   help="O(1)-state exact incremental encoder (per-layer "
+                        "caches, decode/incremental.py) instead of "
+                        "full-prefix re-encoding — constant per-chunk "
+                        "latency on long streams; needs left_chunks >= 0")
     return p
 
 
@@ -47,10 +52,18 @@ def main(argv=None):
     # in the incremental recognizer.
     s2t = Speech2Text(args.exp_dir, ckpt_name=args.ckpt,
                       max_len=args.max_len, beam_size=args.beam_size)
-    rec = StreamingRecognizer(
-        s2t.model, s2t.params, tokenizer=s2t.tokenizer,
-        converter=s2t.converter, chunk_samples=args.sim_chunk_length,
-        max_len=args.max_len, beam_size=args.beam_size)
+    if args.incremental:
+        from ..decode.incremental import IncrementalRecognizer
+        rec = IncrementalRecognizer(
+            s2t.model, s2t.params, tokenizer=s2t.tokenizer,
+            converter=s2t.converter, chunk_samples=args.sim_chunk_length,
+            max_len=args.max_len, beam_size=args.beam_size,
+            mvn_stats=s2t.mvn_stats)
+    else:
+        rec = StreamingRecognizer(
+            s2t.model, s2t.params, tokenizer=s2t.tokenizer,
+            converter=s2t.converter, chunk_samples=args.sim_chunk_length,
+            max_len=args.max_len, beam_size=args.beam_size)
 
     wavs = read_2column_text(Path(args.data_dir) / "wav.scp")
     hyps = {}
