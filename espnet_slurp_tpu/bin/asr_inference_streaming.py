@@ -63,7 +63,8 @@ def main(argv=None):
         rec = StreamingRecognizer(
             s2t.model, s2t.params, tokenizer=s2t.tokenizer,
             converter=s2t.converter, chunk_samples=args.sim_chunk_length,
-            max_len=args.max_len, beam_size=args.beam_size)
+            max_len=args.max_len, beam_size=args.beam_size,
+            mvn_stats=s2t.mvn_stats)
 
     wavs = read_2column_text(Path(args.data_dir) / "wav.scp")
     hyps = {}

@@ -43,8 +43,17 @@ def main(argv=None):
         keys = list(refs[0].keys())
     n_spk = len(refs)
     sums = defaultdict(float)
+    n_scored = 0
     with DatadirWriter(args.output_dir) as w:
         for key in keys:
+            missing = [i for i, d in enumerate(refs + infs) if key not in d]
+            if missing:
+                # A failed separation job leaves holes; report and keep
+                # scoring the rest instead of aborting with partial files.
+                logging.warning("skipping %s: missing from scp #%s", key,
+                                missing)
+                continue
+            n_scored += 1
             ref_audio, fs = [], 16000
             for r in refs:
                 wav, fs = load_wav(r[key])
@@ -74,9 +83,11 @@ def main(argv=None):
                 w[f"wav_spk{i + 1}"][key] = infs[int(perm[i])][key]
     with open(Path(args.output_dir) / "score.txt", "w") as f:
         for name in sorted(sums):
-            mean = sums[name] / max(len(keys), 1)
+            mean = sums[name] / max(n_scored, 1)
             f.write(f"{name} {mean:.4f}\n")
             logging.info("%s mean = %.4f", name, mean)
+    if n_scored < len(keys):
+        logging.warning("scored %d/%d keys", n_scored, len(keys))
     return 0
 
 

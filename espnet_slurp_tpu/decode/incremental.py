@@ -124,6 +124,11 @@ class IncrementalConformerEncoder:
         assert cfg.use_mvn in ("none", "global"), \
             "utterance MVN is not streamable; train with none/global"
         assert cfg.encoder == "conformer"
+        assert cfg.frontend.delta_order == 0, \
+            "incremental streaming does not support delta features yet"
+        assert cfg.moe_experts == 0 and not cfg.preencoder \
+            and not cfg.postencoder, \
+            "incremental streaming supports the plain conformer stack only"
         fc = cfg.frontend
         self.cfg = cfg
         self.s = cfg.chunk_size
@@ -157,8 +162,13 @@ class IncrementalConformerEncoder:
         self._mvn = mvn_stats
 
     def reset(self):
-        self._raw = np.zeros((0,), np.float32)   # unpadded samples seen
-        self._padded = None                      # reflect-padded stream
+        self._n_raw = 0                          # total raw samples seen
+        self._head = np.zeros((0,), np.float32)  # pre-pad accumulation
+        self._raw_tail = np.zeros((0,), np.float32)  # for the end reflect
+        # reflect-padded stream, trimmed to the unconsumed suffix:
+        # _padded[i] is padded-stream sample (_pad_offset + i).
+        self._padded = None
+        self._pad_offset = 0
         self._mel_done = 0                       # mel frames consumed
         self._caches = [
             jnp.zeros((1, self.cache_len, self.cfg.d_model),
@@ -166,37 +176,44 @@ class IncrementalConformerEncoder:
             for _ in range(self.cfg.num_encoder_blocks)]
         self._n_valid = 0
 
-    def _ensure_padded(self):
-        """Materialize the start reflect-pad once enough samples exist."""
-        if self._padded is None and len(self._raw) > self.pad:
-            head = self._raw[self.pad:0:-1]
-            self._padded = np.concatenate([head, self._raw])
-
     def feed(self, samples: np.ndarray, is_final: bool = False
              ) -> np.ndarray:
-        """Returns newly finalized encoder frames [n, D] (may be empty)."""
+        """Returns newly finalized encoder frames [n, D] (may be empty).
+
+        Host state is O(1) in stream length: the consumed prefix of the
+        reflect-padded stream is dropped after each step, and only a
+        (pad+2)-sample raw tail is kept for the final end reflect-pad.
+        """
         samples = np.asarray(samples, np.float32)
-        if self._padded is not None and len(samples):
-            self._padded = np.concatenate([self._padded, samples])
-        self._raw = np.concatenate([self._raw, samples])
-        self._ensure_padded()
-        outs = []
+        self._n_raw += len(samples)
         if self._padded is None:
-            padded = None
-        elif is_final:
+            # Accumulate until the start reflect-pad is materializable.
+            self._head = np.concatenate([self._head, samples])
+            if self._n_raw > self.pad:
+                head = self._head[self.pad:0:-1]
+                self._padded = np.concatenate([head, self._head])
+                self._raw_tail = self._head[-(self.pad + 2):]
+                self._head = np.zeros((0,), np.float32)
+        else:
+            if len(samples):
+                self._padded = np.concatenate([self._padded, samples])
+                self._raw_tail = np.concatenate(
+                    [self._raw_tail, samples])[-(self.pad + 2):]
+        if self._padded is None:
+            return np.zeros((0, self.cfg.d_model), np.float32)
+        if is_final and self.pad > 0:
             # End reflect-pad; total mel frames = 1 + N//hop (center=True).
-            tail = self._raw[-2:-self.pad - 2:-1] if self.pad > 0 \
-                else self._raw[:0]
+            tail = self._raw_tail[-2:-self.pad - 2:-1]
             padded = np.concatenate([self._padded, tail])
         else:
             padded = self._padded
-        if padded is None:
-            return np.zeros((0, self.cfg.d_model), np.float32)
+        pad_len = self._pad_offset + len(padded)
 
-        total_mel = 1 + (len(padded) - self.n_fft) // self.hop \
-            if len(padded) >= self.n_fft else 0
+        outs = []
+        total_mel = 1 + (pad_len - self.n_fft) // self.hop \
+            if pad_len >= self.n_fft else 0
         if is_final:
-            total_mel = min(total_mel, 1 + len(self._raw) // self.hop)
+            total_mel = min(total_mel, 1 + self._n_raw // self.hop)
             total_sub = max((((total_mel - 1) // 2) - 1) // 2, 0)
         while True:
             start_mel = self._mel_done
@@ -212,7 +229,7 @@ class IncrementalConformerEncoder:
                 n_new = min(n_new, self.s)
             else:
                 n_new = self.s
-            s0 = start_mel * self.hop
+            s0 = start_mel * self.hop - self._pad_offset
             s1 = s0 + self.win_samples
             buf = np.zeros((1, self.win_samples), np.float32)
             seg = padded[s0:min(s1, len(padded))]
@@ -228,6 +245,13 @@ class IncrementalConformerEncoder:
                 break
             if is_final and start_mel // 4 + n_new >= total_sub:
                 break
+        # Drop the consumed padded prefix (everything before the next
+        # step's window start).
+        next_s0 = self._mel_done * self.hop
+        drop = next_s0 - self._pad_offset
+        if drop > 0:
+            self._padded = self._padded[drop:]
+            self._pad_offset = next_s0
         if outs:
             return np.concatenate(outs, axis=0)
         return np.zeros((0, self.cfg.d_model), np.float32)
@@ -287,8 +311,11 @@ class IncrementalRecognizer:
             self._pending = np.zeros((0,), np.float32)
             if len(new):
                 self._hs.append(new)
-                ids = self._ctc_jit(jnp.asarray(new[None]))
-                self._raw_ids.extend(int(i) for i in np.asarray(ids[0]))
+                # Partials need a trained CTC head (absent when
+                # ctc_weight=0 — attention-only models emit no partials).
+                if "ctc" in self.params:
+                    ids = self._ctc_jit(jnp.asarray(new[None]))
+                    self._raw_ids.extend(int(i) for i in np.asarray(ids[0]))
         if not is_final:
             return self._greedy_ids(), False
         hs_np = np.concatenate(self._hs, axis=0) if self._hs else \

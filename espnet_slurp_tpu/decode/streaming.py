@@ -30,7 +30,7 @@ class StreamingRecognizer:
     def __init__(self, model: ASRModel, params, tokenizer=None,
                  converter=None, chunk_samples: int = 8192,
                  max_len: int = 128, beam_size: int = 1,
-                 ctc_weight: float = 0.3):
+                 ctc_weight: float = 0.3, mvn_stats=None):
         assert model.cfg.chunk_size > 0, \
             "streaming requires a chunk-attention model (cfg.chunk_size > 0)"
         self.model = model
@@ -43,6 +43,10 @@ class StreamingRecognizer:
         # 0.0 for models whose CTC head is untrained/absent (e.g. the ST
         # inner ASR model — final beam is attention-only there).
         self.ctc_weight = ctc_weight
+        # Global-MVN stats: a use_mvn=global model decodes on normalized
+        # features — without them the encoder sees a different input
+        # distribution than training.
+        self.mvn_stats = mvn_stats
         self.reset()
         self._encode_jit = jax.jit(self._encode, static_argnums=(2,))
 
@@ -52,9 +56,10 @@ class StreamingRecognizer:
     def _encode(self, speech, length, pad_to):
         buf = jnp.zeros((1, pad_to), jnp.float32)
         buf = jax.lax.dynamic_update_slice(buf, speech[None], (0, 0))
+        mvn = self.mvn_stats
         return self.model.apply(
             {"params": self.params}, buf, jnp.asarray([length]),
-            method=lambda m, s, sl: m.encode(s, sl))
+            method=lambda m, s, sl: m.encode(s, sl, mvn_stats=mvn))
 
     def _ctc_partial(self, hs, h_lengths) -> List[int]:
         lp = self.model.apply({"params": self.params}, hs,
@@ -123,7 +128,8 @@ class StreamingTransducerRecognizer:
 
     def __init__(self, model, params, tokenizer=None, converter=None,
                  chunk_samples: int = 8192, max_len: int = 128,
-                 beam_size: int = 1, search: str = "alsa"):
+                 beam_size: int = 1, search: str = "alsa",
+                 mvn_stats=None):
         assert model.cfg.asr.chunk_size > 0, \
             "streaming transducer needs cfg.asr.chunk_size > 0"
         self.model = model
@@ -134,6 +140,7 @@ class StreamingTransducerRecognizer:
         self.max_len = max_len
         self.beam_size = beam_size
         self.search = search
+        self.mvn_stats = mvn_stats
         self.reset()
         self._encode_jit = jax.jit(self._encode, static_argnums=(2,))
 
@@ -143,9 +150,10 @@ class StreamingTransducerRecognizer:
     def _encode(self, speech, length, pad_to):
         buf = jnp.zeros((1, pad_to), jnp.float32)
         buf = jax.lax.dynamic_update_slice(buf, speech[None], (0, 0))
+        mvn = self.mvn_stats
         return self.model.apply(
             {"params": self.params}, buf, jnp.asarray([length]),
-            method=lambda m, s, sl: m.encode(s, sl))
+            method=lambda m, s, sl: m.encode(s, sl, mvn_stats=mvn))
 
     def _final_search(self, hs, h_lengths):
         from .transducer_beam import (MAESConfig, NSCConfig, TSDConfig,

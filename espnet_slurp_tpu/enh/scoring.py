@@ -162,8 +162,20 @@ def stoi(ref: np.ndarray, est: np.ndarray, fs: int,
     if keep.sum() == 0:
         return 0.0
     idx = np.where(keep)[0]
-    ref_kept = np.concatenate([ref[i * _HOP:i * _HOP + _WIN] for i in idx])
-    est_kept = np.concatenate([est[i * _HOP:i * _HOP + _WIN] for i in idx])
+
+    def _ola(x):
+        # Overlap-add the KEPT windowed frames at the analysis hop
+        # (pystoi remove_silent_frames): retained speech is reconstructed
+        # contiguously, not concatenated as duplicated windows.
+        n_keep = len(idx)
+        out = np.zeros((n_keep - 1) * _HOP + _WIN)
+        for j, i in enumerate(idx):
+            out[j * _HOP:j * _HOP + _WIN] += x[i * _HOP:i * _HOP + _WIN] \
+                * win
+        return out
+
+    ref_kept = _ola(ref)
+    est_kept = _ola(est)
 
     bands = _third_octave_bands()
     x = np.sqrt(bands @ (_stft_mag(ref_kept) ** 2).T + EPS)  # [15, T]

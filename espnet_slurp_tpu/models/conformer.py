@@ -110,7 +110,8 @@ class ConformerBlock(nn.Module):
             y, aux = MoEFeedForward(self.d_model, self.d_ff,
                                     self.moe_experts,
                                     self.moe_capacity_factor,
-                                    self.dtype, name="moe")(h, deterministic)
+                                    self.dtype, name="moe")(
+                h, deterministic, pad_mask=pad_mask)
             x = x + 0.5 * y
             return nn.LayerNorm(dtype=self.dtype, name="norm_final")(x), aux
         x = x + 0.5 * FeedForward(self.d_model, self.d_ff, self.dropout_rate,

@@ -32,6 +32,12 @@ class MaskCTCModel(nn.Module):
     cfg: ASRConfig
 
     def setup(self):
+        if self.cfg.moe_experts > 0:
+            # The Switch load-balance aux loss is only wired into the
+            # plain ASRModel loss; silently dropping it would collapse the
+            # router onto one expert during training.
+            raise NotImplementedError(
+                "moe_experts > 0 is only supported by the plain ASR model")
         self.asr = ASRModel(self.cfg, name="asr")
 
     @property

@@ -32,26 +32,36 @@ class MoEFeedForward(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 pad_mask: jnp.ndarray = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """pad_mask: [B, T] bool, True at valid frames. Padded frames take
+        no routing decision — they claim no expert capacity (bucketed
+        batches would otherwise evict real tokens with identical pad
+        activations) and are excluded from the load-balance statistics."""
         b, t, d = x.shape
         e = self.num_experts
         s = b * t
         cap = max(int(s / e * self.capacity_factor), 1)
         xf = x.reshape(s, d)
+        valid = jnp.ones((s,), jnp.float32) if pad_mask is None \
+            else pad_mask.reshape(s).astype(jnp.float32)
 
         # Router (fp32 for a stable softmax).
         logits = nn.Dense(e, dtype=jnp.float32, name="router")(
             xf.astype(jnp.float32))
         gates = jax.nn.softmax(logits, axis=-1)           # [S, E]
         expert_idx = jnp.argmax(gates, axis=-1)           # [S]
-        onehot = jax.nn.one_hot(expert_idx, e, dtype=jnp.float32)
+        onehot = jax.nn.one_hot(expert_idx, e,
+                                dtype=jnp.float32) * valid[:, None]
         gate = jnp.sum(gates * onehot, axis=-1)           # [S] top-1 gate
 
-        # Load-balance aux loss (Switch eq. 4): fraction of tokens per
-        # expert x mean router prob per expert, scaled by E.
-        density = jnp.mean(onehot, axis=0)                # [E]
-        density_proxy = jnp.mean(gates, axis=0)           # [E]
+        # Load-balance aux loss (Switch eq. 4) over VALID tokens only:
+        # fraction of tokens per expert x mean router prob per expert.
+        n_valid = jnp.maximum(jnp.sum(valid), 1.0)
+        density = jnp.sum(onehot, axis=0) / n_valid       # [E]
+        density_proxy = jnp.sum(gates * valid[:, None],
+                                axis=0) / n_valid         # [E]
         aux = e * jnp.sum(density * density_proxy)
 
         # Position of each token within its expert's buffer; tokens past

@@ -73,6 +73,9 @@ class PITASRModel(nn.Module):
     def setup(self):
         c = self.cfg
         assert c.num_ref >= 2, "PITASRModel needs num_ref >= 2"
+        assert c.moe_experts == 0, \
+            "moe_experts > 0 is only supported by the plain ASR model " \
+            "(the Switch aux loss is not wired into the PIT loss)"
         self.asr = ASRModel(c)
         self.branches = [
             SpeakerBranch(c.d_model, c.n_head, c.d_ff, c.pit_branch_blocks,

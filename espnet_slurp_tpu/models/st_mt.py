@@ -32,6 +32,9 @@ class STModel(nn.Module):
     asr_ctc_weight: float = 0.3
 
     def setup(self):
+        assert self.cfg.moe_experts == 0, \
+            "moe_experts > 0 is only supported by the plain ASR model " \
+            "(the Switch aux loss is not wired into the ST loss)"
         self.asr = ASRModel(self.cfg, name="asr")
         if self.asr_ctc_weight > 0 and self.src_vocab_size > 0:
             self.src_ctc = nn.Dense(self.src_vocab_size,

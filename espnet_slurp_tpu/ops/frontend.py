@@ -69,30 +69,42 @@ def default_frontend(
     )
     if cfg.delta_order > 0:
         feats = add_deltas(feats, order=cfg.delta_order,
-                           window=cfg.delta_window)
+                           window=cfg.delta_window, ilens=feat_lengths)
     return feats, feat_lengths
 
 
-def delta_features(feats: jnp.ndarray, window: int = 2) -> jnp.ndarray:
+def delta_features(feats: jnp.ndarray, window: int = 2,
+                   ilens: jnp.ndarray | None = None) -> jnp.ndarray:
     """Regression deltas (espnet/transform/add_deltas.py:delta — Kaldi
-    formula): d_t = sum_n n*(f_{t+n} - f_{t-n}) / (2 sum n^2) with edge
-    replication. [B, T, F] -> [B, T, F]."""
+    formula): d_t = sum_n n*(f_{t+n} - f_{t-n}) / (2 sum n^2) with
+    PER-UTTERANCE edge replication (the reference pads each utterance with
+    mode='edge'; clipping at the padded batch edge would difference the
+    last valid frames against zero padding). [B, T, F] -> [B, T, F]."""
     denom = 2.0 * sum(n * n for n in range(1, window + 1))
     t = feats.shape[1]
+    ar = jnp.arange(t)
+    if ilens is None:
+        last = jnp.full((feats.shape[0], 1), t - 1)
+    else:
+        last = (jnp.maximum(ilens, 1) - 1)[:, None]       # [B, 1]
     out = jnp.zeros_like(feats)
     for n in range(1, window + 1):
-        idx_p = jnp.clip(jnp.arange(t) + n, 0, t - 1)
-        idx_m = jnp.clip(jnp.arange(t) - n, 0, t - 1)
-        out = out + n * (feats[:, idx_p] - feats[:, idx_m])
+        idx_p = jnp.minimum(ar[None, :] + n, last)        # [B, T]
+        idx_m = jnp.maximum(ar[None, :] - n, 0)
+        idx_m = jnp.minimum(idx_m, last)
+        f_p = jnp.take_along_axis(feats, idx_p[..., None], axis=1)
+        f_m = jnp.take_along_axis(
+            feats, jnp.broadcast_to(idx_m, idx_p.shape)[..., None], axis=1)
+        out = out + n * (f_p - f_m)
     return out / denom
 
 
-def add_deltas(feats: jnp.ndarray, order: int = 2, window: int = 2
-               ) -> jnp.ndarray:
+def add_deltas(feats: jnp.ndarray, order: int = 2, window: int = 2,
+               ilens: jnp.ndarray | None = None) -> jnp.ndarray:
     """[B, T, F] -> [B, T, F*(1+order)]: base ++ Δ ++ ΔΔ ..."""
     outs = [feats]
     for _ in range(order):
-        outs.append(delta_features(outs[-1], window))
+        outs.append(delta_features(outs[-1], window, ilens=ilens))
     return jnp.concatenate(outs, axis=-1)
 
 

@@ -133,9 +133,12 @@ def corpus_bleu(refs: Dict[str, str], hyps: Dict[str, str],
 
     Parity target: the reference's ST scoring stage (st.sh stage 13 scores
     hypotheses with sacrebleu, an external dep); standard BLEU-4: geometric
-    mean of clipped n-gram precisions (n=1..max_n) with add-0 smoothing via
-    the usual "precision floor at counts>0" convention and the brevity
-    penalty exp(1 - ref_len/hyp_len) for hyp_len < ref_len.
+    mean of clipped n-gram precisions (n=1..max_n) with sacrebleu's default
+    exponential smoothing (Chen & Cherry method 3: each zero-match order k
+    contributes p_n = 1/(2^invcnt * total_n), invcnt doubling per zero
+    order — small corpora with no 4-gram matches score small-positive, not
+    hard 0) and the brevity penalty exp(1 - ref_len/hyp_len) for
+    hyp_len < ref_len.
     """
     import math
     from collections import Counter
@@ -157,15 +160,19 @@ def corpus_bleu(refs: Dict[str, str], hyps: Dict[str, str],
             overlap = sum(min(c, r_ngrams[g]) for g, c in h_ngrams.items())
             match[n - 1] += overlap
             total[n - 1] += max(len(h) - n + 1, 0)
-    if hyp_len == 0:
+    if hyp_len == 0 or total[0] == 0 or match[0] == 0:
         return 0.0
     log_p = 0.0
+    invcnt = 1.0
     for n in range(max_n):
         if total[n] == 0:
             return 0.0
         if match[n] == 0:
-            return 0.0
-        log_p += math.log(match[n] / total[n])
+            invcnt *= 2.0
+            p = 1.0 / (invcnt * total[n])
+        else:
+            p = match[n] / total[n]
+        log_p += math.log(p)
     log_p /= max_n
     bp = 1.0 if hyp_len >= ref_len else math.exp(1.0 - ref_len / hyp_len)
     return 100.0 * bp * math.exp(log_p)

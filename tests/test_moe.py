@@ -123,3 +123,24 @@ def test_moe_expert_parallel_exactness():
 
     got = loss_fn(sharded, sbatch)
     np.testing.assert_allclose(float(got), float(want), rtol=2e-4)
+
+
+def test_moe_pad_frames_take_no_capacity():
+    """Padded frames must not claim expert capacity or skew the aux loss
+    (bucketed batches would otherwise evict real tokens)."""
+    m = MoEFeedForward(d_model=8, d_ff=16, num_experts=2,
+                       capacity_factor=0.5)  # S=8 tokens, cap=2
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 8, 8).astype(np.float32))
+    pad = jnp.asarray([[True] * 4 + [False] * 4])
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    y_pad, aux_pad = m.apply({"params": params}, x, pad_mask=pad)
+    # padded positions produce exactly zero (no routing)
+    assert np.abs(np.asarray(y_pad)[0, 4:]).max() == 0.0
+    # valid positions match the computation where pads never existed:
+    # with cap=2 and <=4 valid tokens the first 4 tokens route identically
+    x_valid = x.at[:, 4:].set(0.0)
+    y_ref, aux_ref = m.apply({"params": params}, x_valid,
+                             pad_mask=jnp.asarray([[True] * 4 + [False] * 4]))
+    np.testing.assert_allclose(np.asarray(y_pad)[0, :4],
+                               np.asarray(y_ref)[0, :4], rtol=1e-5)

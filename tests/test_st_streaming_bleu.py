@@ -66,3 +66,12 @@ def test_st_streaming_cli_e2e(tmp_path):
     assert rc == 0
     assert (tmp_path / "dec" / "text").exists()
     assert "BLEU" in (tmp_path / "dec" / "score.txt").read_text()
+
+
+def test_corpus_bleu_exp_smoothing_no_4gram():
+    """Zero 4-gram matches give a small positive score (sacrebleu's exp
+    smoothing), not a hard 0."""
+    refs = {"a": "the big cat sat on the mat"}
+    hyps = {"a": "the big cat mat on the sat"}  # good 1-2 grams, no 4-gram
+    score = corpus_bleu(refs, hyps)
+    assert 0.0 < score < 60.0
