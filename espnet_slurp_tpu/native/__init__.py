@@ -122,3 +122,76 @@ def load_batch(paths: Sequence[str], pad_to: int,
     if rc != 0:
         return None
     return buf, lengths
+
+
+# ---------------------------------------------------------------------------
+# Native edit-distance scorer (edit_distance.cpp) — same lazy-build pattern.
+# ---------------------------------------------------------------------------
+
+_ED_SRC = _HERE / "edit_distance.cpp"
+_ED_SO = _HERE / "_edit_distance.so"
+_ED_LIB = None
+_ED_TRIED = False
+
+
+def _load_ed():
+    global _ED_LIB, _ED_TRIED
+    if _ED_LIB is not None or _ED_TRIED:
+        return _ED_LIB
+    _ED_TRIED = True
+    if os.environ.get("ESPNET_NO_NATIVE_IO"):
+        return None
+    if not _ED_SO.exists() or \
+            _ED_SO.stat().st_mtime < _ED_SRC.stat().st_mtime:
+        try:
+            subprocess.run(["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                            str(_ED_SRC), "-o", str(_ED_SO), "-lpthread"],
+                           check=True, capture_output=True, timeout=120)
+        except Exception as e:
+            log.info("native edit-distance build unavailable (%s)", e)
+            return None
+    try:
+        lib = ctypes.CDLL(str(_ED_SO))
+    except OSError as e:
+        log.info("native edit-distance load failed (%s)", e)
+        return None
+    lib.edit_stats_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+    _ED_LIB = lib
+    return lib
+
+
+def edit_stats_batch(refs: Sequence[Sequence[int]],
+                     hyps: Sequence[Sequence[int]],
+                     n_threads: int = 8) -> Optional[np.ndarray]:
+    """Batch Levenshtein alignment counts on the C++ thread pool.
+
+    refs/hyps: per-utterance integer token id sequences. Returns
+    [B, 4] int32 (hits, subs, dels, ins) with tie-breaking identical to
+    utils/metrics.align_stats, or None when the native path is unavailable.
+    """
+    lib = _load_ed()
+    if lib is None:
+        return None
+    b = len(refs)
+    flat_r = np.asarray([t for r in refs for t in r], np.int32)
+    flat_h = np.asarray([t for h in hyps for t in h], np.int32)
+    off_r = np.zeros((b + 1,), np.int64)
+    off_h = np.zeros((b + 1,), np.int64)
+    np.cumsum([len(r) for r in refs], out=off_r[1:])
+    np.cumsum([len(h) for h in hyps], out=off_h[1:])
+    out = np.zeros((b, 4), np.int32)
+    # keep arrays non-empty for ctypes pointers
+    if flat_r.size == 0:
+        flat_r = np.zeros((1,), np.int32)
+    if flat_h.size == 0:
+        flat_h = np.zeros((1,), np.int32)
+    lib.edit_stats_batch(
+        flat_r.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        off_r.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        flat_h.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        off_h.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        b, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_threads)
+    return out

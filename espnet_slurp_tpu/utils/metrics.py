@@ -67,15 +67,37 @@ def align_stats(ref: Sequence, hyp: Sequence) -> ErrorStats:
 
 def error_rate(refs: Dict[str, str], hyps: Dict[str, str],
                unit: str = "word") -> Tuple[float, ErrorStats]:
-    """Corpus WER (unit='word') or CER (unit='char')."""
-    total = ErrorStats()
+    """Corpus WER (unit='word') or CER (unit='char').
+
+    Fast path: the native C++ batch scorer (native/edit_distance.cpp, the
+    sclite-analogue hot loop) with identical tie-breaking; falls back to
+    the python DP when the toolchain is unavailable.
+    """
+    pairs = []
     for uid, ref in refs.items():
         hyp = hyps.get(uid, "")
         if unit == "word":
-            r, h = ref.split(), hyp.split()
+            pairs.append((ref.split(), hyp.split()))
         else:
-            r, h = list(ref.replace(" ", "")), list(hyp.replace(" ", ""))
-        total = total + align_stats(r, h)
+            pairs.append((list(ref.replace(" ", "")),
+                          list(hyp.replace(" ", ""))))
+    # Tokens -> ids for the int-based native kernel.
+    from ..native import edit_stats_batch
+    vocab: Dict[str, int] = {}
+
+    def ids(tokens):
+        return [vocab.setdefault(t, len(vocab)) for t in tokens]
+
+    stats = edit_stats_batch([ids(r) for r, _ in pairs],
+                             [ids(h) for _, h in pairs]) \
+        if pairs else None
+    total = ErrorStats()
+    if stats is not None:
+        for h, s, d, i in stats:
+            total = total + ErrorStats(int(h), int(s), int(d), int(i))
+    else:
+        for r, h in pairs:
+            total = total + align_stats(r, h)
     return total.error_rate, total
 
 

@@ -88,3 +88,37 @@ def test_fileio_uses_native_and_matches(tmp_path, lib_ok):
     wav, sr = load_wav(str(p))
     assert sr == 16000 and wav.shape == (777,)
     assert wav_num_samples(str(p)) == 777
+
+
+def test_native_edit_distance_matches_python():
+    """Native batch scorer == python align_stats on random pairs
+    (identical tie-breaking, not just equal WER)."""
+    import numpy as np
+    from espnet_slurp_tpu.native import edit_stats_batch
+    from espnet_slurp_tpu.utils.metrics import align_stats
+
+    rng = np.random.RandomState(0)
+    refs, hyps = [], []
+    for _ in range(50):
+        n, m = rng.randint(0, 30), rng.randint(0, 30)
+        refs.append(list(rng.randint(0, 8, size=n)))
+        hyps.append(list(rng.randint(0, 8, size=m)))
+    out = edit_stats_batch(refs, hyps)
+    if out is None:  # no g++ in this environment
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    for (r, h, row) in zip(refs, hyps, out):
+        want = align_stats(r, h)
+        assert (want.hits, want.substitutions, want.deletions,
+                want.insertions) == tuple(int(v) for v in row), (r, h)
+
+
+def test_error_rate_native_path(tmp_path):
+    from espnet_slurp_tpu.utils.metrics import error_rate
+    refs = {"a": "the cat sat", "b": "hello world"}
+    hyps = {"a": "the bat sat down", "b": "hello"}
+    wer, stats = error_rate(refs, hyps)
+    # 1 sub + 1 ins (a) + 1 del (b) over 5 ref words
+    assert stats.substitutions == 1 and stats.insertions == 1 \
+        and stats.deletions == 1
+    assert wer == 3 / 5
