@@ -105,15 +105,56 @@ def main():
     rtf = (time.perf_counter() - t0) / (d_iters * db * dsecs)
 
     baseline = 1300.0  # V100 audio-sec/s (BASELINE.md note)
-    print(json.dumps({
+    result = {
         "metric": "train_throughput_ls100_conformer",
         "value": round(audio_sec_per_s, 1),
         "unit": "audio_sec/s/chip",
         "vs_baseline": round(audio_sec_per_s / baseline, 3),
         "extra": {"decode_rtf_beam10_b8": round(rtf, 5),
                   "decode_audio_sec_per_s": round(1.0 / rtf, 1)},
-    }))
+    }
+    # Cache the last good measurement for the transport-outage fallback.
+    try:
+        with open("bench_last.json", "w") as f:
+            json.dump(result, f)
+    except OSError:
+        pass
+    print(json.dumps(result))
+
+
+def _watchdog(timeout_s: float = 1800.0):
+    """Transport-outage guard: the remote TPU tunnel can hang at device
+    init (observed mid-round; trivial ops never return). If the benchmark
+    makes no progress within the window, emit the LAST MEASURED result
+    explicitly marked stale (never a fabricated number) and exit, so the
+    driver records an honest line instead of hanging forever."""
+    import os
+    import threading
+
+    def fire():
+        try:
+            with open("bench_last.json") as f:
+                cached = json.load(f)
+            cached["stale"] = True
+            cached["note"] = ("TPU transport hung; value is the most "
+                              "recent successful measurement")
+            print(json.dumps(cached), flush=True)
+        except Exception:
+            print(json.dumps({
+                "metric": "train_throughput_ls100_conformer",
+                "value": 0.0, "unit": "audio_sec/s/chip",
+                "vs_baseline": 0.0, "stale": True,
+                "note": "TPU transport hung; no cached measurement",
+            }), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(timeout_s, fire)
+    t.daemon = True
+    t.start()
+    return t
 
 
 if __name__ == "__main__":
+    _t = _watchdog()
     main()
+    _t.cancel()
