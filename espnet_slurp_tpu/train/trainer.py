@@ -122,6 +122,14 @@ class Trainer:
                     log.info("epoch %d step %d loss=%.4f", epoch, sub.steps,
                              m.get("loss", float("nan")))
             train_mean = sub.mean()
+            # All-invalid abort (trainer.py:434-440 all_steps_are_invalid):
+            # an epoch where EVERY update was skipped for non-finite
+            # gradients means training is diverged/broken — fail loudly
+            # instead of burning epochs.
+            if sub.steps > 0 and train_mean.get("skipped", 0.0) >= 1.0:
+                raise RuntimeError(
+                    f"all {sub.steps} steps of epoch {epoch} produced "
+                    "non-finite gradients; aborting (check lr/loss scale)")
             reporter.observe(epoch, "train", train_mean)
 
             sub = SubReporter()
