@@ -61,6 +61,17 @@ class ASRConfig:
     ctc_weight: float = 0.3
     interctc_weight: float = 0.0
     interctc_layers: Tuple[int, ...] = ()
+    # InterCTC self-conditioning (conformer_encoder.py:336-358): project the
+    # intermediate CTC softmax back into the encoder stream at each tap; the
+    # intermediate loss then uses the encoder's shared conditioning head.
+    self_conditioning: bool = False
+    # Conformer input layer: "conv2d" (subsampling_factor in {2,4,6,8}) or
+    # "linear" (no time reduction) — transformer/subsampling.py variants.
+    input_layer: str = "conv2d"
+    subsampling_factor: int = 4
+    # Per-block whole-batch layer drop at train time (conformer
+    # stochastic_depth_rate).
+    stochastic_depth_rate: float = 0.0
     lsm_weight: float = 0.1
     blank_id: int = 0
     sos: int = -1  # -1 => vocab_size - 1
@@ -193,6 +204,10 @@ def build_encoder(c: ASRConfig, name: str = "encoder"):
             remat=c.remat_encoder, flash=c.flash_attention,
             moe_experts=c.moe_experts, moe_every=c.moe_every,
             moe_capacity_factor=c.moe_capacity_factor,
+            input_layer=c.input_layer,
+            subsampling_factor=c.subsampling_factor,
+            stochastic_depth_rate=c.stochastic_depth_rate,
+            self_cond_vocab=c.vocab_size if c.self_conditioning else 0,
             dtype=c.jax_dtype, name=name)
     if c.encoder == "ebranchformer":
         from .branchformer import EBranchformerEncoder
@@ -427,8 +442,12 @@ class ASRModel(nn.Module):
             if c.interctc_weight > 0.0 and ctc_taps:
                 inter_loss = 0.0
                 for _, xs in ctc_taps:
+                    # With self-conditioning the taps already carry the
+                    # encoder's shared-head logits (conformer.py sc_ctc).
+                    tap_logits = xs if c.self_conditioning \
+                        else self.ctc_proj(xs)
                     inter_loss += ctc_ops.ctc_loss_mean_logits(
-                        self.ctc_proj(xs), h_lengths, jnp.maximum(text, 0),
+                        tap_logits, h_lengths, jnp.maximum(text, 0),
                         text_lengths, c.blank_id)
                 inter_loss /= len(ctc_taps)
                 stats["loss_interctc"] = inter_loss

@@ -83,17 +83,23 @@ class ConformerBlock(nn.Module):
     # (x, aux_load_balance_loss) instead of x.
     moe_experts: int = 0
     moe_capacity_factor: float = 1.25
+    # Stochastic depth (conformer/encoder_layer.py stochastic_depth_rate):
+    # when the layer survives, every residual branch is scaled by
+    # 1/(1-rate); the survive/skip draw lives in the encoder loop.
+    residual_coeff: float = 1.0
 
     @nn.compact
     def __call__(self, x, pos_emb, mask_bias, pad_mask, deterministic=True,
                  lengths=None):
+        cf = self.residual_coeff
         # Macaron FF half 1 (encoder_layer.py:70-90).
         h = nn.LayerNorm(dtype=self.dtype, name="norm_ff1")(x)
-        x = x + 0.5 * FeedForward(self.d_model, self.d_ff, self.dropout_rate,
-                                  self.dtype, name="ff1")(h, deterministic)
+        x = x + cf * 0.5 * FeedForward(self.d_model, self.d_ff,
+                                       self.dropout_rate,
+                                       self.dtype, name="ff1")(h, deterministic)
         # Self-attention.
         h = nn.LayerNorm(dtype=self.dtype, name="norm_mha")(x)
-        x = x + RelPosMultiHeadAttention(
+        x = x + cf * RelPosMultiHeadAttention(
             self.n_head, self.d_model, self.dropout_rate, self.dtype,
             use_flash=self.use_flash,
             name="self_attn")(h, pos_emb, mask_bias, deterministic,
@@ -101,8 +107,9 @@ class ConformerBlock(nn.Module):
                               left_chunks=self.left_chunks)
         # Convolution module.
         h = nn.LayerNorm(dtype=self.dtype, name="norm_conv")(x)
-        x = x + ConvModule(self.d_model, self.kernel_size, self.causal_conv,
-                           self.dtype, name="conv")(h, pad_mask)
+        x = x + cf * ConvModule(self.d_model, self.kernel_size,
+                                self.causal_conv,
+                                self.dtype, name="conv")(h, pad_mask)
         # Macaron FF half 2 (routed MoE when moe_experts > 0).
         h = nn.LayerNorm(dtype=self.dtype, name="norm_ff2")(x)
         if self.moe_experts > 0:
@@ -112,10 +119,11 @@ class ConformerBlock(nn.Module):
                                     self.moe_capacity_factor,
                                     self.dtype, name="moe")(
                 h, deterministic, pad_mask=pad_mask)
-            x = x + 0.5 * y
+            x = x + cf * 0.5 * y
             return nn.LayerNorm(dtype=self.dtype, name="norm_final")(x), aux
-        x = x + 0.5 * FeedForward(self.d_model, self.d_ff, self.dropout_rate,
-                                  self.dtype, name="ff2")(h, deterministic)
+        x = x + cf * 0.5 * FeedForward(self.d_model, self.d_ff,
+                                       self.dropout_rate,
+                                       self.dtype, name="ff2")(h, deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="norm_final")(x)
 
 
@@ -152,6 +160,23 @@ class ConformerEncoder(nn.Module):
     moe_experts: int = 0
     moe_every: int = 2
     moe_capacity_factor: float = 1.25
+    # Input layer (conformer_encoder.py:114-186 input_layer choices):
+    # "conv2d" = Conv2dSubsampling at ``subsampling_factor`` in {2,4,6,8};
+    # "linear" = Dense + LayerNorm, no time reduction.
+    input_layer: str = "conv2d"
+    subsampling_factor: int = 4
+    # Stochastic depth (conformer_encoder.py stochastic_depth_rate): each
+    # block is skipped whole-batch with this probability at train time;
+    # surviving blocks scale their residual branches by 1/(1-rate). Draws
+    # come from the "dropout" rng stream.
+    stochastic_depth_rate: float = 0.0
+    # InterCTC self-conditioning (conformer_encoder.py:336-358
+    # interctc_use_conditioning): > 0 gives the encoder its own shared CTC
+    # head; at each interctc tap the softmax is projected back into the
+    # stream, and the tap entries carry the LOGITS [B,T',V] (consumed
+    # directly by the model's intermediate CTC loss — one shared
+    # projection for conditioning and loss, as in the reference).
+    self_cond_vocab: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -161,8 +186,17 @@ class ConformerEncoder(nn.Module):
             self.flash == "auto" and jax.default_backend() == "tpu")
         if self.attention_window > 0:
             use_flash = False  # band restriction lives in the mask bias
-        x = Conv2dSubsampling(self.d_model, self.dtype, name="embed")(feats)
-        olens = Conv2dSubsampling.out_length(feat_lengths)
+        if self.input_layer == "linear":
+            x = nn.Dense(self.d_model, dtype=self.dtype, name="embed")(
+                feats.astype(self.dtype))
+            x = nn.LayerNorm(dtype=self.dtype, name="embed_norm")(x)
+            olens = feat_lengths
+        else:
+            x = Conv2dSubsampling(self.d_model, self.dtype,
+                                  factor=self.subsampling_factor,
+                                  name="embed")(feats)
+            olens = Conv2dSubsampling.out_length(
+                feat_lengths, self.subsampling_factor)
         t = x.shape[1]
         if use_flash and t % 256 != 0:
             # Flash tiles want fat 256/512-aligned blocks (per-program
@@ -195,6 +229,14 @@ class ConformerEncoder(nn.Module):
         from ..parallel.seq import constrain_acts
         x = constrain_acts(x)
         moe_aux = 0.0
+        sd_rate = self.stochastic_depth_rate if not deterministic else 0.0
+        sd_coeff = 1.0 / (1.0 - sd_rate) if sd_rate > 0.0 else 1.0
+        if self.self_cond_vocab > 0 and self.interctc_layers:
+            # Shared across taps: one CTC head for conditioning AND for the
+            # model's intermediate CTC loss (reference shares model.ctc).
+            sc_ctc = nn.Dense(self.self_cond_vocab, dtype=self.dtype,
+                              name="sc_ctc")
+            sc_proj = nn.Dense(self.d_model, dtype=self.dtype, name="sc_cond")
         for i in range(self.num_blocks):
             # Routed-MoE FFN on every moe_every-th block (interleaved
             # dense/sparse, the common MoE-transformer layout).
@@ -207,16 +249,34 @@ class ConformerEncoder(nn.Module):
                 use_flash=use_flash, chunk_size=self.chunk_size,
                 left_chunks=self.left_chunks, moe_experts=moe_e,
                 moe_capacity_factor=self.moe_capacity_factor,
+                residual_coeff=sd_coeff,
                 name=f"block_{i}")(
                     x, pos_emb, bias, pad, deterministic, lengths=olens)
             if moe_e > 0:
-                x, aux = out
-                moe_aux = moe_aux + aux
+                y, aux = out
             else:
-                x = out
+                y, aux = out, None
+            if sd_rate > 0.0:
+                # Whole-batch layer drop (encoder_layer.py skip_layer): the
+                # block still computes (static graph), the skip is a select.
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - sd_rate)
+                y = jnp.where(keep, y, x)
+                if aux is not None:
+                    aux = jnp.where(keep, aux, 0.0)
+            x = y
+            if aux is not None:
+                moe_aux = moe_aux + aux
             x = constrain_acts(x)
             if (i + 1) in self.interctc_layers:
-                inter.append((i + 1, x))
+                if self.self_cond_vocab > 0:
+                    logits = sc_ctc(x)
+                    inter.append((i + 1, logits))
+                    x = x + sc_proj(
+                        jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                        .astype(self.dtype))
+                else:
+                    inter.append((i + 1, x))
         x = jnp.where(pad[..., None], x, 0.0)
         if self.moe_experts > 0:
             # Tagged entry consumed by ASRModel's loss (filtered out of the

@@ -41,11 +41,23 @@ def rel_positional_embedding(t: int, d: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(tbl.astype(np.float32), dtype=dtype)[None]
 
 
-class Conv2dSubsampling(nn.Module):
-    """x4 time subsampling: conv(3x3, s2) -> ReLU -> conv(3x3, s2) -> ReLU -> Dense.
+# Per-factor (kernel, stride) stacks, all VALID padding over (time, freq).
+# Mirrors transformer/subsampling.py Conv2dSubsampling{2,,6,8}: x2 = s2 then
+# s1; x4 = s2,s2; x6 = s2 then (5,)s3; x8 = s2,s2,s2.
+_SUBSAMPLE_SPECS = {
+    2: ((3, 2), (3, 1)),
+    4: ((3, 2), (3, 2)),
+    6: ((3, 2), (5, 3)),
+    8: ((3, 2), (3, 2), (3, 2)),
+}
 
-    Matches transformer/subsampling.py Conv2dSubsampling (odim channels over
-    the freq axis, valid padding). Output length: ((T-1)//2 - 1)//2.
+
+class Conv2dSubsampling(nn.Module):
+    """Time subsampling: stacked conv(kxk, stride s) + ReLU, then projection.
+
+    Matches transformer/subsampling.py Conv2dSubsampling / -2 / -6 / -8
+    (odim channels over the freq axis, valid padding), selected by
+    ``factor``. Default x4 output length: ((T-1)//2 - 1)//2.
     """
     odim: int
     dtype: jnp.dtype = jnp.float32
@@ -55,16 +67,18 @@ class Conv2dSubsampling(nn.Module):
     # recompute — and measured 3% slower (197.5 vs 191.6 ms at B=64), so
     # it stays opt-in for memory-limited configs like remat_encoder.
     remat: bool = False
+    factor: int = 4  # 2 | 4 | 6 | 8 time-reduction factor
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
+        specs = _SUBSAMPLE_SPECS[self.factor]
+
         def stack(mdl, h):
-            h = nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID",
-                        dtype=self.dtype, name="conv1")(h)
-            h = nn.relu(h)
-            h = nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID",
-                        dtype=self.dtype, name="conv2")(h)
-            h = nn.relu(h)
+            for i, (k, s) in enumerate(specs):
+                h = nn.Conv(self.odim, (k, k), strides=(s, s),
+                            padding="VALID", dtype=self.dtype,
+                            name=f"conv{i + 1}")(h)
+                h = nn.relu(h)
             # Output projection as a (1, F)-VALID conv — mathematically the
             # reference's Dense over the flattened (F*C) axis, but it
             # consumes the conv2 output in its native conv layout: the
@@ -83,9 +97,13 @@ class Conv2dSubsampling(nn.Module):
         return stack(self, h)
 
     @staticmethod
-    def out_length(ilens: jnp.ndarray) -> jnp.ndarray:
-        return (((ilens - 1) // 2) - 1) // 2
+    def out_length(ilens: jnp.ndarray, factor: int = 4) -> jnp.ndarray:
+        for k, s in _SUBSAMPLE_SPECS[factor]:
+            ilens = (ilens - k) // s + 1
+        return ilens
 
     @staticmethod
-    def out_length_static(t: int) -> int:
-        return (((t - 1) // 2) - 1) // 2
+    def out_length_static(t: int, factor: int = 4) -> int:
+        for k, s in _SUBSAMPLE_SPECS[factor]:
+            t = (t - k) // s + 1
+        return t

@@ -311,7 +311,10 @@ class ASRTask:
     @staticmethod
     def init_params(model, seed: int = 0):
         cfg = model.cfg
-        b, n, u = 2, max(cfg.frontend.n_fft * 2, 512), 4
+        # Dummy waveform long enough that even x8 subsampling of a micro
+        # frontend (tiny hop) leaves >= 1 encoder frame.
+        b, u = 2, 4
+        n = max(cfg.frontend.n_fft * 2, 512, cfg.frontend.hop_length * 64)
         rng = jax.random.PRNGKey(seed)
         spk = {}
         for k in range(2, cfg.num_ref + 1):
