@@ -33,6 +33,17 @@ def init_decoder_cache(cfg, batch: int, max_len: int, t_enc: int = 0,
             cache["att_prev"] = jnp.full((batch, t_enc),
                                          1.0 / max(t_enc, 1), jnp.float32)
         return cache
+    if getattr(cfg, "decoder", "transformer") in (
+            "lightweight_conv", "lightweight_conv2d", "dynamic_conv",
+            "dynamic_conv2d"):
+        # Conv-attention decoders: GLU ring buffer instead of a KV cache
+        # (models/lightconv.py step); "v" is a structural dummy.
+        pad = cfg.decoder_conv_kernel // 2
+        return {f"layer_{i}": {
+            "k": jnp.zeros((batch, max_len + pad, cfg.d_model),
+                           cfg.jax_dtype),
+            "v": jnp.zeros((batch, 0), cfg.jax_dtype)}
+            for i in range(cfg.num_decoder_blocks)}
     dh = cfg.d_model // cfg.n_head
     z = lambda: jnp.zeros((batch, max_len, cfg.n_head, dh), cfg.jax_dtype)
     return {f"layer_{i}": {"k": z(), "v": z()}

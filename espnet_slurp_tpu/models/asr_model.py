@@ -43,7 +43,13 @@ class ASRConfig:
     block_size: int = 40
     hop_size: int = 16
     look_ahead: int = 16
-    decoder: str = "transformer"  # transformer | rnn (LAS, location-aware)
+    # transformer | rnn (LAS, location-aware) | lightweight_conv |
+    # lightweight_conv2d | dynamic_conv | dynamic_conv2d (conv-attention
+    # decoders, transformer_decoder.py:283-528 / models/lightconv.py)
+    decoder: str = "transformer"
+    decoder_conv_wshare: int = 4
+    decoder_conv_kernel: int = 11
+    decoder_conv_usebias: bool = False
     rnn_decoder_units: int = 320
     rnn_decoder_layers: int = 1
     # encoder="rnn"/"vgg_rnn" (espnet1 RNNP / VGG2L+RNNP family) options.
@@ -303,9 +309,20 @@ class ASRModel(nn.Module):
                 num_layers=c.rnn_decoder_layers, dtype=c.jax_dtype,
                 name="decoder")
         else:
+            selfattn = {
+                "transformer": "selfattn",
+                "lightweight_conv": "lightconv",
+                "lightweight_conv2d": "lightconv2d",
+                "dynamic_conv": "dynamicconv",
+                "dynamic_conv2d": "dynamicconv2d",
+            }[c.decoder]
             self.decoder = TransformerDecoder(
                 c.vocab_size, c.d_model, c.n_head, c.decoder_d_ff,
                 c.num_decoder_blocks, c.dropout_rate, dtype=c.jax_dtype,
+                selfattn_type=selfattn,
+                conv_wshare=c.decoder_conv_wshare,
+                conv_kernel=c.decoder_conv_kernel,
+                conv_usebias=c.decoder_conv_usebias,
                 name="decoder")
         if c.use_tcpgen:
             from .tcpgen import TCPGen

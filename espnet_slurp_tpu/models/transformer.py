@@ -96,11 +96,29 @@ class DecoderLayer(nn.Module):
     d_ff: int
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # Self-attention replacement (transformer_decoder.py:283-528 variants):
+    # "selfattn" | "lightconv" | "lightconv2d" | "dynamicconv" |
+    # "dynamicconv2d" (models/lightconv.py).
+    selfattn_type: str = "selfattn"
+    conv_wshare: int = 4
+    conv_kernel: int = 11
+    conv_usebias: bool = False
 
     def setup(self):
         self.norm1 = nn.LayerNorm(dtype=self.dtype)
-        self.self_attn = CachedAttention(self.n_head, self.d_model,
-                                         self.dropout_rate, self.dtype)
+        if self.selfattn_type == "selfattn":
+            self.self_attn = CachedAttention(self.n_head, self.d_model,
+                                             self.dropout_rate, self.dtype)
+        else:
+            from .lightconv import LightweightConvolution
+            self.self_attn = LightweightConvolution(
+                wshare=self.conv_wshare, n_feat=self.d_model,
+                kernel_size=self.conv_kernel,
+                dropout_rate=self.dropout_rate, use_kernel_mask=True,
+                use_bias=self.conv_usebias,
+                two_dim=self.selfattn_type.endswith("2d"),
+                dynamic=self.selfattn_type.startswith("dynamic"),
+                dtype=self.dtype)
         self.norm2 = nn.LayerNorm(dtype=self.dtype)
         self.src_attn = CachedAttention(self.n_head, self.d_model,
                                         self.dropout_rate, self.dtype)
@@ -110,7 +128,12 @@ class DecoderLayer(nn.Module):
 
     def __call__(self, x, self_bias, memory, mem_bias, deterministic=True,
                  return_cross_probs=False):
-        x = x + self.self_attn(self.norm1(x), self.norm1(x), self_bias)
+        if self.selfattn_type == "selfattn":
+            x = x + self.self_attn(self.norm1(x), self.norm1(x), self_bias)
+        else:
+            # Causal conv (use_kernel_mask) already enforces the
+            # autoregressive mask; padded tails only pollute padded rows.
+            x = x + self.self_attn(self.norm1(x))
         k, v = self.src_attn.project_kv(memory)
         if return_cross_probs:
             out, probs = self.src_attn.attend(self.norm2(x), k, v, mem_bias,
@@ -124,15 +147,23 @@ class DecoderLayer(nn.Module):
 
     def step(self, x_t, cache_k, cache_v, step_idx, self_bias,
              mem_k, mem_v, mem_bias):
-        """One decode step. x_t: [B, 1, D]; cache_k/v: [B, Lmax, H, Dh].
+        """One decode step. x_t: [B, 1, D]; cache_k/v: [B, Lmax, H, Dh]
+        (selfattn) or a GLU ring buffer in cache_k with cache_v unused
+        (conv variants).
 
         Returns (y_t, new_cache_k, new_cache_v).
         """
         h = self.norm1(x_t)
-        k_t, v_t = self.self_attn.project_kv(h)
-        cache_k = lax.dynamic_update_slice_in_dim(cache_k, k_t, step_idx, 1)
-        cache_v = lax.dynamic_update_slice_in_dim(cache_v, v_t, step_idx, 1)
-        x_t = x_t + self.self_attn.attend(h, cache_k, cache_v, self_bias)
+        if self.selfattn_type == "selfattn":
+            k_t, v_t = self.self_attn.project_kv(h)
+            cache_k = lax.dynamic_update_slice_in_dim(cache_k, k_t,
+                                                      step_idx, 1)
+            cache_v = lax.dynamic_update_slice_in_dim(cache_v, v_t,
+                                                      step_idx, 1)
+            x_t = x_t + self.self_attn.attend(h, cache_k, cache_v, self_bias)
+        else:
+            y, cache_k = self.self_attn.step(h, cache_k, step_idx)
+            x_t = x_t + y
         x_t = x_t + self.src_attn.attend(self.norm2(x_t), mem_k, mem_v,
                                          mem_bias)
         x_t = x_t + self.ff(self.norm3(x_t))
@@ -148,12 +179,22 @@ class TransformerDecoder(nn.Module):
     num_blocks: int = 6
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # "selfattn" or a lightconv/dynamicconv variant replacing decoder
+    # self-attention (transformer_decoder.py:283-528).
+    selfattn_type: str = "selfattn"
+    conv_wshare: int = 4
+    conv_kernel: int = 11
+    conv_usebias: bool = False
 
     def setup(self):
         self.embed = nn.Embed(self.vocab_size, self.d_model, dtype=self.dtype)
         self.layers = [
             DecoderLayer(self.d_model, self.n_head, self.d_ff,
-                         self.dropout_rate, self.dtype, name=f"layer_{i}")
+                         self.dropout_rate, self.dtype,
+                         selfattn_type=self.selfattn_type,
+                         conv_wshare=self.conv_wshare,
+                         conv_kernel=self.conv_kernel,
+                         conv_usebias=self.conv_usebias, name=f"layer_{i}")
             for i in range(self.num_blocks)]
         self.after_norm = nn.LayerNorm(dtype=self.dtype)
         self.output = nn.Dense(self.vocab_size, dtype=self.dtype)
@@ -186,6 +227,15 @@ class TransformerDecoder(nn.Module):
     # ---- incremental decoding -------------------------------------------
 
     def init_cache(self, batch: int, max_len: int) -> Dict[str, Any]:
+        if self.selfattn_type != "selfattn":
+            # GLU-output ring buffer per layer; "v" is a zero-size dummy so
+            # the cache pytree structure matches the selfattn layout.
+            pad = self.conv_kernel // 2
+            return {f"layer_{i}": {
+                "k": jnp.zeros((batch, max_len + pad, self.d_model),
+                               self.dtype),
+                "v": jnp.zeros((batch, 0), self.dtype)}
+                for i in range(self.num_blocks)}
         dh = self.d_model // self.n_head
         z = lambda: jnp.zeros((batch, max_len, self.n_head, dh), self.dtype)
         return {f"layer_{i}": {"k": z(), "v": z()}
