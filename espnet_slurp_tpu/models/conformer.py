@@ -15,7 +15,9 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.masks import attention_bias, band_mask, chunk_mask, length_mask
 from .attention import RelPosMultiHeadAttention
@@ -27,9 +29,34 @@ class FeedForward(nn.Module):
     d_ff: int
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # Fused Pallas path (ops/pallas/ffn.py): both matmuls + swish +
+    # in-kernel dropout tile-by-tile in VMEM, so the [B, T, d_ff] hidden,
+    # its u32 dropout bits, and the f32 swish intermediates never reach
+    # HBM — the dominant remaining train-step traffic after flash
+    # attention (see the kernel's docstring for the byte census).
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic=True):
+        lead = int(np.prod(x.shape[:-1]))
+        if (self.use_flash and x.shape[-1] % 128 == 0
+                and self.d_ff % 128 == 0 and self.d_model % 128 == 0
+                and lead % 128 == 0):
+            from ..ops.pallas.ffn import fused_ffn
+            d1 = nn.Dense(self.d_ff, dtype=self.dtype, name="w1")
+            d2 = nn.Dense(self.d_model, dtype=self.dtype, name="w2")
+            _ = d2(nn.swish(d1(x[..., :0, :])))  # params only (empty slice)
+            p1 = d1.variables["params"]
+            p2 = d2.variables["params"]
+            rate = 0.0 if deterministic else self.dropout_rate
+            seed = None
+            if rate > 0.0:
+                seed = jax.random.randint(self.make_rng("dropout"), (1,), 0,
+                                          2**31 - 1, jnp.int32)
+            return fused_ffn(
+                x.astype(self.dtype), p1["kernel"].astype(self.dtype),
+                p1["bias"], p2["kernel"].astype(self.dtype), p2["bias"],
+                seed, dropout_rate=rate)
         h = nn.Dense(self.d_ff, dtype=self.dtype, name="w1")(x)
         h = nn.swish(h)
         if self.dropout_rate > 0.0 and not deterministic:
@@ -96,7 +123,8 @@ class ConformerBlock(nn.Module):
         h = nn.LayerNorm(dtype=self.dtype, name="norm_ff1")(x)
         x = x + cf * 0.5 * FeedForward(self.d_model, self.d_ff,
                                        self.dropout_rate,
-                                       self.dtype, name="ff1")(h, deterministic)
+                                       self.dtype, use_flash=self.use_flash,
+                                       name="ff1")(h, deterministic)
         # Self-attention.
         h = nn.LayerNorm(dtype=self.dtype, name="norm_mha")(x)
         x = x + cf * RelPosMultiHeadAttention(
@@ -123,7 +151,8 @@ class ConformerBlock(nn.Module):
             return nn.LayerNorm(dtype=self.dtype, name="norm_final")(x), aux
         x = x + cf * 0.5 * FeedForward(self.d_model, self.d_ff,
                                        self.dropout_rate,
-                                       self.dtype, name="ff2")(h, deterministic)
+                                       self.dtype, use_flash=self.use_flash,
+                                       name="ff2")(h, deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="norm_final")(x)
 
 
