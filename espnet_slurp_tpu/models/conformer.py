@@ -76,6 +76,10 @@ class ConvModule(nn.Module):
     kernel_size: int = 31
     causal: bool = False  # streaming: no future leakage through the conv
     dtype: jnp.dtype = jnp.float32
+    # "layer" (TPU default, batch-stat-free) or "batch": frozen-running-stats
+    # BatchNorm matching the reference's eval-mode nn.BatchNorm1d — used for
+    # numerical parity against reference checkpoints/modules.
+    norm_type: str = "layer"
 
     @nn.compact
     def __call__(self, x, pad_mask=None):
@@ -89,7 +93,11 @@ class ConvModule(nn.Module):
             self.d_model, (self.kernel_size,), padding=pad,
             feature_group_count=self.d_model, dtype=self.dtype,
             name="depthwise")(h)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm")(h)
+        if self.norm_type == "batch":
+            h = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
+                             dtype=self.dtype, name="norm")(h)
+        else:
+            h = nn.LayerNorm(dtype=self.dtype, name="norm")(h)
         h = nn.swish(h)
         return nn.Dense(self.d_model, dtype=self.dtype, name="pointwise2")(h)
 
@@ -114,6 +122,7 @@ class ConformerBlock(nn.Module):
     # when the layer survives, every residual branch is scaled by
     # 1/(1-rate); the survive/skip draw lives in the encoder loop.
     residual_coeff: float = 1.0
+    conv_norm: str = "layer"  # see ConvModule.norm_type
 
     @nn.compact
     def __call__(self, x, pos_emb, mask_bias, pad_mask, deterministic=True,
@@ -137,7 +146,8 @@ class ConformerBlock(nn.Module):
         h = nn.LayerNorm(dtype=self.dtype, name="norm_conv")(x)
         x = x + cf * ConvModule(self.d_model, self.kernel_size,
                                 self.causal_conv,
-                                self.dtype, name="conv")(h, pad_mask)
+                                self.dtype, norm_type=self.conv_norm,
+                                name="conv")(h, pad_mask)
         # Macaron FF half 2 (routed MoE when moe_experts > 0).
         h = nn.LayerNorm(dtype=self.dtype, name="norm_ff2")(x)
         if self.moe_experts > 0:
@@ -199,6 +209,9 @@ class ConformerEncoder(nn.Module):
     # surviving blocks scale their residual branches by 1/(1-rate). Draws
     # come from the "dropout" rng stream.
     stochastic_depth_rate: float = 0.0
+    # ConvModule normalization: "layer" (default) or "batch" (frozen-stats
+    # BatchNorm for reference parity; see ConvModule.norm_type).
+    conv_norm: str = "layer"
     # InterCTC self-conditioning (conformer_encoder.py:336-358
     # interctc_use_conditioning): > 0 gives the encoder its own shared CTC
     # head; at each interctc tap the softmax is projected back into the
@@ -260,6 +273,10 @@ class ConformerEncoder(nn.Module):
         moe_aux = 0.0
         sd_rate = self.stochastic_depth_rate if not deterministic else 0.0
         sd_coeff = 1.0 / (1.0 - sd_rate) if sd_rate > 0.0 else 1.0
+        # Encoder-level output norm (conformer_encoder.py:280-281,362-363
+        # normalize_before after_norm) — applied to the final output AND to
+        # every interCTC tap, on top of each block's norm_final.
+        after_norm = nn.LayerNorm(dtype=self.dtype, name="after_norm")
         if self.self_cond_vocab > 0 and self.interctc_layers:
             # Shared across taps: one CTC head for conditioning AND for the
             # model's intermediate CTC loss (reference shares model.ctc).
@@ -278,7 +295,7 @@ class ConformerEncoder(nn.Module):
                 use_flash=use_flash, chunk_size=self.chunk_size,
                 left_chunks=self.left_chunks, moe_experts=moe_e,
                 moe_capacity_factor=self.moe_capacity_factor,
-                residual_coeff=sd_coeff,
+                residual_coeff=sd_coeff, conv_norm=self.conv_norm,
                 name=f"block_{i}")(
                     x, pos_emb, bias, pad, deterministic, lengths=olens)
             if moe_e > 0:
@@ -299,13 +316,14 @@ class ConformerEncoder(nn.Module):
             x = constrain_acts(x)
             if (i + 1) in self.interctc_layers:
                 if self.self_cond_vocab > 0:
-                    logits = sc_ctc(x)
+                    logits = sc_ctc(after_norm(x))
                     inter.append((i + 1, logits))
                     x = x + sc_proj(
                         jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
                         .astype(self.dtype))
                 else:
-                    inter.append((i + 1, x))
+                    inter.append((i + 1, after_norm(x)))
+        x = after_norm(x)
         x = jnp.where(pad[..., None], x, 0.0)
         if self.moe_experts > 0:
             # Tagged entry consumed by ASRModel's loss (filtered out of the
