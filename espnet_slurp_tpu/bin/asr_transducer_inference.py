@@ -12,7 +12,8 @@ def main(argv=None):
     p.add_argument("--output_dir", required=True)
     p.add_argument("--beam_size", type=int, default=5)
     p.add_argument("--search", default="alsa",
-                   choices=("greedy", "alsa", "maes", "tsd", "nsc"))
+                   choices=("greedy", "alsa", "default", "maes", "tsd",
+                            "nsc"))
     p.add_argument("--streaming", action="store_true",
                    help="chunked incremental decode (requires a model "
                         "trained with asr.chunk_size > 0; reference "

@@ -235,6 +235,207 @@ def nsc_search(model, params, hs, h_lengths, cfg: NSCConfig):
         gamma=None, max_len=cfg.max_len)
 
 
+@dataclasses.dataclass(frozen=True)
+class DefaultBeamConfig:
+    """Graves-2012 `default` beam search options
+    (beam_search_transducer.py:255-355)."""
+    beam_size: int = 5
+    max_len: int = 128
+    # The reference's per-frame `while True` expansion loop has no bound; a
+    # fixed-shape kernel needs one. Expansions per frame are capped here
+    # (documented deviation — the stop condition almost always fires first).
+    max_expansions: int = 12
+
+
+def default_beam_search(
+    model: TransducerModel, params, hs: jnp.ndarray, h_lengths: jnp.ndarray,
+    cfg: DefaultBeamConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched `default` transducer beam search (Graves 2012, modified).
+
+    Faithful to beam_search_transducer.py:255-355: per frame, repeatedly pop
+    the highest-scoring hypothesis from the active pool, extend it with blank
+    (into the kept pool, same prefix) and with the top beam_k non-blank
+    tokens (back into the active pool, same frame); stop once >= beam kept
+    hypotheses outscore the best active one.
+
+    TPU shape discipline: the reference's growing python lists become two
+    fixed pools per batch row — kept [B, K] and active [B, A] with
+    A = K + E*(beam_k-1) + 1 sized so no live hypothesis is ever pruned
+    within the E-expansion cap; pool membership is score==-inf. One popped
+    hypothesis per batch row per inner while_loop iteration (the reference
+    is serial in exactly the same way). Deviations (shared with the serial
+    test port): expansion cap E, kept truncated to top-K (the reference
+    carries every kept hypothesis until the frame ends), no prefix merge.
+
+    Returns (tokens [B, max_len] blank-padded, lengths [B]).
+    """
+    a = model.cfg.asr
+    b, t_max, d = hs.shape
+    k, l, e = cfg.beam_size, cfg.max_len, cfg.max_expansions
+    v = a.vocab_size
+    blank = a.blank_id
+    bk = min(k, v - 1)
+    aa = k + e * (bk - 1) + 1  # active-pool capacity: lossless within cap
+    neg = jnp.float32(-1e30)
+
+    def pred_step(mdl, y, carry):
+        return mdl.prediction.step(y, carry)
+
+    def joint_step(mdl, h_t, g):
+        return mdl.joint(h_t, g)
+
+    carry0 = model.apply({"params": params},
+                         method=lambda m: m.prediction.init_carry(b))
+    g0, carry0 = model.apply({"params": params},
+                             jnp.full((b,), blank, jnp.int32), carry0,
+                             method=pred_step)
+    p = g0.shape[-1]
+
+    def tile_pool(x, cap):
+        # [B, ...] -> [B*cap, ...] (slot 0 real, others placeholders)
+        return jnp.repeat(x, cap, axis=0)
+
+    kept = dict(
+        tokens=jnp.full((b, k, l), blank, jnp.int32),
+        ne=jnp.zeros((b, k), jnp.int32),
+        score=jnp.concatenate(
+            [jnp.zeros((b, 1)), jnp.full((b, k - 1), neg)], 1),
+        g=tile_pool(g0, k),
+        carry=jax.tree.map(lambda x: tile_pool(x, k), carry0),
+    )
+
+    def gather_pool(pool, idx, cap):
+        # idx [B, M] into a cap-sized pool; returns an M-sized pool
+        m = idx.shape[1]
+        flat = (idx + jnp.arange(b)[:, None] * cap).reshape(b * m)
+        return dict(
+            tokens=pool["tokens"].reshape(b * cap, l)[flat].reshape(b, m, l),
+            ne=pool["ne"].reshape(b * cap)[flat].reshape(b, m),
+            score=jnp.take_along_axis(pool["score"], idx, axis=1),
+            g=pool["g"][flat],
+            carry=jax.tree.map(lambda x: x[flat], pool["carry"]),
+        )
+
+    def concat_pools(p1, c1, p2, c2):
+        return dict(
+            tokens=jnp.concatenate(
+                [p1["tokens"], p2["tokens"]], 1),
+            ne=jnp.concatenate([p1["ne"], p2["ne"]], 1),
+            score=jnp.concatenate([p1["score"], p2["score"]], 1),
+            g=jnp.concatenate([p1["g"].reshape(b, c1, p),
+                               p2["g"].reshape(b, c2, p)], 1
+                              ).reshape(b * (c1 + c2), p),
+            carry=jax.tree.map(
+                lambda x, y: jnp.concatenate(
+                    [x.reshape((b, c1) + x.shape[1:]),
+                     y.reshape((b, c2) + y.shape[1:])], 1
+                ).reshape((b * (c1 + c2),) + x.shape[1:]),
+                p1["carry"], p2["carry"]),
+        )
+
+    def topk_pool(pool, cap_in, m):
+        sc, idx = lax.top_k(pool["score"], m)
+        out = gather_pool(pool, idx, cap_in)
+        out["score"] = sc
+        return out
+
+    def frame_body(t, kept):
+        h_t = hs[:, t]  # [B, D]
+        frame_done0 = t >= h_lengths  # inactive rows carry kept through
+
+        # active pool <- kept (padded to capacity A with -inf slots)
+        pad = dict(
+            tokens=jnp.full((b, aa - k, l), blank, jnp.int32),
+            ne=jnp.zeros((b, aa - k), jnp.int32),
+            score=jnp.full((b, aa - k), neg),
+            g=tile_pool(g0, aa - k),
+            carry=jax.tree.map(lambda x: tile_pool(x, aa - k), carry0),
+        )
+        act = concat_pools(kept, k, pad, aa - k)
+        kept0 = dict(
+            tokens=kept["tokens"], ne=kept["ne"],
+            score=jnp.where(frame_done0[:, None], kept["score"], neg),
+            g=kept["g"], carry=kept["carry"])
+
+        def cond(st):
+            it, act, kept, done = st
+            return (it < e) & ~jnp.all(done)
+
+        def body(st):
+            it, act, kept, done = st
+            # pop per-row argmax
+            h_idx = jnp.argmax(act["score"], axis=1)  # [B]
+            star = gather_pool(act, h_idx[:, None], aa)  # 1-pool
+            s_star = star["score"][:, 0]
+            logits = model.apply({"params": params}, h_t,
+                                 star["g"], method=joint_step)
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)  # [B,V]
+            blank_lp = lp[:, blank]
+            nb = lp.at[:, blank].set(neg)
+            tok_delta, tok_ids = lax.top_k(nb, bk)  # [B, bk]
+
+            # kept <- kept + blank child (top-K merge)
+            bchild = dict(
+                tokens=star["tokens"], ne=star["ne"],
+                score=jnp.where(done, neg, s_star + blank_lp)[:, None],
+                g=star["g"], carry=star["carry"])
+            kept_new = topk_pool(concat_pools(kept, k, bchild, 1), k + 1, k)
+
+            # active <- active (popped slot cleared) + token children
+            can = (star["ne"][:, 0] < l) & ~done  # [B]
+            child_sc = jnp.where(can[:, None],
+                                 s_star[:, None] + tok_delta, neg)
+            y = tok_ids.reshape(b * bk)
+            carry_in = jax.tree.map(lambda x: jnp.repeat(x, bk, axis=0),
+                                    star["carry"])
+            g_ch, carry_ch = model.apply({"params": params}, y, carry_in,
+                                         method=pred_step)
+            wp = jnp.minimum(star["ne"], l - 1)  # [B, 1]
+            tok_b = jnp.repeat(star["tokens"], bk, axis=1)  # [B, bk, L]
+            tokens_ch = jnp.where(
+                jnp.arange(l)[None, None, :] == wp[:, :, None],
+                tok_ids[:, :, None], tok_b)
+            children = dict(
+                tokens=tokens_ch,
+                ne=jnp.repeat(star["ne"], bk, axis=1) + 1,
+                score=child_sc, g=g_ch, carry=carry_ch)
+            popped = ((jnp.arange(aa)[None, :] == h_idx[:, None])
+                      & ~done[:, None])
+            act_sc = jnp.where(popped, neg, act["score"])
+            act_cl = dict(act, score=act_sc)
+            act_new = topk_pool(concat_pools(act_cl, aa, children, bk),
+                                aa + bk, aa)
+
+            # stop: >= K kept outscore the best active hypothesis
+            hyps_max = jnp.max(act_new["score"], axis=1)
+            n_better = jnp.sum(kept_new["score"] > hyps_max[:, None], axis=1)
+            done_new = done | (n_better >= k)
+
+            def frz(new, old):
+                return jax.tree.map(
+                    lambda nw, od: jnp.where(
+                        done.reshape((b,) + (1,) * (nw.ndim - 1))
+                        if nw.shape[0] == b else
+                        jnp.repeat(done, nw.shape[0] // b
+                                   ).reshape((nw.shape[0],)
+                                             + (1,) * (nw.ndim - 1)),
+                        od, nw),
+                    new, old)
+
+            return (it + 1, frz(act_new, act), frz(kept_new, kept),
+                    done_new)
+
+        _, _, kept_fin, _ = lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32), act, kept0, frame_done0))
+        return kept_fin
+
+    kept = lax.fori_loop(0, t_max, frame_body, kept)
+    best = jnp.argmax(kept["score"], axis=1)
+    out = gather_pool(kept, best[:, None], k)
+    return out["tokens"][:, 0], out["ne"][:, 0]
+
+
 def _frame_sync_search(
     model: TransducerModel, params, hs: jnp.ndarray, h_lengths: jnp.ndarray,
     *, beam_size: int, nstep: int, max_candidates: int,

@@ -109,7 +109,7 @@ class Speech2TextTransducer:
     def __init__(self, exp_dir: str, ckpt_name: Optional[str] = None,
                  beam_size: int = 1, max_len: int = 128,
                  search: str = "alsa"):
-        # search: greedy | alsa | maes | tsd | nsc
+        # search: greedy | alsa | default | maes | tsd | nsc
         # (beam_search_transducer.py algos; greedy forced when beam_size <= 1)
         exp = Path(exp_dir)
         self.cfg = load_transducer_config(exp / "config.yaml")
@@ -155,6 +155,13 @@ class Speech2TextTransducer:
                         model, params, hs, h_lengths,
                         TSDConfig(beam_size=self.beam_size,
                                   max_len=self.max_len))
+                if self.beam_size > 1 and self.search == "default":
+                    from ..decode.transducer_beam import (
+                        DefaultBeamConfig, default_beam_search)
+                    return default_beam_search(
+                        model, params, hs, h_lengths,
+                        DefaultBeamConfig(beam_size=self.beam_size,
+                                          max_len=self.max_len))
                 if self.beam_size > 1 and self.search == "nsc":
                     from ..decode.transducer_beam import NSCConfig, nsc_search
                     return nsc_search(

@@ -492,3 +492,65 @@ def test_transducer_streaming_e2e(tmp_path):
                    "2", "--streaming", "--sim_chunk_length", "800"])
     assert rc == 0
     assert (tmp_path / "dec" / "text").exists()
+
+
+def test_default_beam_matches_serial_reference():
+    """Batched `default` beam search == a serial python port of the
+    reference Graves-2012 loop (beam_search_transducer.py:255-355), with
+    the same documented deviations as the batched kernel: expansion cap E
+    per frame, kept pool truncated to top-K, no prefix merge."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from espnet_slurp_tpu.decode.transducer_beam import (DefaultBeamConfig,
+                                                         default_beam_search)
+
+    model, params, hs, h_lengths = _toy_transducer()
+    cfg = DefaultBeamConfig(beam_size=3, max_len=8, max_expansions=10)
+    got_t, got_l = default_beam_search(model, params, hs, h_lengths, cfg)
+
+    a = model.cfg.asr
+    blank = a.blank_id
+    k, l, e = cfg.beam_size, cfg.max_len, cfg.max_expansions
+    bk = min(k, a.vocab_size - 1)
+    n_frames = int(h_lengths[0])
+
+    def pred(y, carry):
+        g, c = model.apply({"params": params},
+                           jnp.asarray([y], jnp.int32), carry,
+                           method=lambda m, yy, cc: m.prediction.step(yy, cc))
+        return g, c
+
+    def joint(t, g):
+        h_t = hs[0:1, t]
+        logits = model.apply({"params": params}, h_t, g,
+                             method=lambda m, h, gg: m.joint(h, gg))
+        return np.asarray(jax.nn.log_softmax(
+            logits.astype(jnp.float32), -1))[0]
+
+    carry0 = model.apply({"params": params},
+                         method=lambda m: m.prediction.init_carry(1))
+    g0, carry0 = pred(blank, carry0)
+    hyps = [([], 0.0, g0, carry0)]  # kept across frames
+    for t in range(n_frames):
+        act = list(hyps)
+        kept = []
+        for _ in range(e):
+            i = int(np.argmax([h[1] for h in act]))
+            toks, score, g, carry = act.pop(i)
+            lp = joint(t, g)
+            kept.append((toks, score + lp[blank], g, carry))
+            kept = sorted(kept, key=lambda x: -x[1])[:k]
+            nb = lp.copy()
+            nb[blank] = -1e30
+            for v in np.argsort(-nb)[:bk]:
+                if len(toks) < l:
+                    g2, c2 = pred(int(v), carry)
+                    act.append((toks + [int(v)], score + nb[v], g2, c2))
+            hyps_max = max(h[1] for h in act)
+            if len([x for x in kept if x[1] > hyps_max]) >= k:
+                break
+        hyps = sorted(kept, key=lambda x: -x[1])[:k]
+    want = max(hyps, key=lambda x: x[1])[0]
+    got = list(np.asarray(got_t)[0][: int(got_l[0])])
+    assert got == want, (got, want)
