@@ -16,8 +16,10 @@ monotonic_align/). TPU redesign notes:
 - The waveform decoder is the in-framework HiFiGAN generator (tts/hifigan.py)
   fed with latent slices instead of mels; discriminators/adv losses are
   shared with the HiFiGAN task.
-- Deterministic duration predictor (use_sdp=False path of the reference);
-  the stochastic-flow duration predictor is not implemented.
+- Both duration predictors: the deterministic one (use_sdp=False) and the
+  stochastic flow-based one (use_sdp=True, the reference default —
+  duration_predictor.py:25-192) with the rational-quadratic-spline flows in
+  tts/vits_sdp.py.
 """
 from __future__ import annotations
 
@@ -50,6 +52,11 @@ class VITSConfig:
     flow_wn_kernel: int = 5
     dur_kernel: int = 3
     dur_channels: int = 256
+    use_sdp: bool = False       # stochastic (flow) duration predictor
+    sdp_flows: int = 4
+    sdp_dds_layers: int = 3
+    sdp_dropout_rate: float = 0.5
+    sdp_noise_scale: float = 0.8  # inference noise for duration sampling
     segment_size: int = 32      # latent frames per training window
     n_fft: int = 1024
     hop_length: int = 256
@@ -307,14 +314,22 @@ class VITSGenerator(nn.Module):
         self.text_enc = TextEncoder(c, name="text_encoder")
         self.posterior = PosteriorEncoder(c, name="posterior_encoder")
         self.flow = ResidualCouplingBlock(c, name="flow")
-        self.dur = DurationPredictor(c, name="duration_predictor")
+        if c.use_sdp:
+            from .vits_sdp import StochasticDurationPredictor
+            self.dur = StochasticDurationPredictor(
+                channels=c.d_model, kernel=c.dur_kernel,
+                dropout_rate=c.sdp_dropout_rate, flows=c.sdp_flows,
+                dds_layers=c.sdp_dds_layers, dtype=c.jax_dtype,
+                name="duration_predictor")
+        else:
+            self.dur = DurationPredictor(c, name="duration_predictor")
         self.decoder = HiFiGANGenerator(c.hifigan, name="decoder")
 
     def __call__(self, tokens, token_lengths, spec, spec_lengths, rng,
                  deterministic=True):
         """Training forward -> (wav_seg_fake, starts, aux-losses dict)."""
         c = self.cfg
-        post_rng, seg_rng = jax.random.split(rng)
+        post_rng, seg_rng, sdp_rng = jax.random.split(rng, 3)
         h_text, m_p, logs_p = self.text_enc(tokens, token_lengths,
                                             deterministic)
         z, m_q, logs_q = self.posterior(spec, spec_lengths, post_rng)
@@ -338,12 +353,21 @@ class VITSGenerator(nn.Module):
         kl_loss = jnp.sum(jnp.where(spec_pad[..., None], kl, 0.0)) \
             / denom.astype(jnp.float32)
 
-        # Duration loss in log domain.
         d_gt = jnp.sum(attn, axis=1)                       # [B, L]
-        log_d_pred = self.dur(h_text, text_pad, deterministic)
-        log_d_gt = jnp.log(d_gt + 1e-6) * text_pad
-        dur_loss = jnp.sum((log_d_pred - log_d_gt) ** 2 * text_pad) \
-            / jnp.maximum(jnp.sum(token_lengths), 1).astype(jnp.float32)
+        if c.use_sdp:
+            # Flow NLL of the MAS durations, normalized by token count
+            # (generator.py:180-186 use_sdp branch).
+            nll = self.dur(h_text, text_pad, w=d_gt[..., None],
+                           rng=sdp_rng, deterministic=deterministic)
+            dur_loss = jnp.sum(nll) \
+                / jnp.maximum(jnp.sum(token_lengths), 1).astype(jnp.float32)
+        else:
+            # Duration loss in log domain.
+            log_d_pred = self.dur(h_text, text_pad, deterministic)
+            log_d_gt = jnp.log(d_gt + 1e-6) * text_pad
+            dur_loss = jnp.sum((log_d_pred - log_d_gt) ** 2 * text_pad) \
+                / jnp.maximum(jnp.sum(token_lengths),
+                              1).astype(jnp.float32)
 
         z_seg, starts = rand_slice(seg_rng, z, spec_lengths, c.segment_size)
         wav_seg = self.decoder(z_seg)
@@ -352,11 +376,19 @@ class VITSGenerator(nn.Module):
 
     def infer(self, tokens, token_lengths, rng, noise_scale: float = 0.667,
               alpha: float = 1.0, max_frames: int = 1000):
-        """Text -> waveform. generator.py inference path (use_sdp=False)."""
+        """Text -> waveform. generator.py inference path (both duration
+        predictors; use_sdp samples log-durations from the inverse flow)."""
         c = self.cfg
+        z_rng, dur_rng = jax.random.split(rng)
+        rng = z_rng
         h, m_p, logs_p = self.text_enc(tokens, token_lengths, True)
         text_pad = length_mask(token_lengths, tokens.shape[1])
-        d = jnp.exp(self.dur(h, text_pad, True)) * alpha
+        if c.use_sdp:
+            logw = self.dur(h, text_pad, rng=dur_rng, inverse=True,
+                            noise_scale=c.sdp_noise_scale)
+            d = jnp.exp(logw) * text_pad * alpha
+        else:
+            d = jnp.exp(self.dur(h, text_pad, True)) * alpha
         d = jnp.ceil(d) * text_pad
         from .fastspeech2 import length_regulate
         m_p_e, out_lens = length_regulate(m_p, d.astype(jnp.int32),

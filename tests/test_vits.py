@@ -196,3 +196,110 @@ def test_vits_task_e2e(tmp_path):
     mel, wav = t2s("hello world", max_frames=30)
     assert wav is not None and wav.ndim == 1 and len(wav) > 0
     assert np.isfinite(wav).all()
+
+
+def test_rq_spline_matches_reference_transform():
+    """JAX unconstrained rational-quadratic spline == the reference's
+    transform.py (nflows-derived), forward AND inverse, values + logdet."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    import ref_compat
+    if not ref_compat.ref_available():
+        import pytest
+        pytest.skip("reference unavailable")
+    ref_compat.install_shims()
+    import torch
+    # Load transform.py standalone (importing the espnet2.gan_tts package
+    # pulls a feats_extract chain needing humanfriendly).
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_vits_transform",
+        "/root/reference/espnet2/gan_tts/vits/transform.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    piecewise_rational_quadratic_transform = (
+        mod.piecewise_rational_quadratic_transform)
+    from espnet_slurp_tpu.tts.vits_sdp import (
+        unconstrained_rational_quadratic_spline)
+
+    rng = np.random.default_rng(7)
+    shape, bins = (3, 17), 10
+    x = rng.normal(size=shape).astype(np.float32) * 4.0  # some past tails
+    uw = rng.normal(size=shape + (bins,)).astype(np.float32)
+    uh = rng.normal(size=shape + (bins,)).astype(np.float32)
+    ud = rng.normal(size=shape + (bins - 1,)).astype(np.float32)
+
+    for inverse in (False, True):
+        ref_y, ref_ld = piecewise_rational_quadratic_transform(
+            torch.from_numpy(x), torch.from_numpy(uw.copy()),
+            torch.from_numpy(uh.copy()), torch.from_numpy(ud.copy()),
+            inverse=inverse, tails="linear", tail_bound=5.0)
+        got_y, got_ld = unconstrained_rational_quadratic_spline(
+            jnp.asarray(x), jnp.asarray(uw), jnp.asarray(uh),
+            jnp.asarray(ud), inverse=inverse, tail_bound=5.0)
+        np.testing.assert_allclose(np.asarray(got_y), ref_y.numpy(),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_ld), ref_ld.numpy(),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_rq_spline_round_trip():
+    from espnet_slurp_tpu.tts.vits_sdp import (
+        unconstrained_rational_quadratic_spline)
+    rng = np.random.default_rng(3)
+    shape, bins = (4, 9), 6
+    x = rng.normal(size=shape).astype(np.float32) * 3.0
+    uw = rng.normal(size=shape + (bins,)).astype(np.float32)
+    uh = rng.normal(size=shape + (bins,)).astype(np.float32)
+    ud = rng.normal(size=shape + (bins - 1,)).astype(np.float32)
+    y, ld = unconstrained_rational_quadratic_spline(
+        jnp.asarray(x), jnp.asarray(uw), jnp.asarray(uh), jnp.asarray(ud))
+    x2, ld2 = unconstrained_rational_quadratic_spline(
+        y, jnp.asarray(uw), jnp.asarray(uh), jnp.asarray(ud), inverse=True)
+    np.testing.assert_allclose(np.asarray(x2), x, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld2), -np.asarray(ld),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_vits_sdp_train_and_infer():
+    """use_sdp=True: SDP NLL is finite and trainable, inverse sampling
+    yields usable durations (duration_predictor.py use_sdp path)."""
+    import dataclasses
+    cfg = dataclasses.replace(TINY, use_sdp=True, sdp_flows=2,
+                              sdp_dds_layers=2)
+    gen = VITSGenerator(cfg)
+    disc = HiFiGANDiscriminator(TINY_DISC)
+    batch = _vits_batch()
+    spec, spec_lens = linear_spectrogram(
+        batch["speech"], batch["speech_lengths"], cfg)
+    gp = gen.init(jax.random.PRNGKey(0), batch["text"],
+                  batch["text_lengths"], spec, spec_lens,
+                  jax.random.PRNGKey(1))["params"]
+    assert "duration_predictor" in gp and "flow_0" in gp["duration_predictor"]
+    fake, starts, aux = gen.apply(
+        {"params": gp}, batch["text"], batch["text_lengths"], spec,
+        spec_lens, jax.random.PRNGKey(2))
+    assert np.isfinite(float(aux["dur_loss"]))
+
+    dp = disc.init(jax.random.PRNGKey(3), fake)["params"]
+    from espnet_slurp_tpu.train.gan_trainer import GANTrainState
+    gen_tx = optax.adam(2e-4)
+    disc_tx = optax.adam(2e-4)
+    state = GANTrainState.create(gp, dp, gen_tx, disc_tx,
+                                 jax.random.PRNGKey(4))
+    step = make_vits_train_step(gen, disc, gen_tx, disc_tx, cfg)
+    state1, stats = step(state, batch)
+    assert np.isfinite(float(stats["dur_loss"]))
+    # SDP params moved under the GAN update
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        state.gen_params["duration_predictor"],
+        state1.gen_params["duration_predictor"])
+    assert max(jax.tree.leaves(moved)) > 0
+
+    wav, wav_lens = gen.apply(
+        {"params": state1.gen_params}, batch["text"],
+        batch["text_lengths"], jax.random.PRNGKey(5),
+        method=lambda m, t, tl, r: m.infer(t, tl, r, max_frames=40))
+    assert np.isfinite(np.asarray(wav)).all()
+    assert (np.asarray(wav_lens) > 0).all()
