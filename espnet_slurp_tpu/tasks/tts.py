@@ -23,6 +23,7 @@ from ..train.checkpoint import CheckpointManager
 from ..train.optim import OptimConfig, build_optimizer
 from ..train.reporter import Reporter, SubReporter
 from ..train.state import TrainState
+from ..tts.fastspeech import FastSpeech, FastSpeechConfig
 from ..tts.fastspeech2 import FastSpeech2, FastSpeech2Config
 from ..tts.hifigan import (HiFiGANConfig, HiFiGANDiscriminator,
                            HiFiGANGenerator)
@@ -67,12 +68,13 @@ class TTSDataConfig:
 @dataclasses.dataclass(frozen=True)
 class TTSTaskConfig:
     exp_dir: str = "exp/tts"
-    # text->mel: tacotron2 | transformer_tts | fastspeech2;
+    # text->mel: tacotron2 | transformer_tts | fastspeech | fastspeech2;
     # e2e text->wav: vits | jets;
     # mel->wav vocoders (gan_tts family): hifigan | melgan | style_melgan.
     arch: str = "tacotron2"
     tacotron2: Tacotron2Config = Tacotron2Config()
     transformer_tts: TransformerTTSConfig = TransformerTTSConfig()
+    fastspeech: FastSpeechConfig = FastSpeechConfig()
     fastspeech2: FastSpeech2Config = FastSpeech2Config()
     vits: VITSConfig = VITSConfig()
     jets: JETSConfig = JETSConfig()
@@ -188,7 +190,7 @@ class TTSTask:
                      "mel": jnp.asarray(mel),
                      "mel_lengths": jnp.asarray(np.asarray(mel_lens)),
                      }
-            if cfg.arch == "fastspeech2":
+            if cfg.arch in ("fastspeech", "fastspeech2"):
                 if durations is not None:
                     dur = np.zeros((len(chunk), l_max), np.int32)
                     for r, u in enumerate(chunk):
@@ -248,6 +250,12 @@ class TTSTask:
                 n_mels=cfg.data.frontend.n_mels)
             return TransformerTTS(mcfg), dataclasses.replace(
                 cfg, transformer_tts=mcfg)
+        if cfg.arch == "fastspeech":
+            mcfg = dataclasses.replace(
+                cfg.fastspeech, vocab_size=vocab_size,
+                n_mels=cfg.data.frontend.n_mels)
+            return FastSpeech(mcfg), dataclasses.replace(
+                cfg, fastspeech=mcfg)
         mcfg = dataclasses.replace(cfg.fastspeech2, vocab_size=vocab_size,
                                    n_mels=cfg.data.frontend.n_mels)
         return FastSpeech2(mcfg), dataclasses.replace(cfg, fastspeech2=mcfg)

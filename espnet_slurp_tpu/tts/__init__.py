@@ -1,4 +1,5 @@
-"""TTS: Tacotron2, FastSpeech2, Griffin-Lim vocoder."""
+"""TTS: Tacotron2, FastSpeech(1/2), Griffin-Lim vocoder."""
+from .fastspeech import FastSpeech, FastSpeechConfig  # noqa: F401
 from .fastspeech2 import FastSpeech2, FastSpeech2Config, length_regulate  # noqa: F401
 from .tacotron2 import Tacotron2, Tacotron2Config  # noqa: F401
 from .transformer_tts import (TransformerTTS,  # noqa: F401

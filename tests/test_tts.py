@@ -288,3 +288,65 @@ def test_transformer_tts_task_e2e(tmp_path):
     t2s = Text2Speech(cfg.exp_dir, use_griffin_lim=False)
     mel, _ = t2s("alpha bravo", max_frames=24)
     assert mel.ndim == 2 and mel.shape[1] == 16
+
+
+def test_fastspeech1_train_and_infer():
+    """FastSpeech (1): teacher-duration L1(before+after postnet) + dur MSE
+    (reference espnet2/tts/fastspeech/fastspeech.py:407-571)."""
+    from espnet_slurp_tpu.tts.fastspeech import FastSpeech, FastSpeechConfig
+    cfg = FastSpeechConfig(
+        vocab_size=30, n_mels=16, d_model=32, n_head=2, d_ff=64,
+        enc_blocks=1, dec_blocks=1, var_channels=16, var_layers=1,
+        postnet_layers=2, postnet_channels=16, postnet_kernel=3,
+        max_frames=64)
+    model = FastSpeech(cfg)
+    batch = _tts_batch(t=24)
+    rng = np.random.RandomState(1)
+    batch["durations"] = jnp.asarray(rng.randint(1, 5, size=(2, 6)))
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+    assert "postnet" in params and "pitch_predictor" not in params
+
+    def loss_fn(p):
+        return model.apply({"params": p}, **batch)
+
+    (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert {"l1_loss", "duration_loss"} <= set(stats)
+    assert all(np.isfinite(x).all() for x in jax.tree.leaves(grads))
+
+    mel, total = model.apply(
+        {"params": params}, batch["text"], batch["text_lengths"],
+        method=lambda m, t, tl: m.inference(t, tl))
+    assert mel.shape[0] == 2 and mel.shape[2] == 16
+    assert (np.asarray(total) > 0).all()
+
+
+def test_fastspeech1_task_e2e(tmp_path):
+    from espnet_slurp_tpu.data.mini_corpus import make_mini_corpus
+    from espnet_slurp_tpu.ops.frontend import FrontendConfig
+    from espnet_slurp_tpu.tasks.tts import (Text2Speech, TTSDataConfig,
+                                            TTSTask, TTSTaskConfig)
+    from espnet_slurp_tpu.train.optim import OptimConfig
+    from espnet_slurp_tpu.tts.fastspeech import FastSpeechConfig
+
+    train_dir, dev_dir = make_mini_corpus(tmp_path / "c", n_train=4, n_dev=2)
+    cfg = TTSTaskConfig(
+        exp_dir=str(tmp_path / "exp"),
+        arch="fastspeech",
+        fastspeech=FastSpeechConfig(
+            vocab_size=30, n_mels=16, d_model=32, n_head=2, d_ff=64,
+            enc_blocks=1, dec_blocks=1, var_channels=16, var_layers=1,
+            postnet_layers=2, postnet_channels=16, postnet_kernel=3,
+            max_frames=64),
+        optim=OptimConfig(lr=1e-3, scheduler="constant"),
+        data=TTSDataConfig(train_dir=str(train_dir), valid_dir=str(dev_dir),
+                           batch_size=4,
+                           frontend=FrontendConfig(n_fft=128, hop_length=64,
+                                                   n_mels=16),
+                           mel_bucket_multiple=32),
+        max_epoch=1, keep_nbest=1)
+    state = TTSTask.train(cfg)
+    assert int(state.step) > 0
+    t2s = Text2Speech(cfg.exp_dir, use_griffin_lim=False)
+    mel, wav = t2s("charlie delta")
+    assert mel.ndim == 2 and mel.shape[1] == 16
