@@ -102,27 +102,56 @@ def zero_opt_shardings(opt_state: Any, params_shardings: Any, mesh: Mesh,
 
     Parity target: the reference's fairscale OSS optimizer
     (abs_task.py:869-874, trainer.py:215-219) — each data-parallel rank
-    holds a shard of the Adam moments. Here it is pure GSPMD: moment
-    tensors mirroring a parameter take the parameter's TP sharding with the
-    largest replicated dim additionally partitioned over ``data``; small or
-    indivisible leaves replicate. XLA inserts the gather at update time.
+    holds a shard of the Adam moments. Here it is pure GSPMD: any opt-state
+    subtree whose pytree structure mirrors the parameter tree (Adam mu/nu,
+    RMS nu, momentum trace, EMA shadows, ...) takes the parameter's TP
+    sharding per-leaf with the largest still-replicated dim additionally
+    partitioned over ``data``; non-mirroring large leaves fall back to a
+    first-data-divisible-dim shard; everything else replicates. XLA inserts
+    the gather at update time.
     """
     n_data = mesh.shape[DATA_AXIS]
+    params_treedef = jax.tree.structure(params_shardings)
 
-    # Matching optax tree leaves back to parameter paths is fragile across
-    # optimizer chains; shard ANY large leaf by its first data-divisible
-    # dim instead (moments mirror parameter shapes, so this lines up).
-    def assign(x):
+    def add_data_axis(shape, spec):
+        """Partition the largest replicated, divisible dim over DATA."""
+        dims = [d for d in range(len(shape))
+                if (d >= len(spec) or spec[d] is None)
+                and shape[d] % n_data == 0]
+        if not dims:
+            return spec
+        best = max(dims, key=lambda d: shape[d])
+        full = list(spec) + [None] * (len(shape) - len(spec))
+        full[best] = DATA_AXIS
+        return P(*full)
+
+    def mirror(x, p_sharding):
         if not hasattr(x, "ndim") or x.ndim == 0 or x.size < min_size:
             return NamedSharding(mesh, P())
-        for dim in range(x.ndim):
-            if x.shape[dim] % n_data == 0:
-                spec = [None] * x.ndim
-                spec[dim] = DATA_AXIS
-                return NamedSharding(mesh, P(*spec))
-        return NamedSharding(mesh, P())
+        spec = tuple(p_sharding.spec)
+        if len(spec) > x.ndim or any(
+                a is not None and x.shape[d] % mesh.shape[a] != 0
+                for d, a in enumerate(spec)):
+            spec = ()  # moment shape diverges from param: drop TP spec
+        return NamedSharding(mesh, add_data_axis(x.shape, P(*spec)))
 
-    return jax.tree.map(assign, opt_state)
+    def heuristic(x):
+        if not hasattr(x, "ndim") or x.ndim == 0 or x.size < min_size:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, add_data_axis(x.shape, P()))
+
+    def is_param_subtree(node):
+        try:
+            return jax.tree.structure(node) == params_treedef
+        except Exception:  # pragma: no cover - exotic nodes
+            return False
+
+    def assign(node):
+        if is_param_subtree(node):
+            return jax.tree.map(mirror, node, params_shardings)
+        return jax.tree.map(heuristic, node)
+
+    return jax.tree.map(assign, opt_state, is_leaf=is_param_subtree)
 
 
 def shard_opt_state(opt_state: Any, params_shardings: Any, mesh: Mesh,
