@@ -99,6 +99,62 @@ def launch_local(cmd, world: int, coordinator: str, log_dir: Path) -> int:
     return rc
 
 
+def sbatch_script(cmd, world: int, *, job_name: str = "espnet_slurp_tpu",
+                  partition: str | None = None, time_limit: str | None = None,
+                  tasks_per_node: int = 1, log_dir: str = "exp/launch",
+                  coordinator_port: int = 29500,
+                  extra_sbatch: tuple = ()) -> str:
+    """Render an sbatch submission script (slurm.pl / cmd.sh analogue,
+    reference egs2/TEMPLATE/asr1/cmd.sh + utils/parallel/slurm.pl).
+
+    srun starts ``world`` tasks; each worker resolves its rank from
+    SLURM_PROCID and the coordinator from the first node of
+    SLURM_JOB_NODELIST + ESPNET_COORDINATOR_PORT (parallel/mesh.py
+    init_distributed).
+    """
+    nodes = (world + tasks_per_node - 1) // tasks_per_node
+    lines = ["#!/usr/bin/env bash",
+             f"#SBATCH --job-name={job_name}",
+             f"#SBATCH --ntasks={world}",
+             f"#SBATCH --nodes={nodes}",
+             f"#SBATCH --ntasks-per-node={tasks_per_node}",
+             f"#SBATCH --output={log_dir}/slurm.%j.%t.log"]
+    if partition:
+        lines.append(f"#SBATCH --partition={partition}")
+    if time_limit:
+        lines.append(f"#SBATCH --time={time_limit}")
+    lines.extend(f"#SBATCH {x}" for x in extra_sbatch)
+    inner = " ".join(shlex.quote(c) for c in cmd)
+    lines += ["",
+              f"export ESPNET_COORDINATOR_PORT={coordinator_port}",
+              f"srun --ntasks={world} {inner}",
+              ""]
+    return "\n".join(lines)
+
+
+def queue_commands(cmd, world: int, *, job_name: str = "espnet_slurp_tpu",
+                   queue: str | None = None, log_dir: str = "exp/launch",
+                   coordinator: str = "127.0.0.1:29500"):
+    """One qsub invocation per rank (queue.pl / GridEngine analogue).
+
+    Each job carries the explicit ESPNET_* rendezvous env (GridEngine has
+    no SLURM_PROCID equivalent across array jobs with different commands).
+    """
+    inner = " ".join(shlex.quote(c) for c in cmd)
+    out = []
+    for rank in range(world):
+        envs = (f"ESPNET_COORDINATOR={coordinator},"
+                f"ESPNET_NUM_PROCESSES={world},ESPNET_PROCESS_ID={rank}")
+        job = ["qsub", "-cwd", "-N", f"{job_name}.{rank}",
+               "-o", f"{log_dir}/queue.{rank}.log", "-j", "y",
+               "-v", envs]
+        if queue:
+            job += ["-q", queue]
+        job += ["-b", "y", inner]
+        out.append(job)
+    return out
+
+
 def ssh_commands(cmd, hosts, coordinator: str):
     """One ssh invocation per host, rank = host index."""
     world = len(hosts)
@@ -125,6 +181,18 @@ def main(argv=None):
                    help="comma-separated remote hosts (ssh mode)")
     p.add_argument("--run_ssh", action="store_true",
                    help="actually run the ssh commands instead of printing")
+    p.add_argument("--backend", default=None,
+                   choices=("local", "ssh", "slurm", "queue"),
+                   help="scheduler glue (cmd.sh run.pl/queue.pl/slurm.pl "
+                        "analogue); default local, or ssh when --host set")
+    p.add_argument("--partition", default=None,
+                   help="slurm partition (#SBATCH --partition)")
+    p.add_argument("--time_limit", default=None,
+                   help="slurm time limit (#SBATCH --time)")
+    p.add_argument("--tasks_per_node", type=int, default=1)
+    p.add_argument("--queue", default=None, help="GridEngine queue (-q)")
+    p.add_argument("--submit", action="store_true",
+                   help="actually sbatch/qsub instead of printing")
     p.add_argument("--log_dir", default="exp/launch")
     p.add_argument("cmd", nargs=argparse.REMAINDER,
                    help="worker command (prefix with --)")
@@ -135,6 +203,34 @@ def main(argv=None):
     if not cmd:
         p.error("no worker command given")
 
+    backend = args.backend or ("ssh" if args.host else "local")
+    if backend == "slurm":
+        world = args.num_processes or 1
+        script = sbatch_script(
+            cmd, world, partition=args.partition,
+            time_limit=args.time_limit,
+            tasks_per_node=args.tasks_per_node, log_dir=args.log_dir)
+        Path(args.log_dir).mkdir(parents=True, exist_ok=True)
+        path = Path(args.log_dir) / "submit.sbatch"
+        path.write_text(script)
+        if not args.submit:
+            print(script, end="")
+            log.info("wrote %s (pass --submit to sbatch it)", path)
+            return 0
+        return subprocess.call(["sbatch", str(path)])
+    if backend == "queue":
+        world = args.num_processes or 1
+        coordinator = args.coordinator or f"{socket.gethostname()}:29500"
+        cmds = queue_commands(cmd, world, queue=args.queue,
+                              log_dir=args.log_dir, coordinator=coordinator)
+        if not args.submit:
+            for c in cmds:
+                print(" ".join(shlex.quote(x) for x in c))
+            return 0
+        rc = 0
+        for c in cmds:
+            rc = rc or subprocess.call(c)
+        return rc
     if args.host:
         hosts = [h for h in args.host.split(",") if h]
         coordinator = args.coordinator or f"{hosts[0]}:{free_port()}"

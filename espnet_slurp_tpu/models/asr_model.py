@@ -36,6 +36,14 @@ class ASRConfig:
     # wav2vec2 (raw-waveform SSL encoder, bypasses frontend/specaug/mvn —
     # wav2vec2_encoder.py FairSeqWav2Vec2Encoder analogue)
     encoder: str = "conformer"
+    # Precomputed-feature input (asr.sh:472-543 feats_type=fbank/
+    # fbank_pitch path): `speech` is a [B, T, D] feature matrix dumped by
+    # recipe stage 3; the STFT/log-mel frontend is skipped (reference
+    # --frontend none --input_size D). SpecAug/MVN still apply.
+    input_feats: bool = False
+    # Feature width of the dump (reference --input_size); 0 = frontend
+    # n_mels. fbank_pitch dumps are n_mels + 1.
+    input_feats_dim: int = 0
     # Longformer sliding-window half-width (frames after x4 subsampling).
     attention_window: int = 64
     # Contextual-block encoder geometry (contextual_block_conformer_encoder
@@ -342,7 +350,11 @@ class ASRModel(nn.Module):
             if c.postencoder:
                 hs, h_lengths = self.postenc(hs, h_lengths)
             return hs, h_lengths, inter
-        if speech.ndim == 3:
+        if c.input_feats:
+            # Precomputed features (asr.sh feats_type=fbank stage-3 dump):
+            # [B, T, D] straight past the frontend.
+            feats, feat_lengths = speech.astype(jnp.float32), speech_lengths
+        elif speech.ndim == 3:
             # Multichannel [B, N, C]: WPE/MVDR enhancement before log-mel
             # (DefaultFrontend use_wpe/use_beamformer path,
             # frontend/default.py:17-131 + frontends/dnn_{wpe,beamformer}).

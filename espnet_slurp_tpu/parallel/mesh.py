@@ -76,19 +76,55 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
+def slurm_first_node(nodelist: str) -> str:
+    """First hostname of a SLURM_JOB_NODELIST.
+
+    Handles plain lists ("a01,a02") and compressed ranges
+    ("node[001-003,007],other") the way the reference resolves the master
+    from `scontrol`-style lists (distributed_utils.py:231-259).
+    """
+    if not nodelist:
+        return ""
+    if "[" not in nodelist.split(",")[0]:
+        return nodelist.split(",")[0]
+    prefix, rest = nodelist.split("[", 1)
+    first = rest.split("]", 1)[0].split(",")[0].split("-")[0]
+    return prefix + first
+
+
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> None:
     """Multi-host bring-up (replaces init_process_group / NCCL rendezvous,
     distributed_utils.py:86-101). Resolution order: explicit arguments,
     then the ESPNET_COORDINATOR / ESPNET_NUM_PROCESSES / ESPNET_PROCESS_ID
-    variables set by ``bin/launch.py``, then jax's own pod auto-discovery.
+    variables set by ``bin/launch.py``, then Slurm (SLURM_PROCID family,
+    reference distributed_utils.py:200-305) or OpenMPI
+    (OMPI_COMM_WORLD_RANK, :326-365) job env, then jax's own pod
+    auto-discovery.
     """
     import os
     if coordinator_address is None and "ESPNET_COORDINATOR" in os.environ:
         coordinator_address = os.environ["ESPNET_COORDINATOR"]
         num_processes = int(os.environ["ESPNET_NUM_PROCESSES"])
         process_id = int(os.environ["ESPNET_PROCESS_ID"])
+    elif coordinator_address is None and "SLURM_PROCID" in os.environ \
+            and "SLURM_NTASKS" in os.environ:
+        # srun-launched worker (bin/launch.py --backend slurm): rank 0's
+        # node hosts the coordinator on the port baked into the sbatch
+        # script (slurm.pl/cmd.sh analogue).
+        first = slurm_first_node(os.environ.get("SLURM_JOB_NODELIST", ""))
+        port = os.environ.get("ESPNET_COORDINATOR_PORT", "29500")
+        coordinator_address = f"{first or '127.0.0.1'}:{port}"
+        num_processes = int(os.environ["SLURM_NTASKS"])
+        process_id = int(os.environ["SLURM_PROCID"])
+    elif coordinator_address is None \
+            and "OMPI_COMM_WORLD_RANK" in os.environ:
+        port = os.environ.get("ESPNET_COORDINATOR_PORT", "29500")
+        host = os.environ.get("ESPNET_COORDINATOR_HOST", "127.0.0.1")
+        coordinator_address = f"{host}:{port}"
+        num_processes = int(os.environ["OMPI_COMM_WORLD_SIZE"])
+        process_id = int(os.environ["OMPI_COMM_WORLD_RANK"])
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(coordinator_address=coordinator_address,

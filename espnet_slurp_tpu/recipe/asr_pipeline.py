@@ -6,6 +6,9 @@ transfers:
 
   1  data validation            (asr.sh stage 1: local data prep output)
   2  speed perturbation         (sox x0.9/1.0/1.1 -> resample_sinc copies)
+  3  feature dump               (feats_type=fbank/fbank_pitch: log-mel
+                                 [+log-F0] -> per-utt .npy + feats.scp;
+                                 asr.sh:472-543 format_wav/fbank stage)
   4  length filtering           (min/max audio seconds)
   5  token list / BPE training
   7  LM training                (optional)
@@ -15,8 +18,9 @@ transfers:
   12 decoding
   13 scoring (WER/CER)
 
-Stages 3/6/9/14-16 (format dumps, ngram, packing/upload) are no-ops here:
-wavs are read directly, packing is `pack` below.
+Stages 6/14-16 (lm data prep, packing/upload) are no-ops here: packing is
+`pack` below. Stage 3 is a no-op for feats_type=raw (wavs are read
+directly on device).
 """
 from __future__ import annotations
 
@@ -41,6 +45,10 @@ log = logging.getLogger("espnet_slurp_tpu")
 @dataclasses.dataclass
 class PipelineOptions:
     speed_perturb_factors: tuple = ()      # e.g. (0.9, 1.0, 1.1)
+    # "raw" | "fbank" | "fbank_pitch" (asr.sh feats_type). Non-raw runs
+    # stage 3: dump log-mel (+log-F0) features and train from the dump via
+    # the npy loader with model.input_feats=True.
+    feats_type: str = "raw"
     min_audio_sec: float = 0.05
     max_audio_sec: float = 30.0
     fs: int = 16000
@@ -92,12 +100,56 @@ def stage2_speed_perturb(src_dir: str | Path, out_dir: str | Path,
     return out
 
 
+def stage3_dump_feats(src_dir: str | Path, out_dir: str | Path,
+                      frontend_cfg, feats_type: str = "fbank") -> Path:
+    """Dump log-mel (+log-F0) features to per-utt .npy + feats.scp.
+
+    asr.sh:472-543 (feats_type=fbank_pitch: Kaldi make_fbank_pitch) — here
+    the same on-device frontend the raw path uses computes the dump, so
+    dumped-vs-on-the-fly training see identical features. Copies text and
+    preserves wav.scp (so downstream stages can still reach the audio).
+    """
+    import jax.numpy as jnp
+    from ..ops.frontend import default_frontend
+    from ..ops.pitch import autocorr_f0
+    src, out = Path(src_dir), Path(out_dir)
+    feat_dir = out / "feats"
+    feat_dir.mkdir(parents=True, exist_ok=True)
+    wavs = read_2column_text(src / "wav.scp")
+    texts = read_2column_text(src / "text")
+    with DatadirWriter(out) as w:
+        for uid, path in wavs.items():
+            x, sr = load_wav(path)
+            wav = jnp.asarray(x, jnp.float32)[None]
+            lens = jnp.asarray([len(x)], jnp.int32)
+            feats, flens = default_frontend(wav, lens, frontend_cfg)
+            t = int(flens[0])
+            mat = np.asarray(feats)[0, :t]
+            if feats_type == "fbank_pitch":
+                f0 = autocorr_f0(wav, lens, fs=frontend_cfg.fs,
+                                 frame_length=frontend_cfg.n_fft,
+                                 hop=frontend_cfg.hop_length)
+                f0 = np.asarray(f0)[0]
+                f0 = np.pad(f0, (0, max(0, t - len(f0))))[:t]
+                mat = np.concatenate([mat, f0[:, None]], axis=1)
+            npy = feat_dir / f"{uid}.npy"
+            np.save(npy, mat.astype(np.float32))
+            w["feats.scp"][uid] = str(npy)
+            w["wav.scp"][uid] = path
+            w["text"][uid] = texts[uid]
+    log.info("stage3: dumped %s features for %d utts -> %s", feats_type,
+             len(wavs), out)
+    return out
+
+
 def stage4_filter(src_dir: str | Path, out_dir: str | Path,
                   min_sec: float, max_sec: float, fs: int) -> Path:
     """Length filtering (asr.sh:575)."""
     src, out = Path(src_dir), Path(out_dir)
     wavs = read_2column_text(src / "wav.scp")
     texts = read_2column_text(src / "text")
+    feats = (read_2column_text(src / "feats.scp")
+             if (src / "feats.scp").exists() else None)
     kept = 0
     with DatadirWriter(out) as w:
         for uid, path in wavs.items():
@@ -106,6 +158,8 @@ def stage4_filter(src_dir: str | Path, out_dir: str | Path,
             if min_sec <= sec <= max_sec and texts[uid].strip():
                 w["wav.scp"][uid] = path
                 w["text"][uid] = texts[uid]
+                if feats is not None:
+                    w["feats.scp"][uid] = feats[uid]
                 kept += 1
     log.info("stage4: kept %d/%d utts", kept, len(wavs))
     return out
@@ -132,13 +186,39 @@ def run_pipeline(cfg: ASRTaskConfig, opts: PipelineOptions = PipelineOptions(),
             train_dir, work / "train_sp", opts.speed_perturb_factors,
             opts.fs)
 
+    valid_dir = cfg.data.valid_dir
+    if opts.feats_type in ("fbank", "fbank_pitch") \
+            and stage <= 3 <= stop_stage:
+        # Dumped dirs keep the source basename so decode/score result keys
+        # (wer_<dirname>) stay stable across feats_type.
+        train_dir = stage3_dump_feats(train_dir, work / "fbank" / "train",
+                                      cfg.model.frontend, opts.feats_type)
+        valid_dir = str(stage3_dump_feats(
+            cfg.data.valid_dir,
+            work / "fbank" / Path(cfg.data.valid_dir).name,
+            cfg.model.frontend, opts.feats_type))
+        # Flip the task to the precomputed-feature path: npy loader +
+        # frontend bypass + frame-scale length bucketing.
+        feats_dim = cfg.model.frontend.n_mels \
+            + (1 if opts.feats_type == "fbank_pitch" else 0)
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, input_feats=True,
+                                      input_feats_dim=feats_dim),
+            data=dataclasses.replace(
+                cfg.data, feats_type=opts.feats_type,
+                speech_bucket_multiple=max(
+                    cfg.data.speech_bucket_multiple
+                    // cfg.model.frontend.hop_length, 16)))
+
     if stage <= 4 <= stop_stage:
         train_dir = stage4_filter(train_dir, work / "train_filtered",
                                   opts.min_audio_sec, opts.max_audio_sec,
                                   opts.fs)
 
     cfg = dataclasses.replace(
-        cfg, data=dataclasses.replace(cfg.data, train_dir=str(train_dir)))
+        cfg, data=dataclasses.replace(cfg.data, train_dir=str(train_dir),
+                                      valid_dir=str(valid_dir)))
 
     if stage <= 5 <= stop_stage:
         ASRTask.prepare_vocab(cfg)  # writes tokens.txt (+ bpe model)
@@ -185,9 +265,11 @@ def run_pipeline(cfg: ASRTaskConfig, opts: PipelineOptions = PipelineOptions(),
     if stage <= 10 <= stop_stage and cfg.model.use_mvn == "global":
         from ..train.collect_stats import collect_stats
         tokenizer, converter, _ = ASRTask.prepare_vocab(cfg)
-        ds = ASRTask.build_dataset(str(train_dir), tokenizer, converter)
+        ds = ASRTask.build_dataset(str(train_dir), tokenizer, converter,
+                                   feats_type=cfg.data.feats_type)
         factory = ASRTask.build_iter_factory(cfg, ds, shuffle=False)
-        collect_stats(factory(1), cfg.model.frontend, exp / "stats")
+        collect_stats(factory(1), cfg.model.frontend, exp / "stats",
+                      input_feats=cfg.model.input_feats)
         log.info("stage10: feature stats collected")
 
     if stage <= 11 <= stop_stage:

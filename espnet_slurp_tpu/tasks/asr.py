@@ -57,6 +57,11 @@ class DataConfig:
     # Multichannel audio ([N, C] wavs via the sound_mc loader) for the
     # WPE/MVDR frontend path (model.use_beamformer / use_wpe).
     multichannel: bool = False
+    # "raw" decodes wav.scp on the fly; "fbank" consumes a stage-3 feature
+    # dump (feats.scp of .npy [T, D] matrices; asr.sh:472-543
+    # feats_type=fbank_pitch analogue). Pair with model.input_feats=True
+    # and a frame-scale speech_bucket_multiple.
+    feats_type: str = "raw"
     batch_type: str = "numel"
     batch_size: int = 16
     batch_bins: int = 2_000_000
@@ -141,9 +146,16 @@ class ASRTask:
     def build_dataset(data_dir: str, tokenizer, converter,
                       num_ref: int = 1,
                       text_cleaner: str = "",
-                      multichannel: bool = False) -> SpeechDataset:
+                      multichannel: bool = False,
+                      feats_type: str = "raw") -> SpeechDataset:
         sound_type = "sound_mc" if multichannel else "sound"
-        streams = [(str(Path(data_dir) / "wav.scp"), "speech", sound_type),
+        if feats_type in ("fbank", "fbank_pitch"):
+            speech_stream = (str(Path(data_dir) / "feats.scp"), "speech",
+                             "npy")
+        else:
+            speech_stream = (str(Path(data_dir) / "wav.scp"), "speech",
+                             sound_type)
+        streams = [speech_stream,
                    (str(Path(data_dir) / "text"), "text", "text")]
         text_names = ["text"]
         # Multi-speaker references (pit_espnet_model.py text_spk{n} keys).
@@ -320,7 +332,17 @@ class ASRTask:
         for k in range(2, cfg.num_ref + 1):
             spk[f"text_spk{k}"] = np.ones((b, u), np.int32)
             spk[f"text_spk{k}_lengths"] = np.full((b,), u, np.int32)
-        shape = (b, n, 2) if (cfg.use_beamformer or cfg.use_wpe) else (b, n)
+        if cfg.input_feats:
+            # Precomputed-feature input: dummy [B, T, D] feature matrix
+            # (stage-3 dump path). D must match the dump exactly — the
+            # subsampling output projection width depends on it.
+            d = cfg.input_feats_dim or cfg.frontend.n_mels
+            shape = (b, 64, d)
+            n = 64
+        elif cfg.use_beamformer or cfg.use_wpe:
+            shape = (b, n, 2)
+        else:
+            shape = (b, n)
         return model.init(rng, np.zeros(shape, np.float32),
                           np.full((b,), n, np.int32),
                           np.ones((b, u), np.int32),
@@ -358,11 +380,13 @@ class ASRTask:
         train_ds = cls.build_dataset(cfg.data.train_dir, tokenizer, converter,
                                      num_ref=model_cfg.num_ref,
                                      text_cleaner=cfg.data.text_cleaner,
-                                     multichannel=cfg.data.multichannel)
+                                     multichannel=cfg.data.multichannel,
+                                     feats_type=cfg.data.feats_type)
         valid_ds = cls.build_dataset(cfg.data.valid_dir, tokenizer, converter,
                                      num_ref=model_cfg.num_ref,
                                      text_cleaner=cfg.data.text_cleaner,
-                                     multichannel=cfg.data.multichannel)
+                                     multichannel=cfg.data.multichannel,
+                                     feats_type=cfg.data.feats_type)
         # Per-process data sharding on pods: every process builds the same
         # global batch list and loads only its rank's slice of each batch
         # (weak #2 fix: multi-host wiring is real, not just mesh math).
@@ -572,6 +596,25 @@ class Speech2Text:
         """Single-utterance decode: [N] float waveform -> text."""
         return self.decode_batch([speech])[0]
 
+    def _wav_to_feats(self, wav: np.ndarray) -> np.ndarray:
+        """[N] waveform -> [T, D] features matching stage3_dump_feats."""
+        import jax.numpy as jnp
+        fc = self.cfg.model.frontend
+        from ..ops.frontend import default_frontend
+        x = jnp.asarray(np.asarray(wav, np.float32))[None]
+        lens = jnp.asarray([len(wav)], np.int32)
+        feats, flens = default_frontend(x, lens, fc)
+        t = int(flens[0])
+        mat = np.asarray(feats)[0, :t]
+        if self.cfg.data.feats_type == "fbank_pitch":
+            from ..ops.pitch import autocorr_f0
+            f0 = np.asarray(autocorr_f0(
+                x, lens, fs=fc.fs, frame_length=fc.n_fft,
+                hop=fc.hop_length))[0]
+            f0 = np.pad(f0, (0, max(0, t - len(f0))))[:t]
+            mat = np.concatenate([mat, f0[:, None]], axis=1)
+        return mat
+
     def decode_batch(self, speeches) -> list:
         """Batched decode: list of [N_i] waveforms -> list of texts.
 
@@ -583,6 +626,11 @@ class Speech2Text:
         if self._decode_jit is None:
             self._decode_jit = self._build_decode()
         from ..data.sampler import bucket_length
+        if self.cfg.model.input_feats:
+            # feats_type=fbank model: convert waveforms to the same dumped
+            # features host-side (recipe stage3_dump_feats) so the wav-in
+            # text-out surface is unchanged (asr.sh:472-543 decode side).
+            speeches = [self._wav_to_feats(s) for s in speeches]
         b = len(speeches)
         # bucket batch size (1, 2, 4, 8, ...) to bound recompilation
         bb = 1
@@ -590,7 +638,8 @@ class Speech2Text:
             bb *= 2
         n = bucket_length(max(len(s) for s in speeches),
                           self.cfg.data.speech_bucket_multiple)
-        buf = np.zeros((bb, n), np.float32)
+        tail = speeches[0].shape[1:]
+        buf = np.zeros((bb, n) + tail, np.float32)
         lens = np.zeros((bb,), np.int32)
         for i, s in enumerate(speeches):
             buf[i, :len(s)] = s

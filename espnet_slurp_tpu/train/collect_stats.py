@@ -22,18 +22,25 @@ def collect_stats(
     batches: Iterable[dict],
     frontend_cfg: FrontendConfig,
     output_dir: str | Path,
+    input_feats: bool = False,
 ) -> dict:
     """batches: iterator of {speech, speech_lengths, (uids)} host batches.
 
     Writes {output_dir}/feats_stats.npz (count/sum/sum_square) and
-    speech_shape; returns the stats dict.
+    speech_shape; returns the stats dict. ``input_feats``: speech already
+    IS the [B, T, D] feature matrix (stage-3 dump path) — skip the
+    frontend and aggregate over it directly.
     """
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
 
     @jax.jit
     def one(speech, speech_lengths):
-        feats, flens = default_frontend(speech, speech_lengths, frontend_cfg)
+        if input_feats:
+            feats, flens = speech.astype(jnp.float32), speech_lengths
+        else:
+            feats, flens = default_frontend(speech, speech_lengths,
+                                            frontend_cfg)
         mask = length_mask(flens, feats.shape[1])[..., None]
         s = jnp.sum(jnp.where(mask, feats, 0.0), axis=(0, 1))
         sq = jnp.sum(jnp.where(mask, feats**2, 0.0), axis=(0, 1))

@@ -188,3 +188,39 @@ def test_tts_pipeline_e2e(tmp_path):
     })
     results = run_tts_pipeline(cfg, max_frames=40)
     assert "mel_l1_dev" in results and np.isfinite(results["mel_l1_dev"])
+
+
+def test_feature_dump_pipeline(tmp_path):
+    """asr.sh feats_type=fbank_pitch analogue: stage-3 dump -> train from
+    the npy feats.scp with the frontend bypassed -> decode wav-in/text-out
+    (asr.sh:472-543)."""
+    train_dir, dev_dir = make_mini_corpus(tmp_path / "corpus", n_train=8,
+                                          n_dev=3)
+    cfg = ASRTaskConfig(
+        exp_dir=str(tmp_path / "exp"),
+        model=ASRConfig(
+            d_model=32, n_head=2, d_ff=64, num_encoder_blocks=1,
+            num_decoder_blocks=1, decoder_d_ff=64, kernel_size=7,
+            dropout_rate=0.0, ctc_weight=0.3, use_mvn="global",
+            frontend=FrontendConfig(n_fft=128, hop_length=64, n_mels=16),
+            specaug=None),
+        optim=OptimConfig(lr=1e-3, scheduler="constant"),
+        data=DataConfig(train_dir=str(train_dir), valid_dir=str(dev_dir),
+                        token_type="word", batch_type="sorted", batch_size=8,
+                        speech_bucket_multiple=2048, text_bucket_multiple=4),
+        max_epoch=1, keep_nbest=1, nbest_average=1)
+    opts = PipelineOptions(feats_type="fbank_pitch", decode_beam_size=2,
+                           decode_max_len=8)
+    results = run_pipeline(cfg, opts, stage=1, stop_stage=13)
+    assert "wer_dev" in results and np.isfinite(results["wer_dev"])
+    # stage 3 artifacts: feats.scp of [T, n_mels+1] npy matrices
+    fdir = tmp_path / "exp" / "data" / "fbank" / "train"
+    assert (fdir / "feats.scp").exists()
+    line = open(fdir / "feats.scp").readline().split(None, 1)[1].strip()
+    mat = np.load(line)
+    assert mat.ndim == 2 and mat.shape[1] == 17  # 16 mel + 1 pitch
+    # the saved task config records the feature path
+    import yaml
+    saved = yaml.safe_load(open(tmp_path / "exp" / "config.yaml"))
+    assert saved["model"]["input_feats"] is True
+    assert saved["data"]["feats_type"] == "fbank_pitch"
