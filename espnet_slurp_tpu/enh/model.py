@@ -40,6 +40,10 @@ class EnhConfig:
     # | fasnet (multichannel time-domain filter-and-sum, fasnet.py)
     # | dpcl (deep clustering: TF embeddings + affinity loss + k-means)
     # | dan (deep attractor network: oracle/k-means attractors + soft masks)
+    # | svoice (gated dual-path MulCat, multi-scale loss;
+    #   svoice_separator.py) | dpcl_e2e (soft-kmeans + enh BLSTM,
+    #   dpcl_e2e_separator.py) | dc_crn (densely-connected CRN complex
+    #   masking, dc_crn_separator.py)
     separator: str = "blstm"
     hidden: int = 256
     num_layers: int = 3
@@ -74,13 +78,18 @@ class EnhModel(nn.Module):
     cfg: EnhConfig
 
     @nn.compact
-    def separate(self, speech_mix, speech_lengths, return_embedding=False):
+    def separate(self, speech_mix, speech_lengths, return_embedding=False,
+                 multi_scale=False):
         """[B, N] (or [B, N, C] multichannel for the beamformer) ->
         (est wavs [B, n_spk, N'], frame_lengths). return_embedding=True
-        (dpcl training) instead returns (emb, (re, im), flens)."""
+        (dpcl training) instead returns (emb, (re, im), flens);
+        multi_scale=True (svoice training) returns the per-layer estimate
+        list."""
         c = self.cfg
         if return_embedding:
             return self._dpcl_embed(speech_mix, speech_lengths)
+        if multi_scale:
+            return self._separate_svoice(speech_mix)
         if c.separator in ("tcn", "dprnn", "dptnet", "skim"):
             return self._separate_tasnet(speech_mix, speech_lengths)
         if c.separator == "beamformer":
@@ -89,6 +98,13 @@ class EnhModel(nn.Module):
             return self._separate_fasnet(speech_mix, speech_lengths)
         if c.separator == "dccrn":
             return self._separate_dccrn(speech_mix, speech_lengths)
+        if c.separator == "svoice":
+            ests = self._separate_svoice(speech_mix)
+            return ests[-1], speech_lengths
+        if c.separator == "dpcl_e2e":
+            return self._separate_dpcl_e2e(speech_mix, speech_lengths)
+        if c.separator == "dc_crn":
+            return self._separate_dc_crn(speech_mix, speech_lengths)
         if c.separator == "dpcl":
             return self._separate_dpcl(speech_mix, speech_lengths)
         if c.separator == "dan":
@@ -189,6 +205,56 @@ class EnhModel(nn.Module):
                           name="decoder")
         est = dec(masked.reshape(b * s, k, n)).reshape(b, s, -1)
         return est, flens
+
+    def _separate_svoice(self, speech_mix):
+        """SVoice: returns the list of per-MulCat-layer [B, spk, T]
+        estimates (multi-scale; svoice_separator.py:151-190)."""
+        from .extra_separators import SVoiceSeparator
+        c = self.cfg
+        sep = SVoiceSeparator(
+            n_spk=c.n_spk, enc_dim=c.encoder_channels,
+            kernel=c.encoder_kernel, hidden=c.hidden,
+            n_layers=c.num_layers, segment_size=c.segment_size,
+            dtype=c.jax_dtype, name="separator")
+        return sep(speech_mix)
+
+    def _separate_dpcl_e2e(self, speech_mix, speech_lengths):
+        """DPCL-E2E: soft-kmeans masks refined by an enhancement BLSTM,
+        applied to the magnitude with mixture phase."""
+        from .extra_separators import DPCLE2ESeparator
+        c = self.cfg
+        spec = stft(speech_mix, n_fft=c.n_fft, hop_length=c.hop_length)
+        re, im = spec[..., 0], spec[..., 1]
+        flens = stft_out_lengths(speech_lengths, c.n_fft, c.hop_length)
+        mag = jnp.sqrt(re**2 + im**2 + 1e-8)
+        sep = DPCLE2ESeparator(
+            n_bins=mag.shape[-1], n_spk=c.n_spk, emb_dim=c.dpcl_emb_dim,
+            hidden=c.hidden, n_layers=c.num_layers, dtype=c.jax_dtype,
+            name="separator")
+        masks = sep(mag)                             # [B, spk, T, F]
+        est_re = masks * re[:, None]
+        est_im = masks * im[:, None]
+        b, s, t, f = est_re.shape
+        est = istft((est_re + 1j * est_im).reshape(b * s, t, f),
+                    n_fft=c.n_fft, hop=c.hop_length)
+        return est.reshape(b, s, -1), flens
+
+    def _separate_dc_crn(self, speech_mix, speech_lengths):
+        """DC-CRN complex masking path."""
+        from .extra_separators import DCCRNSeparatorDC
+        c = self.cfg
+        spec = stft(speech_mix, n_fft=c.n_fft, hop_length=c.hop_length)
+        re, im = spec[..., 0], spec[..., 1]
+        flens = stft_out_lengths(speech_lengths, c.n_fft, c.hop_length)
+        sep = DCCRNSeparatorDC(
+            n_spk=c.n_spk, channels=(2,) + tuple(c.dccrn_kernel_num),
+            glstm_layers=c.dccrn_rnn_layers, dtype=c.jax_dtype,
+            name="separator")
+        est_re, est_im = sep(re, im)
+        b, s, t, f = est_re.shape
+        est = istft((est_re + 1j * est_im).reshape(b * s, t, f),
+                    n_fft=c.n_fft, hop=c.hop_length)
+        return est.reshape(b, s, -1), flens
 
     def _separate_dccrn(self, speech_mix, speech_lengths):
         """Complex-domain path: STFT -> DCCRN complex masks -> iSTFT."""
@@ -324,6 +390,22 @@ class EnhModel(nn.Module):
                                  speech_ref[..., :m].reshape(bt * st_, -1),
                                  jnp.repeat(lens, st_))
             loss = jnp.mean(loss_b)
+            return loss, {"loss": loss, "si_snr": -loss}
+        if c.separator == "svoice":
+            # Multi-scale loss: average the PIT SI-SNR over every MulCat
+            # layer's decoded estimate (svoice training semantics,
+            # svoice_separator.py:176-184 `if self.training: outputs.append`).
+            ests = self.separate(speech_mix, speech_mix_lengths,
+                                 multi_scale=True)
+            total = 0.0
+            for est in ests:
+                n = min(est.shape[-1], speech_ref.shape[-1])
+                lengths = jnp.minimum(speech_mix_lengths, n)
+                loss_b, _ = pit_wrapper(
+                    lambda e, r: si_snr_loss(e, r, lengths),
+                    est[..., :n], speech_ref[..., :n])
+                total = total + jnp.mean(loss_b)
+            loss = total / len(ests)
             return loss, {"loss": loss, "si_snr": -loss}
         est, _ = self.separate(speech_mix, speech_mix_lengths)
         n = min(est.shape[-1], speech_ref.shape[-1])

@@ -457,3 +457,56 @@ def test_enh_conformer_separator():
     est, _ = model.apply({"params": params}, mix, jnp.array([1000]),
                          method=lambda m, s, sl: m.separate(s, sl))
     assert est.shape[:2] == (1, 2)
+
+
+@pytest.mark.parametrize("sep", ["svoice", "dpcl_e2e", "dc_crn"])
+def test_extra_separators_train(sep):
+    """SVoice (multi-scale MulCat), DPCL-E2E (soft-kmeans + enh BLSTM) and
+    DC-CRN (dense GLU complex masking) train under PIT SI-SNR
+    (svoice_separator.py / dpcl_e2e_separator.py / dc_crn_separator.py)."""
+    cfg = EnhConfig(n_spk=2, separator=sep, hidden=16, num_layers=2,
+                    encoder_channels=32, encoder_kernel=8,
+                    segment_size=10, n_fft=128, hop_length=64,
+                    dccrn_kernel_num=(8, 16), dccrn_rnn_layers=1,
+                    dpcl_emb_dim=6)
+    model = EnhModel(cfg)
+    rng = np.random.RandomState(6)
+    s1 = rng.randn(2, 1600).astype(np.float32) * 0.3
+    s2 = rng.randn(2, 1600).astype(np.float32) * 0.3
+    batch = {
+        "speech_mix": jnp.asarray(s1 + s2),
+        "speech_mix_lengths": jnp.asarray([1600, 1200]),
+        "speech_ref": jnp.asarray(np.stack([s1, s2], 1)),
+    }
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+
+    def loss_fn(p):
+        return model.apply({"params": p}, **batch)
+
+    (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads))
+    est, _ = model.apply({"params": params}, batch["speech_mix"],
+                         batch["speech_mix_lengths"],
+                         method=lambda m, s, sl: m.separate(s, sl))
+    assert est.shape[:2] == (2, 2)
+    assert np.isfinite(np.asarray(est)).all()
+
+
+def test_svoice_decode_overlap_add():
+    """svoice_decode == the reference Decoder (AvgPool over features +
+    overlap_and_add) on a hand-checkable case."""
+    from espnet_slurp_tpu.enh.extra_separators import svoice_decode
+    kernel = 4
+    feat = np.zeros((1, 3, 8), np.float32)   # K=3 frames, N=8 -> fl=2
+    feat[0, 0] = [4, 4, 4, 4, 8, 8, 8, 8]    # frame 0 -> [4, 8]
+    feat[0, 1] = [0, 0, 0, 0, 4, 4, 4, 4]    # frame 1 -> [0, 4]
+    feat[0, 2] = [2, 2, 2, 2, 0, 0, 0, 0]    # frame 2 -> [2, 0]
+    out = np.asarray(svoice_decode(jnp.asarray(feat), kernel))
+    # frames [4,8],[0,4],[2,0] overlap-added at step 2:
+    # t0=4, t1=8, t2(+=0)=0, t3=4, t4=2, t5=0 -> [4, 8, 0, 4+2=... ]
+    want = np.zeros(2 * 2 + 2, np.float32)
+    for i, fr in enumerate([[4, 8], [0, 4], [2, 0]]):
+        want[i * 2:i * 2 + 2] += fr
+    np.testing.assert_allclose(out[0], want)

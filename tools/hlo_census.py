@@ -22,6 +22,7 @@ def main():
     args = ap.parse_args()
 
     import os
+    sys.path.insert(0, "/root/repo")
     if not args.tpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
