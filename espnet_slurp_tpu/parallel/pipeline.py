@@ -42,7 +42,9 @@ PIPE_AXIS = "pipe"
 
 
 def spmd_pipeline(stage_fn: Callable, stage_params: Any, x: Any,
-                  n_micro: int, axis: str = PIPE_AXIS) -> Any:
+                  n_micro: int, axis: str = PIPE_AXIS,
+                  batched_consts: Any = None,
+                  shared_consts: Any = None) -> Any:
     """Run ``x`` through P sequential stages (one per device on ``axis``).
 
     Must be traced inside ``shard_map``. ``stage_params`` is the LOCAL
@@ -50,6 +52,13 @@ def spmd_pipeline(stage_fn: Callable, stage_params: Any, x: Any,
     here). ``x`` is a replicated pytree of [B, ...] arrays with
     B = n_micro * mb; the result is the composition
     ``stage_{P-1}(... stage_0(x))`` replicated to every device.
+
+    ``batched_consts``: optional pytree of [B, ...] rider arrays (attention
+    bias, pad masks) that every stage reads for the microbatch it is
+    processing but does NOT transform — each device slices the current
+    microbatch's rows locally (no ppermute traffic). ``shared_consts``:
+    pytree passed whole to every stage (positional tables). When either is
+    given, ``stage_fn(params, x_mb, batched_mb, shared)`` is the contract.
     """
     p = lax.psum(1, axis)
     i = lax.axis_index(axis)
@@ -57,6 +66,7 @@ def spmd_pipeline(stage_fn: Callable, stage_params: Any, x: Any,
     b = jax.tree.leaves(x)[0].shape[0]
     assert b % n_micro == 0, f"batch {b} not divisible by n_micro {n_micro}"
     mb = b // n_micro
+    with_consts = batched_consts is not None or shared_consts is not None
 
     # Shapes of one microbatch flowing between stages = stage_fn output
     # (stages are homogeneous: input and output shapes match).
@@ -76,7 +86,13 @@ def spmd_pipeline(stage_fn: Callable, stage_params: Any, x: Any,
                     full, jnp.clip(t, 0, n_micro - 1) * mb, mb, axis=0),
                 r),
             x, recv)
-        y = stage_fn(params, inject)
+        if with_consts:
+            bc = jax.tree.map(
+                lambda a: lax.dynamic_slice_in_dim(a, midx * mb, mb, axis=0),
+                batched_consts)
+            y = stage_fn(params, inject, bc, shared_consts)
+        else:
+            y = stage_fn(params, inject)
         active_out = (i == p - 1) & (t - i >= 0) & (t - i < n_micro)
         outputs = jax.tree.map(
             lambda buf, val: jnp.where(
@@ -97,28 +113,48 @@ def spmd_pipeline(stage_fn: Callable, stage_params: Any, x: Any,
 
 def pipeline(mesh: Mesh, stage_fn: Callable, stacked_params: Any, x: Any,
              n_micro: int, axis: str = PIPE_AXIS,
-             data_axis: str | None = None) -> Any:
+             data_axis: str | None = None,
+             batched_consts: Any = None, shared_consts: Any = None) -> Any:
     """shard_map wrapper: ``stacked_params`` [P, ...] sharded over ``axis``,
     ``x`` replicated (or batch-sharded over ``data_axis`` on a 2-D
     (data, pipe) mesh — each data row runs its own pipeline wavefront over
     its batch shard; grads psum over data as usual outside), output laid
     out like ``x``.
 
-    ``stage_fn(params_one_stage, x_mb) -> y_mb`` with matching shapes.
+    ``stage_fn(params_one_stage, x_mb) -> y_mb`` with matching shapes —
+    or ``stage_fn(params, x_mb, batched_mb, shared)`` when rider consts
+    are given (see spmd_pipeline).
     """
     import inspect
     kw = ("check_vma"
           if "check_vma" in inspect.signature(shard_map).parameters
           else "check_rep")
     x_spec = P(data_axis) if data_axis else P()
+    if batched_consts is None and shared_consts is None:
+        run = shard_map(
+            partial(spmd_pipeline, stage_fn, n_micro=n_micro, axis=axis),
+            mesh=mesh,
+            in_specs=(P(axis), x_spec),
+            out_specs=x_spec,
+            **{kw: False},
+        )
+        return run(stacked_params, x)
+    if batched_consts is None:
+        batched_consts = ()
+    if shared_consts is None:
+        shared_consts = ()
     run = shard_map(
-        partial(spmd_pipeline, stage_fn, n_micro=n_micro, axis=axis),
+        lambda sp, xx, bc, sc: spmd_pipeline(
+            stage_fn, sp, xx, n_micro=n_micro, axis=axis,
+            batched_consts=bc, shared_consts=sc),
         mesh=mesh,
-        in_specs=(P(axis), x_spec),
+        in_specs=(P(axis), x_spec,
+                  jax.tree.map(lambda _: x_spec, batched_consts),
+                  jax.tree.map(lambda _: P(), shared_consts)),
         out_specs=x_spec,
         **{kw: False},
     )
-    return run(stacked_params, x)
+    return run(stacked_params, x, batched_consts, shared_consts)
 
 
 def stack_stages(param_trees) -> Any:

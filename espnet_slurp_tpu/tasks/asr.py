@@ -85,6 +85,12 @@ class ASRTaskConfig:
     # e2e_asr.py:854-982). weight 0 disables; rare_weight > 0 adds the
     # KB-token rare-error term fed by the biasing trie's token set.
     mbr: MBRConfig = MBRConfig()
+    # Pipeline parallelism (parallel/pipelined_asr.py): > 1 runs the
+    # encoder's conformer blocks as GPipe stages over a `pipe` mesh axis
+    # (crossed with `data` when more devices are available). New capability
+    # beyond the reference (SURVEY.md §2.10).
+    pipeline_stages: int = 0
+    pipeline_microbatches: int = 4
     max_epoch: int = 40
     # Dump attention heat-maps for this many valid examples after every
     # epoch into exp_dir/att_ws/<epoch>ep/ (reference Trainer.plot_attention
@@ -402,6 +408,10 @@ class ASRTask:
         mvn_stats = cls.load_mvn_stats(cfg)
         ckpt = CheckpointManager(exp, cfg.keep_nbest)
 
+        if cfg.pipeline_stages > 1:
+            return cls._train_pipelined(cfg, model, params, tx, mesh,
+                                        train_if, valid_if, mvn_stats, ckpt)
+
         attention_hook = None
         if cfg.num_att_plot > 0:
             from ..train.attention_plot import (calculate_all_attentions,
@@ -451,6 +461,60 @@ class ASRTask:
             mesh=mesh, attention_hook=attention_hook)
         from ..data.prefetch import prefetch_factory
         return trainer.run(state, prefetch_factory(train_if), valid_if)
+
+    @classmethod
+    def _train_pipelined(cls, cfg: ASRTaskConfig, model, params, tx, mesh,
+                         train_if, valid_if, mvn_stats, ckpt):
+        """Pipeline-parallel training loop (cfg.pipeline_stages > 1).
+
+        The encoder's conformer blocks run as GPipe stages over a `pipe`
+        mesh axis x optional `data` batch sharding
+        (parallel/pipelined_asr.py). Checkpoints are saved in the REGULAR
+        param layout (from_pipelined) every epoch, so inference and resume
+        via Speech2Text are unchanged.
+        """
+        import numpy as np
+        from jax.sharding import Mesh
+        from ..parallel.pipeline import PIPE_AXIS
+        from ..parallel.pipelined_asr import (from_pipelined,
+                                              make_pipelined_asr_train_step,
+                                              pipelined_shardings,
+                                              to_pipelined)
+        from ..train.reporter import Reporter, SubReporter
+        p = cfg.pipeline_stages
+        if mesh is None or PIPE_AXIS not in mesh.shape:
+            devs = jax.devices()
+            assert len(devs) >= p, f"pipeline_stages={p}, {len(devs)} devices"
+            n_data = len(devs) // p
+            mesh = Mesh(np.array(devs[:n_data * p]).reshape(n_data, p),
+                        ("data", PIPE_AXIS))
+        data_axis = "data" if ("data" in mesh.shape
+                               and mesh.shape["data"] > 1) else None
+        pp = to_pipelined(params, p)
+        pp = jax.tree.map(jax.device_put, pp, pipelined_shardings(pp, mesh))
+        state = TrainState.create(pp, tx, jax.random.PRNGKey(cfg.data.seed))
+        step, _ = make_pipelined_asr_train_step(
+            model, tx, mesh, n_micro=cfg.pipeline_microbatches,
+            data_axis=data_axis, mvn_stats=mvn_stats)
+        eval_step = make_eval_step(model, mvn_stats=mvn_stats)
+        reporter = Reporter()
+        for epoch in range(1, cfg.max_epoch + 1):
+            sub = SubReporter()
+            for batch in train_if(epoch):
+                state, stats = step(state, batch)
+                sub.register({k: float(v) for k, v in stats.items()})
+            reporter.observe(epoch, "train", sub.mean())
+            # eval + checkpoint in the regular single-program layout
+            flat = from_pipelined(state.params)
+            flat_state = state.replace(params=flat)
+            sub = SubReporter()
+            for batch in valid_if(epoch):
+                stats = eval_step(flat_state, batch)
+                sub.register({k: float(v) for k, v in stats.items()})
+            reporter.observe(epoch, "valid", sub.mean())
+            log.info(reporter.log_line(epoch))
+            ckpt.save_epoch(epoch, flat_state, reporter)
+        return state.replace(params=from_pipelined(state.params))
 
 
 class Speech2Text:

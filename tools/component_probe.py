@@ -20,7 +20,7 @@ def build(b=64, secs=15, u=64, **over):
     n = 16000 * secs
     rng = np.random.RandomState(0)
     if over.get("input_feats"):
-        t = n // 160  # 10ms hop
+        t = n // 128  # frontend hop 128: T matches the raw path
         speech = jnp.asarray(rng.randn(b, t, 80).astype(np.float32))
         slens = jnp.full((b,), t, jnp.int32)
     else:
