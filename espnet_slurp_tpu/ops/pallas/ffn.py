@@ -143,6 +143,12 @@ def fused_ffn(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     assert w1.shape == (d, f) and w2.shape == (f, d2), (w1.shape, w2.shape)
 
     tn = block_rows
+    # Large layers (d_model 512 x d_ff 2048, conformer-large class): the
+    # bwd kernel keeps dW1/dW2 f32 accumulators VMEM-resident (16 MB at
+    # that size) — shrink the row tile and raise the Mosaic scoped-vmem
+    # limit below so hidden-tile temporaries fit next to them.
+    if d * f >= 512 * 2048:
+        tn = min(tn, 256)
     while tn > 128 and n % tn != 0:
         tn //= 2
     if n % tn != 0 or d % 128 or f % 128 or d2 % 128:
@@ -158,6 +164,16 @@ def fused_ffn(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     b1r = b1.reshape(1, f).astype(jnp.float32)
     b2r = b2.reshape(1, d2).astype(jnp.float32)
     kw = dict(rate=float(dropout_rate), interp=bool(interpret))
+    # f32 dW accumulators alone are 2*d*f*4 bytes; the default 16 MB scoped
+    # vmem limit trips at conformer-large sizes.
+    cparams = None
+    if not interpret:
+        vmem = max(64 * 1024 * 1024,
+                   2 * d * f * 4 + (d + f + d2) * tn * 8 + 8 * 1024 * 1024)
+        try:
+            cparams = pltpu.CompilerParams(vmem_limit_bytes=vmem)
+        except (AttributeError, TypeError):  # older jax naming
+            cparams = pltpu.TPUCompilerParams(vmem_limit_bytes=vmem)
 
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     row_spec = lambda width: pl.BlockSpec((tn, width), lambda i: (i, 0),
@@ -175,6 +191,7 @@ def fused_ffn(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
             out_specs=row_spec(d2),
             out_shape=jax.ShapeDtypeStruct((n, d2), dtype),
             interpret=interpret,
+            compiler_params=cparams,
         )(seed, x2, w1, b1r, w2, b2r)
 
     @jax.custom_vjp
@@ -201,6 +218,7 @@ def fused_ffn(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
                 jax.ShapeDtypeStruct((1, d2), jnp.float32),
             ],
             interpret=interpret,
+            compiler_params=cparams,
         )(seed, x2, w1, b1r, w2, g.astype(dtype))
         f0 = np.zeros(seed.shape, jax.dtypes.float0)
         return (f0, dx, dw1.astype(w1.dtype), db1.astype(b1r.dtype),

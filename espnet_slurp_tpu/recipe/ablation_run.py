@@ -1,0 +1,357 @@
+"""Ablation-grade quality runs on a hard synthetic corpus.
+
+VERDICT r2 weak #1 / next-step #5: the earlier quality runs saturate
+(WER < 5% on a 100-word corpus), so they prove plumbing, not that each
+feature moves its metric. This harness scales the corpus until it stops
+saturating (10k utts, 1000-word Zipf vocabulary, bigram grammar, heavier
+noise + random channel tilt, BPE tokens) and publishes DELTAS:
+
+  - beam search > greedy             (decode/beam.py vs greedy)
+  - + LM shallow fusion helps        (the bigram grammar is learnable by
+                                      the transformer LM but only weakly
+                                      by the AM under noise)
+  - + TCPGen cuts rare-word WER      (Zipf tail words appear 1-3 times in
+                                      training; every test utterance holds
+                                      >= 1; biasing list = the rare set;
+                                      metric = rare_word_error_rate, the
+                                      KB_utils/wer.py analogue)
+  - + MBR fine-tune cuts WER         (train/mbr.py expected-risk)
+
+Training setup mirrors the fork's biasing recipe
+(egs/slurp/asr1/conf/train_mbr_KB.yaml: BPE, per-batch biasing tries with
+distractors + DBdrop, MBR fine-tune from a CE-trained model).
+
+Usage: python -m espnet_slurp_tpu.recipe.ablation_run \
+           [--out exp/ablations] [--n_train 10000] [--max_epoch 25]
+Writes {out}/RESULTS_ABLATIONS.md.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import shutil
+import time
+from pathlib import Path
+
+import numpy as np
+
+from ..data.fileio import DatadirWriter, load_wav, read_2column_text, write_wav
+from .results_run import N_UNITS, _unit_wave
+
+log = logging.getLogger("espnet_slurp_tpu")
+
+
+def make_hard_corpus(root, n_train=10000, n_dev=200, n_test=400,
+                     vocab_size=1000, n_rare=300, fs=16000, seed=23):
+    """Zipf vocabulary + sparse bigram grammar + rare-word tail.
+
+    Common words (vocab_size - n_rare) follow a Zipf draw through a sparse
+    bigram graph (20 successors per word) so a text LM has real signal.
+    Rare words appear 1-3 times in training and >= 1 per test utterance
+    (the biasing split). Writes {root}/{train,dev,test} + rare_words.txt.
+    Returns (train, dev, test, rare_words).
+    """
+    root = Path(root)
+    words = [f"w{i:04d}" for i in range(vocab_size)]
+    rare = words[vocab_size - n_rare:]
+    if (root / "test" / "wav.scp").exists():
+        return (root / "train", root / "dev", root / "test", rare)
+    rng = np.random.RandomState(seed)
+    lexicon = {w: rng.randint(0, N_UNITS, size=rng.randint(2, 6)).tolist()
+               for w in words}
+    n_common = vocab_size - n_rare
+    # Zipf over common words; sparse bigram successors (grammar).
+    zipf = 1.0 / np.arange(1, n_common + 1)
+    zipf /= zipf.sum()
+    succ = {i: rng.choice(n_common, size=20, replace=False, p=None)
+            for i in range(n_common)}
+    # Rare-word training budget: each rare word 1-3 occurrences total.
+    rare_budget = {w: int(rng.randint(1, 4)) for w in rare}
+    rare_pool = [w for w, k in rare_budget.items() for _ in range(k)]
+    rng.shuffle(rare_pool)
+    rare_slots = sorted(rng.choice(n_train, size=len(rare_pool),
+                                   replace=False))
+    slot_of = {s: rare_pool[i] for i, s in enumerate(rare_slots)}
+
+    def sentence(n_words, force_rare=None):
+        w = int(rng.choice(n_common, p=zipf))
+        out = [words[w]]
+        for _ in range(n_words - 1):
+            w = int(succ[w][rng.randint(20)])
+            out.append(words[w])
+        if force_rare is not None:
+            out[rng.randint(len(out))] = force_rare
+        return out
+
+    # Random channel tilt: a short random FIR smears the spectrum per utt.
+    def channel(wav):
+        taps = rng.randn(rng.randint(2, 5)).astype(np.float32)
+        taps /= np.abs(taps).sum()
+        return np.convolve(wav, taps, mode="same").astype(np.float32)
+
+    dirs = []
+    for split, n in (("train", n_train), ("dev", n_dev), ("test", n_test)):
+        d = root / split
+        wav_dir = d / "wav"
+        wav_dir.mkdir(parents=True, exist_ok=True)
+        with DatadirWriter(d) as writer:
+            for i in range(n):
+                force = None
+                if split == "train":
+                    force = slot_of.get(i)
+                elif split == "test":
+                    force = rare[rng.randint(n_rare)]
+                utt_words = sentence(int(rng.randint(4, 10)), force)
+                f0 = rng.uniform(0.85, 1.2)
+                rate = rng.uniform(0.85, 1.15)
+                amp = rng.uniform(0.5, 1.2)
+                segs = []
+                for w in utt_words:
+                    for u in lexicon[w]:
+                        dur = int(fs * rng.uniform(0.045, 0.09) / rate)
+                        segs.append(_unit_wave(u, f0, dur, fs, rng))
+                    segs.append(np.zeros(int(fs * 0.015), np.float32))
+                wav = amp * 0.3 * np.concatenate(segs)
+                wav = channel(wav)
+                wav = wav + rng.uniform(0.05, 0.12) * rng.randn(
+                    len(wav)).astype(np.float32)
+                uid = f"{split}_{i:05d}"
+                path = wav_dir / f"{uid}.wav"
+                write_wav(str(path), wav, fs)
+                writer["wav.scp"][uid] = str(path)
+                writer["text"][uid] = " ".join(utt_words)
+        dirs.append(d)
+    (root / "rare_words.txt").write_text("\n".join(rare) + "\n")
+    return tuple(dirs) + (rare,)
+
+
+def _boundary_ids(converter):
+    ids = set()
+    for i, tok in enumerate(converter.token_list):
+        if tok.endswith("▁") or tok == "<space>":
+            ids.add(i)
+    return ids
+
+
+class _TCPGenASRTask:
+    """ASRTask wrapper whose iter factory augments every batch with the
+    rare-word biasing trie + teacher-forced trie walk (the fork's
+    KBmeetingTrain per-batch KB, KB.py:120-230 — here the trie is the full
+    rare list + DBdrop handled by p_gen_mask supervision)."""
+
+    def __init__(self, trie, boundary_ids, sos_id, eos_id):
+        import jax.numpy as jnp
+        self.trie_arrays = {
+            "trie_token": jnp.asarray(trie.token),
+            "trie_children_tok": jnp.asarray(trie.children_tok),
+            "trie_children_node": jnp.asarray(trie.children_node),
+            "trie_n_children": jnp.asarray(trie.n_children),
+        }
+        self.trie = trie
+        self.boundary_ids = boundary_ids
+        self.sos_id = sos_id
+        self.eos_id = eos_id
+
+    def wrap(self, base_factory):
+        from ..slu.kb import walk_trie
+        import jax.numpy as jnp
+
+        def factory(epoch):
+            for batch in base_factory(epoch):
+                text = np.asarray(batch["text"])
+                ys_in = np.concatenate(
+                    [np.full((text.shape[0], 1), self.sos_id, np.int32),
+                     np.maximum(text, 0).astype(np.int32)], axis=1)
+                node, mask = walk_trie(self.trie, ys_in, self.boundary_ids,
+                                       self.eos_id)
+                out = dict(batch)
+                out.update(self.trie_arrays)
+                out["node"] = jnp.asarray(node)
+                out["p_gen_mask"] = jnp.asarray(mask)
+                yield out
+        return factory
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="exp/ablations")
+    p.add_argument("--corpus", default="exp/ablations/corpus")
+    p.add_argument("--n_train", type=int, default=10000)
+    p.add_argument("--max_epoch", type=int, default=25)
+    p.add_argument("--mbr_epochs", type=int, default=3)
+    p.add_argument("--skip", nargs="*", default=[],
+                   help="subset of {lm,tcpgen,mbr} to skip")
+    args = p.parse_args(argv)
+
+    import jax
+    from ..models.asr_model import ASRConfig, ASRModel
+    from ..ops.specaug import SpecAugConfig
+    from ..tasks.asr import ASRTask, ASRTaskConfig, DataConfig, Speech2Text
+    from ..train.mbr import MBRConfig
+    from ..train.optim import OptimConfig
+    from ..utils.metrics import error_rate, rare_word_error_rate
+
+    t0 = time.time()
+    train_dir, dev_dir, test_dir, rare = make_hard_corpus(
+        args.corpus, n_train=args.n_train)
+    log.info("corpus ready (%.1fs)", time.time() - t0)
+
+    out = Path(args.out)
+    base_exp = out / "exp_base"
+    model_kw = dict(
+        d_model=144, n_head=4, d_ff=576, num_encoder_blocks=6,
+        num_decoder_blocks=2, decoder_d_ff=576, kernel_size=15,
+        dropout_rate=0.1, ctc_weight=0.3, use_mvn="utterance",
+        specaug=SpecAugConfig(freq_mask_width_range=(0, 10),
+                              time_mask_width_range=(0, 25)),
+        dtype="bfloat16")
+    data_kw = dict(train_dir=str(train_dir), valid_dir=str(dev_dir),
+                   token_type="bpe", bpe_vocab_size=400,
+                   batch_type="numel", batch_bins=1_500_000,
+                   speech_bucket_multiple=8192, text_bucket_multiple=8)
+    cfg = ASRTaskConfig(
+        exp_dir=str(base_exp), model=ASRConfig(**model_kw),
+        optim=OptimConfig(lr=2e-3, scheduler="warmuplr", warmup_steps=1500),
+        data=DataConfig(**data_kw),
+        max_epoch=args.max_epoch, keep_nbest=10, nbest_average=5,
+        log_interval=50)
+    log.info("=== base training ===")
+    ASRTask.train(cfg)
+
+    refs = read_2column_text(Path(test_dir) / "text")
+    wavs = read_2column_text(Path(test_dir) / "wav.scp")
+    loaded = sorted(((u, load_wav(pth)[0]) for u, pth in wavs.items()),
+                    key=lambda x: len(x[1]))
+
+    def decode(exp_dir, beam, **kw):
+        s2t = Speech2Text(str(exp_dir), beam_size=beam, ctc_weight=0.3,
+                          max_len=24, **kw)
+        hyps = {}
+        for i in range(0, len(loaded), 16):
+            chunk = loaded[i:i + 16]
+            for (u, _), txt in zip(chunk,
+                                   s2t.decode_batch([x for _, x in chunk])):
+                hyps[u] = txt
+        return hyps
+
+    results = {}
+
+    def score(tag, hyps):
+        wer, _ = error_rate(refs, hyps, "word")
+        rare_wer, common_wer, _, _ = rare_word_error_rate(refs, hyps, rare)
+        results[tag] = {"wer": wer, "rare_wer": rare_wer,
+                        "common_wer": common_wer}
+        log.info("%s: WER %.2f%% rare %.2f%% common %.2f%%",
+                 tag, wer * 100, rare_wer * 100, common_wer * 100)
+
+    log.info("=== decode: greedy vs beam ===")
+    score("greedy", decode(base_exp, beam=1))
+    score("beam10", decode(base_exp, beam=10))
+
+    if "lm" not in args.skip:
+        log.info("=== LM fusion ===")
+        from ..tasks.lm import LMTask, LMTaskConfig, LMConfig, LMDataConfig
+        lm_exp = out / "exp_lm"
+        lm_cfg = LMTaskConfig(
+            exp_dir=str(lm_exp),
+            model=LMConfig(arch="transformer", d_model=128, n_head=4,
+                           d_ff=512, num_blocks=4, dropout_rate=0.1),
+            optim=OptimConfig(lr=1e-3, scheduler="warmuplr",
+                              warmup_steps=500),
+            data=LMDataConfig(train_dir=str(train_dir),
+                              valid_dir=str(dev_dir),
+                              token_type="bpe",
+                              bpemodel=str(base_exp / "bpe.json"),
+                              token_list=str(base_exp / "tokens.txt"),
+                              batch_size=64),
+            max_epoch=max(args.max_epoch // 2, 8), keep_nbest=3)
+        LMTask.train(lm_cfg)
+        score("beam10_lm", decode(base_exp, beam=10,
+                                  lm_exp_dir=str(lm_exp), lm_weight=0.3))
+
+    if "tcpgen" not in args.skip:
+        log.info("=== TCPGen training ===")
+        from ..data.tokenizer import TokenIDConverter, build_tokenizer
+        from ..slu.kb import build_trie
+        tcp_exp = out / "exp_tcpgen"
+        tcp_cfg = dataclasses.replace(
+            cfg, exp_dir=str(tcp_exp),
+            model=ASRConfig(use_tcpgen=True, tcpgen_dim=128, **model_kw),
+            data=DataConfig(bpemodel=str(base_exp / "bpe.json"), **{
+                k: v for k, v in data_kw.items() if k != "bpemodel"}))
+        # share the base vocab so tries/ids line up
+        tcp_exp.mkdir(parents=True, exist_ok=True)
+        shutil.copy(base_exp / "tokens.txt", tcp_exp / "tokens.txt")
+        tokenizer = build_tokenizer("bpe", bpemodel=str(base_exp / "bpe.json"))
+        converter = TokenIDConverter(tcp_exp / "tokens.txt")
+        pieces = [converter.tokens2ids(tokenizer.text2tokens(w))
+                  for w in rare]
+        trie = build_trie(pieces)
+        aug = _TCPGenASRTask(trie, _boundary_ids(converter),
+                             tcp_cfg.model.sos_id, tcp_cfg.model.eos_id)
+
+        class Task(ASRTask):
+            @classmethod
+            def build_iter_factory(cls, cfg_, dataset, shuffle=True,
+                                   rank=0, world=1, batch_divisor=0):
+                base = ASRTask.build_iter_factory(
+                    cfg_, dataset, shuffle=shuffle, rank=rank, world=world,
+                    batch_divisor=batch_divisor)
+                return aug.wrap(base)
+
+        Task.train(tcp_cfg)
+        score("tcpgen_nobias", decode(tcp_exp, beam=10))
+        score("tcpgen_bias", decode(tcp_exp, beam=10, biasing_words=rare))
+
+    if "mbr" not in args.skip:
+        log.info("=== MBR fine-tune ===")
+        mbr_exp = out / "exp_mbr"
+        if not (mbr_exp / "reporter.json").exists():
+            shutil.copytree(base_exp, mbr_exp, dirs_exist_ok=True)
+        mbr_cfg = dataclasses.replace(
+            cfg, exp_dir=str(mbr_exp),
+            optim=OptimConfig(lr=2e-4, scheduler="constant"),
+            mbr=MBRConfig(weight=0.5, beam_size=4, max_len=24),
+            max_epoch=args.max_epoch + args.mbr_epochs)
+        ASRTask.train(mbr_cfg)  # resumes from the copied checkpoints
+        score("mbr_beam10", decode(mbr_exp, beam=10))
+
+    lines = [
+        "# RESULTS — ablations on the hard synthetic corpus",
+        "",
+        f"Corpus: {args.n_train} train / 200 dev / 400 test utts, "
+        "1000-word Zipf vocab (300-word rare tail, 1-3 train occurrences "
+        "each, >= 1 rare word per test utt), sparse bigram grammar, "
+        "noise 0.05-0.12 + random channel tilt "
+        "(recipe/ablation_run.py:make_hard_corpus).",
+        f"Base model: Conformer 6x144 + Transformer 2x144, BPE-400, CTC "
+        f"0.3, SpecAug, bf16, {args.max_epoch} epochs on "
+        f"{jax.devices()[0].platform}.",
+        "",
+        "| setup | WER | rare-word WER | common WER |",
+        "|---|---|---|---|",
+    ]
+    for tag, r in results.items():
+        lines.append(f"| {tag} | {r['wer'] * 100:.2f}% | "
+                     f"{r['rare_wer'] * 100:.2f}% | "
+                     f"{r['common_wer'] * 100:.2f}% |")
+    lines += [
+        "",
+        "Expected directions: beam10 < greedy; +LM < beam10 (bigram "
+        "grammar); tcpgen_bias rare-word WER < tcpgen_nobias AND < beam10; "
+        "mbr_beam10 <= beam10.",
+        "",
+        json.dumps(results),
+    ]
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "RESULTS_ABLATIONS.md").write_text("\n".join(lines) + "\n")
+    log.info("wrote %s (total %.0fs)", out / "RESULTS_ABLATIONS.md",
+             time.time() - t0)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
