@@ -55,19 +55,16 @@ def _interp() -> bool:
 def _rel_collect(raw: jnp.ndarray, tq: int, tk: int) -> jnp.ndarray:
     """raw [TQ, TQ+TK] -> out [TQ, TK], out[i, j] = raw[i, (TQ-1) - i + j].
 
-    Per-row left-rotate by (TQ-1-i), decomposed into log2(TQ) conditional
-    whole-array rotations (pltpu.roll only takes a scalar shift).
+    Per-row left-rotate by (TQ-1-i) == right-rotate by (S-TQ+1) + i — ONE
+    hardware strided roll (stride=1 over rows). The log2(TQ) conditional
+    whole-array rotations this replaces were ~30% of the attention kernel's
+    time (PERF_NOTES round-3); Mosaic only lowers stride 1 reliably, which
+    is exactly what the collect direction needs. (The scatter direction
+    needs stride -1 == S-1, which Mosaic rejects — _rel_scatter keeps the
+    log2 decomposition.)
     """
     s = raw.shape[1]
-    row = lax.broadcasted_iota(jnp.int32, raw.shape, 0)
-    shift = (tq - 1) - row
-    x = raw
-    b = 1
-    while b < tq:
-        rolled = pltpu.roll(x, s - b, 1)  # left-rotate by b
-        x = jnp.where((shift & b) != 0, rolled, x)
-        b *= 2
-    return x[:, :tk]
+    return pltpu.roll(raw, s - tq + 1, 1, stride=1, stride_axis=0)[:, :tk]
 
 
 def _rel_scatter(ds: jnp.ndarray, tq: int, tk: int) -> jnp.ndarray:
