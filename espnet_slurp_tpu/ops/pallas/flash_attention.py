@@ -18,9 +18,11 @@ Key TPU tricks:
  * The rel-shift never materializes [T, 2T-1]: for a (q-tile i0, k-tile j0)
    pair, the needed p rows form ONE contiguous slab p[c0 : c0+TQ+TK] with
    c0 = T - TQ + j0 - i0 (128-aligned when T, tiles, offsets are). The raw
-   tile (q_v @ slab^T) [TQ, TQ+TK] is then collapsed to [TQ, TK] by a
-   per-row left-rotation of (TQ-1-i) lanes, done as log2(TQ) conditional
-   pltpu.roll steps (fully vectorized; no gathers).
+   tile (q_v @ slab^T) [TQ, TQ+TK] is collapsed to [TQ, TK] by ONE
+   hardware strided roll (shift grows +1 per row — _rel_collect); the
+   backward's inverse scatter needs the -1 stride Mosaic can't lower, so
+   it runs column-REVERSED (exchange-matrix matmul + stride-1 roll) with
+   the reversal absorbed by its consumers (_rel_scatter_rev).
  * Dropout uses the in-kernel PRNG seeded per (bh, q-tile, k-tile) so the
    backward kernels regenerate bit-identical masks instead of reloading a
    [B,H,T,T] mask from HBM.
@@ -67,19 +69,28 @@ def _rel_collect(raw: jnp.ndarray, tq: int, tk: int) -> jnp.ndarray:
     return pltpu.roll(raw, s - tq + 1, 1, stride=1, stride_axis=0)[:, :tk]
 
 
-def _rel_scatter(ds: jnp.ndarray, tq: int, tk: int) -> jnp.ndarray:
-    """Inverse of _rel_collect: ds [TQ, TK] -> raw-grad [TQ, TQ+TK] with
-    rawg[i, (TQ-1) - i + j] = ds[i, j], zeros elsewhere."""
+def _rel_scatter_rev(ds: jnp.ndarray, tq: int, tk: int) -> jnp.ndarray:
+    """Column-REVERSED inverse of _rel_collect.
+
+    Returns rawgR [TQ, S] with rawgR[i, z] = rawg[i, S-1-z] where
+    rawg[i, (TQ-1-i)+j] = ds[i, j] (zeros elsewhere). The true scatter
+    needs a per-row right-rotation by (TQ-1-i) — stride -1, which Mosaic's
+    strided roll cannot lower — but the column-reversed form needs
+    right-rotation by (i+1): ONE stride-1 roll. The lane reversal of ds is
+    an exchange-matrix matmul (J[a,b] = [a+b == TK-1]; Mosaic has no `rev`
+    lowering, and a [TK,TK] MXU pass is cheaper than log2(TQ) conditional
+    whole-tile rolls). Consumers absorb the reversal: the dp accumulator
+    is kept row-reversed and flipped ONCE outside the kernel; dqv
+    contracts against the row-reversed p slab.
+    """
     s = tq + tk
-    x = jnp.pad(ds, ((0, 0), (0, s - tk)))
-    row = lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    shift = (tq - 1) - row
-    b = 1
-    while b < tq:
-        rolled = pltpu.roll(x, b, 1)  # right-rotate by b
-        x = jnp.where((shift & b) != 0, rolled, x)
-        b *= 2
-    return x
+    a = lax.broadcasted_iota(jnp.int32, (tk, tk), 0)
+    b = lax.broadcasted_iota(jnp.int32, (tk, tk), 1)
+    exchange = (a + b == tk - 1).astype(ds.dtype)
+    dsr = lax.dot_general(ds, exchange, (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+    x = jnp.pad(dsr, ((0, 0), (0, s - tk)))
+    return pltpu.roll(x, 1, 1, stride=1, stride_axis=0)
 
 
 def _mask_tile(tq, tk, i0, j0, klen, chunk_size, left_chunks):
@@ -214,15 +225,17 @@ def _dkv_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref,
     dk_ref[0] += lax.dot_general(ds_c, qu, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32
                                  ).astype(dk_ref.dtype)
-    # rolls only lower for 32-bit lanes: scatter in f32, cast for the MXU
-    rawg = _rel_scatter(ds, tq, tk).astype(qu.dtype)  # [TQ, S]
-    dp_slab = lax.dot_general(rawg, qv, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dp_ref[0, pl.ds(c0, tq + tk), :] += dp_slab.astype(dp_ref.dtype)
+    # Column-reversed scatter (ONE strided roll) -> the dp accumulator is
+    # kept row-reversed across the whole grid and flipped once outside.
+    rawg_r = _rel_scatter_rev(ds, tq, tk).astype(qu.dtype)  # [TQ, S]
+    dp_slab_r = lax.dot_general(rawg_r, qv, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    c0r = pl.multiple_of(2 * t - (tq + tk) - c0, 128)
+    dp_ref[0, pl.ds(c0r, tq + tk), :] += dp_slab_r.astype(dp_ref.dtype)
 
 
 def _dq_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref,
-               do_ref, lse_ref, delta_ref, dqu_ref, dqv_ref, *,
+               pr_ref, do_ref, lse_ref, delta_ref, dqu_ref, dqv_ref, *,
                scale, rate, t, tq, tk, nq, nk, chunk_size, left_chunks):
     bh = pl.program_id(0)
     qi = pl.program_id(1)
@@ -255,8 +268,11 @@ def _dq_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref,
     dqu_ref[0] += lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32
                                   ).astype(dqu_ref.dtype)
-    rawg = _rel_scatter(ds, tq, tk).astype(k.dtype)
-    dqv_ref[0] += lax.dot_general(rawg, slab, (((1,), (0,)), ((), ())),
+    # dqv = scatter(ds) @ slab == revscatter(ds) @ row-reversed slab
+    rawg_r = _rel_scatter_rev(ds, tq, tk).astype(k.dtype)
+    c0r = pl.multiple_of(2 * t - (tq + tk) - c0, 128)
+    slab_r = pr_ref[0, pl.ds(c0r, tq + tk), :]
+    dqv_ref[0] += lax.dot_general(rawg_r, slab_r, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32
                                   ).astype(dqv_ref.dtype)
 
@@ -399,12 +415,14 @@ def rel_flash_attention(
             interpret=interpret,
         )(lengths_bh, seed, qu_r, qv_r, k_r, v_r, p_r, g.astype(dtype),
           lse, delta)
+        # the in-kernel accumulator is row-reversed (see _rel_scatter_rev)
+        dp = jnp.flip(dp, axis=1)
 
         dqu, dqv = pl.pallas_call(
             functools.partial(_dq_kernel, **kw),
             grid=(bh, nq, nk),
             in_specs=[len_spec, seed_spec, q_spec(), q_spec(), kv_spec(),
-                      kv_spec(), p_spec,
+                      kv_spec(), p_spec, p_spec,
                       q_spec(), lse_spec, lse_spec],
             out_specs=[
                 pl.BlockSpec((1, tq, dh), lambda i, j, kk: (i, j, 0),
@@ -417,8 +435,8 @@ def rel_flash_attention(
                 jax.ShapeDtypeStruct((bh, t, dh), jnp.float32),
             ],
             interpret=interpret,
-        )(lengths_bh, seed, qu_r, qv_r, k_r, v_r, p_r, g.astype(dtype),
-          lse, delta)
+        )(lengths_bh, seed, qu_r, qv_r, k_r, v_r, p_r,
+          jnp.flip(p_r, axis=1), g.astype(dtype), lse, delta)
         cast = lambda x, ref: x.astype(ref.dtype)
         f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
         return (f0(lengths_bh), f0(seed),
