@@ -56,3 +56,19 @@ def prefetch_factory(factory: Callable[[int], Iterable],
     def wrapped(epoch: int):
         return prefetch_iter(factory(epoch), depth)
     return wrapped
+
+
+def prefetch_to_device(it: Iterable, depth: int = 2):
+    """prefetch_iter + async jax.device_put: batches are decoded, collated
+    AND issued to the device ``depth`` steps ahead, so the host->device
+    transfer overlaps the previous device step (flax prefetch_to_device
+    pattern; the reference's pin_memory + non_blocking copy analogue).
+
+    Yields pytrees of device arrays.
+    """
+    import jax
+
+    def put(batch):
+        return jax.tree.map(jax.device_put, batch)
+
+    return prefetch_iter((put(b) for b in it), depth=depth)

@@ -50,7 +50,13 @@ def default_frontend(
     speech_lengths: jnp.ndarray,
     cfg: FrontendConfig = FrontendConfig(),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """[B, N] waveform -> ([B, T, n_mels] log-mel fp32, [B] frame lengths)."""
+    """[B, N] waveform -> ([B, T, n_mels] log-mel fp32, [B] frame lengths).
+
+    int16 input is accepted as raw PCM and scaled in-graph — halving
+    host->device transfer bytes (the input pipeline ships the wav's native
+    samples; the reference's soundfile path converts on the host)."""
+    if speech.dtype == jnp.int16:
+        speech = speech.astype(jnp.float32) * (1.0 / 32768.0)
     speech = speech.astype(jnp.float32)
     if cfg.type == "sliding_window":
         return sliding_window_frontend(speech, speech_lengths, cfg)
