@@ -71,6 +71,8 @@ def make_hard_corpus(root, n_train=10000, n_dev=200, n_test=400,
     rare_budget = {w: int(rng.randint(1, 4)) for w in rare}
     rare_pool = [w for w, k in rare_budget.items() for _ in range(k)]
     rng.shuffle(rare_pool)
+    # tiny smoke corpora: can't give every rare word a slot
+    rare_pool = rare_pool[: max(n_train // 2, 1)]
     rare_slots = sorted(rng.choice(n_train, size=len(rare_pool),
                                    replace=False))
     slot_of = {s: rare_pool[i] for i, s in enumerate(rare_slots)}
@@ -253,19 +255,22 @@ def main(argv=None):
 
     if "lm" not in args.skip:
         log.info("=== LM fusion ===")
-        from ..tasks.lm import LMTask, LMTaskConfig, LMConfig, LMDataConfig
+        from ..tasks.lm import LMDataConfig, LMTask, LMTaskConfig
+        from ..models.lm import LMConfig
         lm_exp = out / "exp_lm"
+        lm_exp.mkdir(parents=True, exist_ok=True)
+        # share the ASR vocab so fused scores index the same token ids
+        shutil.copy(base_exp / "tokens.txt", lm_exp / "tokens.txt")
         lm_cfg = LMTaskConfig(
             exp_dir=str(lm_exp),
             model=LMConfig(arch="transformer", d_model=128, n_head=4,
                            d_ff=512, num_blocks=4, dropout_rate=0.1),
             optim=OptimConfig(lr=1e-3, scheduler="warmuplr",
                               warmup_steps=500),
-            data=LMDataConfig(train_dir=str(train_dir),
-                              valid_dir=str(dev_dir),
+            data=LMDataConfig(train_text=str(Path(train_dir) / "text"),
+                              valid_text=str(Path(dev_dir) / "text"),
                               token_type="bpe",
                               bpemodel=str(base_exp / "bpe.json"),
-                              token_list=str(base_exp / "tokens.txt"),
                               batch_size=64),
             max_epoch=max(args.max_epoch // 2, 8), keep_nbest=3)
         LMTask.train(lm_cfg)
@@ -279,7 +284,7 @@ def main(argv=None):
         tcp_exp = out / "exp_tcpgen"
         tcp_cfg = dataclasses.replace(
             cfg, exp_dir=str(tcp_exp),
-            model=ASRConfig(use_tcpgen=True, tcpgen_dim=128, **model_kw),
+            model=ASRConfig(use_tcpgen=True, **model_kw),
             data=DataConfig(bpemodel=str(base_exp / "bpe.json"), **{
                 k: v for k, v in data_kw.items() if k != "bpemodel"}))
         # share the base vocab so tries/ids line up
