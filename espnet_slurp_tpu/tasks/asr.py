@@ -349,10 +349,27 @@ class ASRTask:
             shape = (b, n, 2)
         else:
             shape = (b, n)
+        extra = {}
+        if cfg.use_tcpgen:
+            # Trace the TCPGen branch at init so its params exist (the
+            # training batches carry per-batch tries; slu/kb.build_trie
+            # layout, padded to 8 nodes).
+            from ..slu.kb import build_trie, walk_trie
+            t = build_trie([[1, 2], [3]], pad_nodes_multiple=8)
+            ys_in = np.concatenate(
+                [np.full((b, 1), cfg.sos_id, np.int32),
+                 np.ones((b, u), np.int32)], axis=1)
+            node, mask = walk_trie(t, ys_in, set(), cfg.eos_id)
+            extra = {"trie_token": np.asarray(t.token),
+                     "trie_children_tok": np.asarray(t.children_tok),
+                     "trie_children_node": np.asarray(t.children_node),
+                     "trie_n_children": np.asarray(t.n_children),
+                     "node": node, "p_gen_mask": mask}
         return model.init(rng, np.zeros(shape, np.float32),
                           np.full((b,), n, np.int32),
                           np.ones((b, u), np.int32),
-                          np.full((b,), u, np.int32), **spk)["params"]
+                          np.full((b,), u, np.int32), **spk,
+                          **extra)["params"]
 
     @classmethod
     def _kb_token_mask(cls, cfg: ASRTaskConfig):
