@@ -39,9 +39,13 @@ class Conv2DActNorm(nn.Module):
     def __call__(self, x):  # [B, T, F, C]
         kt, kf = self.ksz
         if self.upsample:
+            # VALID + time crop: flax ConvTranspose mixed explicit padding
+            # does not follow the (in-1)*s + k - lo - hi arithmetic, so
+            # emit the full (T+kt-1, (F-1)*sf + kf) output and trim time.
             h = nn.ConvTranspose(self.out_ch, self.ksz, strides=self.stride,
-                                 padding=[(kt // 2, kt // 2), (0, 0)],
-                                 dtype=self.dtype, name="conv")(x)
+                                 padding="VALID", dtype=self.dtype,
+                                 name="conv")(x)
+            h = h[:, kt // 2: h.shape[1] - (kt - 1 - kt // 2)]
         else:
             pad = [(kt // 2, kt // 2),
                    (0, 0) if self.freq_valid else (kf // 2, kf // 2)]
@@ -216,8 +220,9 @@ class TCNDenseUNet(nn.Module):
         h = DenseBlock(self.hid_ch * 2, self.hid_ch_dense, dtype=self.dtype,
                        name="last_dense")(h)
         out = nn.ConvTranspose(2 * self.n_spk, (3, 3), strides=(1, 1),
-                               padding=[(1, 1), (0, 0)],
-                               dtype=self.dtype, name="last_deconv")(h)
+                               padding="VALID", dtype=self.dtype,
+                               name="last_deconv")(h)
+        out = out[:, 1:-1]  # time crop of the VALID transpose
         assert out.shape[2] == f, (out.shape, f)
         out = out.reshape(b, t, f, self.n_spk, 2)
         return jnp.moveaxis(out, 3, 1).astype(jnp.float32)

@@ -43,8 +43,17 @@ class EnhConfig:
     # | svoice (gated dual-path MulCat, multi-scale loss;
     #   svoice_separator.py) | dpcl_e2e (soft-kmeans + enh BLSTM,
     #   dpcl_e2e_separator.py) | dc_crn (densely-connected CRN complex
-    #   masking, dc_crn_separator.py)
+    #   masking, dc_crn_separator.py) | ineube (TCNDenseUNet complex
+    #   mapping -> optional mfMCWF -> DNN2 refinement, multichannel;
+    #   ineube_separator.py)
     separator: str = "blstm"
+    # ineube options (ineube_separator.py:output_from/n_chunks/tik_eps)
+    ineube_output_from: str = "dnn1"  # dnn1 | mfmcwf | dnn2
+    ineube_n_chunks: int = 1
+    ineube_tik_eps: float = 1e-8
+    ineube_tcn_repeats: int = 2
+    ineube_tcn_blocks: int = 3
+    ineube_tcn_channels: int = 64
     hidden: int = 256
     num_layers: int = 3
     n_head: int = 4
@@ -105,6 +114,8 @@ class EnhModel(nn.Module):
             return self._separate_dpcl_e2e(speech_mix, speech_lengths)
         if c.separator == "dc_crn":
             return self._separate_dc_crn(speech_mix, speech_lengths)
+        if c.separator == "ineube":
+            return self._separate_ineube(speech_mix, speech_lengths)
         if c.separator == "dpcl":
             return self._separate_dpcl(speech_mix, speech_lengths)
         if c.separator == "dan":
@@ -255,6 +266,62 @@ class EnhModel(nn.Module):
         est = istft((est_re + 1j * est_im).reshape(b * s, t, f),
                     n_fft=c.n_fft, hop=c.hop_length)
         return est.reshape(b, s, -1), flens
+
+    def _separate_ineube(self, speech_mix, speech_lengths):
+        """iNeuBe: DNN1 complex mapping -> mfMCWF toward the estimate ->
+        DNN2 refinement (ineube_separator.py). speech_mix [B, N] mono or
+        [B, N, C] multichannel."""
+        from .ineube import TCNDenseUNet, mfmcwf
+        c = self.cfg
+        if speech_mix.ndim == 2:
+            speech_mix = speech_mix[..., None]
+        b, n, mics = speech_mix.shape
+        wavs = jnp.moveaxis(speech_mix, 2, 1).reshape(b * mics, n)
+        spec = stft(wavs, n_fft=c.n_fft, hop_length=c.hop_length)
+        t, f = spec.shape[1], spec.shape[2]
+        spec = spec.reshape(b, mics, t, f, 2)
+        tf_rep = jnp.moveaxis(spec, 1, 2)              # [B, T, C, F, 2]
+        flens = stft_out_lengths(speech_lengths, c.n_fft, c.hop_length)
+        dnn1 = TCNDenseUNet(
+            n_spk=c.n_spk, mic_channels=mics, hid_ch=c.hidden // 8 or 8,
+            hid_ch_dense=c.hidden // 16 or 4,
+            tcn_repeats=c.ineube_tcn_repeats,
+            tcn_blocks=c.ineube_tcn_blocks,
+            tcn_channels=c.ineube_tcn_channels, dtype=c.jax_dtype,
+            name="dnn1")
+        est1 = dnn1(tf_rep)                            # [B, S, T, F, 2]
+        est = est1
+        if c.ineube_output_from in ("mfmcwf", "dnn2"):
+            mix_btcf = jnp.moveaxis(spec, 1, 2)        # [B, T, C, F, 2]
+            outs = []
+            for s in range(c.n_spk):
+                fr, fi = mfmcwf(mix_btcf[..., 0], mix_btcf[..., 1],
+                                est1[:, s, ..., 0], est1[:, s, ..., 1],
+                                n_chunks=c.ineube_n_chunks,
+                                tik_eps=c.ineube_tik_eps)
+                outs.append(jnp.stack([fr, fi], -1))
+            est = jnp.stack(outs, 1)                   # [B, S, T, F, 2]
+            if c.ineube_output_from == "dnn2":
+                # DNN2 refines from (reference mic, mfMCWF estimate)
+                ref = tf_rep[:, :, self.cfg.ref_channel]
+                dnn2 = TCNDenseUNet(
+                    n_spk=1, mic_channels=2,
+                    hid_ch=c.hidden // 8 or 8,
+                    hid_ch_dense=c.hidden // 16 or 4,
+                    tcn_repeats=c.ineube_tcn_repeats,
+                    tcn_blocks=c.ineube_tcn_blocks,
+                    tcn_channels=c.ineube_tcn_channels,
+                    dtype=c.jax_dtype, name="dnn2")
+                outs2 = []
+                for s in range(c.n_spk):
+                    pair = jnp.stack([ref, est[:, s]], 2)  # [B,T,2,F,2]
+                    outs2.append(dnn2(pair)[:, 0])
+                est = jnp.stack(outs2, 1)
+        bsz, s_, t_, f_, _ = est.shape
+        wav = istft((est[..., 0] + 1j * est[..., 1]).reshape(bsz * s_,
+                                                             t_, f_),
+                    n_fft=c.n_fft, hop=c.hop_length)
+        return wav.reshape(bsz, s_, -1).astype(jnp.float32), flens
 
     def _separate_dccrn(self, speech_mix, speech_lengths):
         """Complex-domain path: STFT -> DCCRN complex masks -> iSTFT."""

@@ -156,9 +156,29 @@ def _round_up(x, m):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _ctc_core(emit, skip, tlen, last):
+def _ctc_core_raw(emit, skip, tlen, last):
     loss, _ = _ctc_fwd(emit, skip, tlen, last)
     return loss
+
+
+def _ctc_core(emit, skip, tlen, last):
+    """Pad the batch to a Mosaic-tileable row count (multiple of 8 unless
+    already a single tile): ragged last batches of an epoch (e.g. B=54)
+    otherwise force a batch-tile the lowering rejects. Padded rows run a
+    1-frame dummy lattice and are sliced off (their grads drop with them).
+    """
+    b = emit.shape[0]
+    # legal without padding: batch tile can be a multiple of 8, or the
+    # whole (power-of-two) batch in one tile
+    if b % 8 == 0 or b in (1, 2, 4):
+        return _ctc_core_raw(emit, skip, tlen, last)
+    bp = _round_up(b, 8)
+    pad = bp - b
+    emit = jnp.pad(emit, ((0, pad), (0, 0), (0, 0)))
+    skip = jnp.pad(skip, ((0, pad), (0, 0)))
+    tlen = jnp.pad(tlen, ((0, pad),), constant_values=1)
+    last = jnp.pad(last, ((0, pad),))
+    return _ctc_core_raw(emit, skip, tlen, last)[:b]
 
 
 def _batch_tile(b: int, t: int, s: int, n_bufs: int) -> int:
@@ -244,7 +264,7 @@ def _ctc_bwd(res, g):
     return demit, None, None, None
 
 
-_ctc_core.defvjp(_ctc_fwd, _ctc_bwd)
+_ctc_core_raw.defvjp(_ctc_fwd, _ctc_bwd)
 
 
 def ctc_loss_pallas(

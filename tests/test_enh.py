@@ -510,3 +510,41 @@ def test_svoice_decode_overlap_add():
     for i, fr in enumerate([[4, 8], [0, 4], [2, 0]]):
         want[i * 2:i * 2 + 2] += fr
     np.testing.assert_allclose(out[0], want)
+
+
+@pytest.mark.parametrize("output_from", ["dnn1", "mfmcwf", "dnn2"])
+def test_ineube_trains(output_from):
+    """iNeuBe (TCNDenseUNet -> mfMCWF -> DNN2) trains under PIT SI-SNR
+    from 2-mic input (ineube_separator.py:30-300)."""
+    cfg = EnhConfig(n_spk=1, separator="ineube", hidden=64,
+                    n_fft=128, hop_length=64,
+                    ineube_output_from=output_from,
+                    ineube_tcn_repeats=1, ineube_tcn_blocks=2,
+                    ineube_tcn_channels=32, ineube_n_chunks=1)
+    model = EnhModel(cfg)
+    rng = np.random.RandomState(6)
+    s1 = rng.randn(2, 1600).astype(np.float32) * 0.3
+    noise = rng.randn(2, 1600, 2).astype(np.float32) * 0.1
+    mix = s1[..., None] + noise
+    batch = {
+        "speech_mix": jnp.asarray(mix),
+        "speech_mix_lengths": jnp.asarray([1600, 1200]),
+        "speech_ref": jnp.asarray(s1[:, None]),
+    }
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+    assert "dnn1" in params
+    if output_from == "dnn2":
+        assert "dnn2" in params
+
+    def loss_fn(p):
+        return model.apply({"params": p}, **batch)
+
+    (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads))
+    est, _ = model.apply({"params": params}, batch["speech_mix"],
+                         batch["speech_mix_lengths"],
+                         method=lambda m, s, sl: m.separate(s, sl))
+    assert est.shape[:2] == (2, 1)
+    assert np.isfinite(np.asarray(est)).all()
