@@ -250,7 +250,8 @@ def mfmcwf(mix_re, mix_im, est_re, est_im, n_chunks: int = 3,
     scm = jnp.einsum("bftm,bftn->bfmn", x, jnp.conj(x))
     zeta = jnp.einsum("bftm,bft->bfm", jnp.conj(x), s)
     eye = jnp.eye(c * k, dtype=scm.dtype)
-    w = jnp.linalg.solve(scm + tik_eps * eye, zeta)          # [B, F, CK]
+    w = jnp.linalg.solve(scm + tik_eps * eye,
+                         zeta[..., None])[..., 0]            # [B, F, CK]
     y = jnp.einsum("bftm,bfm->bft", x, w)                    # [B, F, T]
     y = jnp.moveaxis(y, 1, 2)
     return jnp.real(y), jnp.imag(y)
