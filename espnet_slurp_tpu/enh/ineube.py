@@ -240,14 +240,20 @@ def mfmcwf(mix_re, mix_im, est_re, est_im, n_chunks: int = 3,
     est = est_re + 1j * est_im
     b, t, c, f = mix.shape
     k = 2 * n_chunks + 1
-    # unfold frames: taps [B, T, C*K, F]
-    taps = []
-    for d in range(-n_chunks, n_chunks + 1):
-        taps.append(jnp.roll(mix, d, axis=1))
+    # unfold frames: taps [B, T, C*K, F] with tap_d[t] = mix[t - d],
+    # zero-padded at the edges (the reference F.pads the time axis before
+    # unfolding, ineube_separator.py:142-151 — NOT circular).
+    padded = jnp.pad(mix, ((0, 0), (n_chunks, n_chunks), (0, 0), (0, 0)))
+    taps = [padded[:, n_chunks - d: n_chunks - d + t]
+            for d in range(-n_chunks, n_chunks + 1)]
     x = jnp.concatenate(taps, axis=2)                        # [B, T, CK, F]
     x = jnp.moveaxis(x, (2, 3), (3, 1))                      # [B, F, T, CK]
     s = jnp.moveaxis(est, 2, 1)                              # [B, F, T]
-    scm = jnp.einsum("bftm,bftn->bfmn", x, jnp.conj(x))
+    # least squares min_w || x @ w - s ||^2 over the time axis:
+    # (X^H X) w = X^H s with X rows x_t^T  (== the reference's
+    # zeta = sum_t x_t conj(s_t), w = R^{-1} zeta, y = conj(w)^H x
+    # conjugated through).
+    scm = jnp.einsum("bftm,bftn->bfmn", jnp.conj(x), x)
     zeta = jnp.einsum("bftm,bft->bfm", jnp.conj(x), s)
     eye = jnp.eye(c * k, dtype=scm.dtype)
     w = jnp.linalg.solve(scm + tik_eps * eye,

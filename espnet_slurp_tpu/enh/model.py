@@ -302,10 +302,11 @@ class EnhModel(nn.Module):
                 outs.append(jnp.stack([fr, fi], -1))
             est = jnp.stack(outs, 1)                   # [B, S, T, F, 2]
             if c.ineube_output_from == "dnn2":
-                # DNN2 refines from (reference mic, mfMCWF estimate)
-                ref = tf_rep[:, :, self.cfg.ref_channel]
+                # DNN2 refines from (all mic channels, DNN1 estimate,
+                # mfMCWF estimate) = mics + 2 input channels, matching
+                # ineube_separator.py:238-247.
                 dnn2 = TCNDenseUNet(
-                    n_spk=1, mic_channels=2,
+                    n_spk=1, mic_channels=mics + 2,
                     hid_ch=c.hidden // 8 or 8,
                     hid_ch_dense=c.hidden // 16 or 4,
                     tcn_repeats=c.ineube_tcn_repeats,
@@ -314,8 +315,10 @@ class EnhModel(nn.Module):
                     dtype=c.jax_dtype, name="dnn2")
                 outs2 = []
                 for s in range(c.n_spk):
-                    pair = jnp.stack([ref, est[:, s]], 2)  # [B,T,2,F,2]
-                    outs2.append(dnn2(pair)[:, 0])
+                    inp = jnp.concatenate(
+                        [tf_rep, est1[:, s][:, :, None],
+                         est[:, s][:, :, None]], axis=2)  # [B,T,mics+2,F,2]
+                    outs2.append(dnn2(inp)[:, 0])
                 est = jnp.stack(outs2, 1)
         bsz, s_, t_, f_, _ = est.shape
         wav = istft((est[..., 0] + 1j * est[..., 1]).reshape(bsz * s_,

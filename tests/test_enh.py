@@ -548,3 +548,54 @@ def test_ineube_trains(output_from):
                          method=lambda m, s, sl: m.separate(s, sl))
     assert est.shape[:2] == (2, 1)
     assert np.isfinite(np.asarray(est)).all()
+
+
+def test_mfmcwf_recovers_known_filter():
+    """mfMCWF solves the correct normal equations: when the target IS a
+    fixed complex filter of the multi-frame mixture taps, the solve must
+    recover it (near-)exactly, and the residual must beat the unfiltered
+    ref-channel residual (ineube_separator.py:156-200)."""
+    from espnet_slurp_tpu.enh.ineube import mfmcwf
+    rng = np.random.RandomState(11)
+    b, t, c, f, n_chunks = 2, 64, 2, 5, 1
+    k = c * (2 * n_chunks + 1)
+    mix = (rng.randn(b, t, c, f) + 1j * rng.randn(b, t, c, f)).astype(
+        np.complex64)
+    # build the true multi-frame taps exactly as mfmcwf does (zero-padded)
+    padded = np.pad(mix, ((0, 0), (n_chunks, n_chunks), (0, 0), (0, 0)))
+    taps = np.concatenate(
+        [padded[:, n_chunks - d: n_chunks - d + t]
+         for d in range(-n_chunks, n_chunks + 1)], axis=2)  # [B,T,CK,F]
+    w_true = (rng.randn(b, f, k) + 1j * rng.randn(b, f, k)).astype(
+        np.complex64)
+    target = np.einsum("bftm,bfm->bft",
+                       np.moveaxis(taps, (2, 3), (3, 1)), w_true)
+    target = np.moveaxis(target, 1, 2)                      # [B, T, F]
+    yr, yi = mfmcwf(jnp.asarray(mix.real), jnp.asarray(mix.imag),
+                    jnp.asarray(target.real), jnp.asarray(target.imag),
+                    n_chunks=n_chunks, tik_eps=1e-10)
+    y = np.asarray(yr) + 1j * np.asarray(yi)
+    resid = np.abs(y - target).mean()
+    resid_unfiltered = np.abs(mix[:, :, 0] - target).mean()
+    np.testing.assert_allclose(y, target, rtol=2e-3, atol=2e-3)
+    assert resid < 1e-2 * resid_unfiltered
+
+
+def test_mfmcwf_taps_zero_padded_not_circular():
+    """Edge frames must use zero padding, not wrap-around: with n_chunks=1
+    and a mixture whose only energy sits in the LAST frame, the output at
+    frame 0 must not see it (jnp.roll would leak it in)."""
+    from espnet_slurp_tpu.enh.ineube import mfmcwf
+    b, t, c, f = 1, 8, 1, 3
+    mix = np.zeros((b, t, c, f), np.complex64)
+    mix[:, -1] = 1.0 + 0.5j
+    # target = the mixture's ref channel (so w ~ identity-ish on tap d=0)
+    est = mix[:, :, 0]
+    yr, yi = mfmcwf(jnp.asarray(mix.real), jnp.asarray(mix.imag),
+                    jnp.asarray(est.real), jnp.asarray(est.imag),
+                    n_chunks=1, tik_eps=1e-8)
+    y = np.asarray(yr) + 1j * np.asarray(yi)
+    # frame 0 taps are [mix[1], mix[0], zero-pad] -> all zero -> output 0.
+    # Circular taps would have placed mix[-1] at frame 0 (tap d=+1).
+    np.testing.assert_allclose(np.abs(y[:, 0]), 0.0, atol=1e-6)
+    assert np.abs(y[:, -1]).max() > 0.1
