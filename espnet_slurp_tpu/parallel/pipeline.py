@@ -44,7 +44,8 @@ PIPE_AXIS = "pipe"
 def spmd_pipeline(stage_fn: Callable, stage_params: Any, x: Any,
                   n_micro: int, axis: str = PIPE_AXIS,
                   batched_consts: Any = None,
-                  shared_consts: Any = None) -> Any:
+                  shared_consts: Any = None,
+                  pass_index: bool = False) -> Any:
     """Run ``x`` through P sequential stages (one per device on ``axis``).
 
     Must be traced inside ``shard_map``. ``stage_params`` is the LOCAL
@@ -59,6 +60,9 @@ def spmd_pipeline(stage_fn: Callable, stage_params: Any, x: Any,
     microbatch's rows locally (no ppermute traffic). ``shared_consts``:
     pytree passed whole to every stage (positional tables). When either is
     given, ``stage_fn(params, x_mb, batched_mb, shared)`` is the contract.
+    ``pass_index``: append the (traced, clipped) microbatch index as a
+    final argument — ``stage_fn(params, x_mb, batched_mb, shared, midx)``
+    — so stages can derive per-(stage, microbatch) rng keys (dropout).
     """
     p = lax.psum(1, axis)
     i = lax.axis_index(axis)
@@ -90,7 +94,10 @@ def spmd_pipeline(stage_fn: Callable, stage_params: Any, x: Any,
             bc = jax.tree.map(
                 lambda a: lax.dynamic_slice_in_dim(a, midx * mb, mb, axis=0),
                 batched_consts)
-            y = stage_fn(params, inject, bc, shared_consts)
+            if pass_index:
+                y = stage_fn(params, inject, bc, shared_consts, midx)
+            else:
+                y = stage_fn(params, inject, bc, shared_consts)
         else:
             y = stage_fn(params, inject)
         active_out = (i == p - 1) & (t - i >= 0) & (t - i < n_micro)
@@ -114,7 +121,8 @@ def spmd_pipeline(stage_fn: Callable, stage_params: Any, x: Any,
 def pipeline(mesh: Mesh, stage_fn: Callable, stacked_params: Any, x: Any,
              n_micro: int, axis: str = PIPE_AXIS,
              data_axis: str | None = None,
-             batched_consts: Any = None, shared_consts: Any = None) -> Any:
+             batched_consts: Any = None, shared_consts: Any = None,
+             pass_index: bool = False) -> Any:
     """shard_map wrapper: ``stacked_params`` [P, ...] sharded over ``axis``,
     ``x`` replicated (or batch-sharded over ``data_axis`` on a 2-D
     (data, pipe) mesh — each data row runs its own pipeline wavefront over
@@ -146,7 +154,7 @@ def pipeline(mesh: Mesh, stage_fn: Callable, stacked_params: Any, x: Any,
     run = shard_map(
         lambda sp, xx, bc, sc: spmd_pipeline(
             stage_fn, sp, xx, n_micro=n_micro, axis=axis,
-            batched_consts=bc, shared_consts=sc),
+            batched_consts=bc, shared_consts=sc, pass_index=pass_index),
         mesh=mesh,
         in_specs=(P(axis), x_spec,
                   jax.tree.map(lambda _: x_spec, batched_consts),

@@ -229,29 +229,51 @@ def main(argv=None):
                     key=lambda x: len(x[1]))
 
     def decode(exp_dir, beam, **kw):
-        s2t = Speech2Text(str(exp_dir), beam_size=beam, ctc_weight=0.3,
-                          max_len=24, **kw)
-        hyps = {}
-        for i in range(0, len(loaded), 16):
-            chunk = loaded[i:i + 16]
-            for (u, _), txt in zip(chunk,
-                                   s2t.decode_batch([x for _, x in chunk])):
-                hyps[u] = txt
-        return hyps
+        # The remote-TPU transport (axon tunnel) occasionally drops a
+        # compile RPC mid-campaign; retry the arm from scratch rather than
+        # lose hours of training above it.
+        for attempt in range(3):
+            try:
+                s2t = Speech2Text(str(exp_dir), beam_size=beam,
+                                  ctc_weight=0.3, max_len=24, **kw)
+                hyps = {}
+                for i in range(0, len(loaded), 16):
+                    chunk = loaded[i:i + 16]
+                    for (u, _), txt in zip(
+                            chunk,
+                            s2t.decode_batch([x for _, x in chunk])):
+                        hyps[u] = txt
+                return hyps
+            except Exception as e:  # noqa: BLE001 - transport flake
+                if attempt == 2:
+                    raise
+                log.warning("decode attempt %d failed (%s); retrying",
+                            attempt + 1, e)
+                time.sleep(20.0)
 
-    results = {}
+    results_json = out / "results.json"
+    results = (json.loads(results_json.read_text())
+               if results_json.exists() else {})
 
     def score(tag, hyps):
         wer, _ = error_rate(refs, hyps, "word")
         rare_wer, common_wer, _, _ = rare_word_error_rate(refs, hyps, rare)
         results[tag] = {"wer": wer, "rare_wer": rare_wer,
                         "common_wer": common_wer}
+        results_json.write_text(json.dumps(results, indent=1))
         log.info("%s: WER %.2f%% rare %.2f%% common %.2f%%",
                  tag, wer * 100, rare_wer * 100, common_wer * 100)
 
+    def arm(tag, make_hyps):
+        """Skip arms already scored (crash-resumable campaign)."""
+        if tag in results:
+            log.info("%s: cached %s", tag, results[tag])
+            return
+        score(tag, make_hyps())
+
     log.info("=== decode: greedy vs beam ===")
-    score("greedy", decode(base_exp, beam=1))
-    score("beam10", decode(base_exp, beam=10))
+    arm("greedy", lambda: decode(base_exp, beam=1))
+    arm("beam10", lambda: decode(base_exp, beam=10))
 
     if "lm" not in args.skip:
         log.info("=== LM fusion ===")
@@ -274,8 +296,9 @@ def main(argv=None):
                               batch_size=64),
             max_epoch=max(args.max_epoch // 2, 8), keep_nbest=3)
         LMTask.train(lm_cfg)
-        score("beam10_lm", decode(base_exp, beam=10,
-                                  lm_exp_dir=str(lm_exp), lm_weight=0.3))
+        arm("beam10_lm", lambda: decode(base_exp, beam=10,
+                                        lm_exp_dir=str(lm_exp),
+                                        lm_weight=0.3))
 
     if "tcpgen" not in args.skip:
         log.info("=== TCPGen training ===")
@@ -308,8 +331,9 @@ def main(argv=None):
                 return aug.wrap(base)
 
         Task.train(tcp_cfg)
-        score("tcpgen_nobias", decode(tcp_exp, beam=10))
-        score("tcpgen_bias", decode(tcp_exp, beam=10, biasing_words=rare))
+        arm("tcpgen_nobias", lambda: decode(tcp_exp, beam=10))
+        arm("tcpgen_bias",
+            lambda: decode(tcp_exp, beam=10, biasing_words=rare))
 
     if "mbr" not in args.skip:
         log.info("=== MBR fine-tune ===")
@@ -322,7 +346,7 @@ def main(argv=None):
             mbr=MBRConfig(weight=0.5, beam_size=4, max_len=24),
             max_epoch=args.max_epoch + args.mbr_epochs)
         ASRTask.train(mbr_cfg)  # resumes from the copied checkpoints
-        score("mbr_beam10", decode(mbr_exp, beam=10))
+        arm("mbr_beam10", lambda: decode(mbr_exp, beam=10))
 
     lines = [
         "# RESULTS — ablations on the hard synthetic corpus",

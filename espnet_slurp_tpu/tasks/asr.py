@@ -495,6 +495,8 @@ class ASRTask:
         from ..parallel.pipeline import PIPE_AXIS
         from ..parallel.pipelined_asr import (from_pipelined,
                                               make_pipelined_asr_train_step,
+                                              opt_state_from_pipelined,
+                                              opt_state_to_pipelined,
                                               pipelined_shardings,
                                               to_pipelined)
         from ..train.reporter import Reporter, SubReporter
@@ -508,22 +510,42 @@ class ASRTask:
         data_axis = "data" if ("data" in mesh.shape
                                and mesh.shape["data"] > 1) else None
         pp = to_pipelined(params, p)
-        pp = jax.tree.map(jax.device_put, pp, pipelined_shardings(pp, mesh))
+        sh = pipelined_shardings(pp, mesh)
+        pp = jax.tree.map(jax.device_put, pp, sh)
         state = TrainState.create(pp, tx, jax.random.PRNGKey(cfg.data.seed))
+        reporter = Reporter()
+        start_epoch = 1
+        latest = ckpt.latest_epoch()
+        if cfg.resume and latest:
+            # Checkpoints live in the regular flat layout; restore against
+            # a flat-state template, then convert both params and the
+            # param-mirrored optimizer subtrees back to {blocks, rest}.
+            flat_tpl = TrainState.create(from_pipelined(state.params), tx,
+                                         state.rng)
+            restored = ckpt.restore(latest, flat_tpl)
+            state = restored.replace(
+                params=jax.tree.map(jax.device_put,
+                                    to_pipelined(restored.params, p), sh),
+                opt_state=opt_state_to_pipelined(restored.opt_state, p))
+            reporter = ckpt.load_reporter()
+            start_epoch = latest + 1
+            log.info("resumed pipelined training from epoch %d", latest)
         step, _ = make_pipelined_asr_train_step(
             model, tx, mesh, n_micro=cfg.pipeline_microbatches,
             data_axis=data_axis, mvn_stats=mvn_stats)
         eval_step = make_eval_step(model, mvn_stats=mvn_stats)
-        reporter = Reporter()
-        for epoch in range(1, cfg.max_epoch + 1):
+        for epoch in range(start_epoch, cfg.max_epoch + 1):
             sub = SubReporter()
             for batch in train_if(epoch):
                 state, stats = step(state, batch)
                 sub.register({k: float(v) for k, v in stats.items()})
             reporter.observe(epoch, "train", sub.mean())
-            # eval + checkpoint in the regular single-program layout
-            flat = from_pipelined(state.params)
-            flat_state = state.replace(params=flat)
+            # eval + checkpoint in the regular single-program layout, with
+            # the optimizer state converted too so restore's flat template
+            # matches (ADVICE r3: mixed-layout checkpoints were unloadable).
+            flat_state = state.replace(
+                params=from_pipelined(state.params),
+                opt_state=opt_state_from_pipelined(state.opt_state))
             sub = SubReporter()
             for batch in valid_if(epoch):
                 stats = eval_step(flat_state, batch)

@@ -280,3 +280,156 @@ def test_pipelined_asr_task_e2e(tmp_path):
     wavs = read_2column_text(dev_dir / "wav.scp")
     wav, _ = load_wav(next(iter(wavs.values())))
     assert isinstance(s2t(wav), str)
+
+    # resume: bumping max_epoch restores epoch-1 state (params AND the
+    # converted optimizer layout) and trains only epoch 2
+    import dataclasses as _dc
+    import json
+    state2 = ASRTask.train(_dc.replace(cfg, max_epoch=2))
+    assert int(state2.step) > int(state.step)
+    rep = json.loads((tmp_path / "exp" / "reporter.json").read_text())
+    epochs = [h["epoch"] for h in rep["history"]]
+    assert epochs.count(2) == 1 and max(epochs) == 2
+
+
+@pytest.mark.slow
+def test_pipelined_asr_dropout_matches_serial_comparator():
+    """Pipelined TRAIN-mode loss (specaug + encoder-block dropout +
+    decoder dropout) equals a serial comparator that applies the SAME
+    per-(block, microbatch) dropout keys — regularization is real inside
+    the wavefront, not silently disabled (ADVICE r3 medium /
+    VERDICT r3 next-step #4)."""
+    import optax
+    from flax import linen as nn
+    from espnet_slurp_tpu.models.asr_model import (
+        ASRConfig, ASRModel, add_sos_eos, label_smoothing_loss)
+    from espnet_slurp_tpu.models.conformer import (
+        ConformerBlock, rel_positional_embedding)
+    from espnet_slurp_tpu.models.embedding import Conv2dSubsampling
+    from espnet_slurp_tpu.ops import ctc as ctc_ops
+    from espnet_slurp_tpu.ops.frontend import FrontendConfig, default_frontend
+    from espnet_slurp_tpu.ops.masks import attention_bias, length_mask
+    from espnet_slurp_tpu.ops.normalize import utterance_mvn
+    from espnet_slurp_tpu.ops.specaug import SpecAugConfig, specaug
+    from espnet_slurp_tpu.parallel.pipelined_asr import (
+        make_pipelined_asr_train_step, pipelined_shardings, to_pipelined)
+    from espnet_slurp_tpu.train.state import TrainState
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = Mesh(np.array(devs[:4]), (PIPE_AXIS,))
+
+    sa_cfg = SpecAugConfig(freq_mask_width_range=(0, 5),
+                           time_mask_width_range=(0, 8))
+    cfg = ASRConfig(vocab_size=12, d_model=16, n_head=2, d_ff=32,
+                    num_encoder_blocks=4, num_decoder_blocks=1,
+                    decoder_d_ff=32, kernel_size=7, dropout_rate=0.3,
+                    ctc_weight=0.3, flash_attention="off",
+                    frontend=FrontendConfig(n_fft=128, hop_length=64,
+                                            n_mels=16),
+                    specaug=sa_cfg)
+    model = ASRModel(cfg)
+    rng = np.random.RandomState(7)
+    batch = {
+        "speech": jnp.asarray(rng.randn(4, 3200).astype(np.float32) * 0.3),
+        "speech_lengths": jnp.asarray([3200, 3000, 2500, 3100]),
+        "text": jnp.asarray(rng.randint(1, 11, size=(4, 5)), jnp.int32),
+        "text_lengths": jnp.asarray([5, 4, 3, 5]),
+    }
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+
+    pp = to_pipelined(params, 4)
+    pp = jax.tree.map(jax.device_put, pp, pipelined_shardings(pp, mesh))
+    tx = optax.adam(1e-3)
+    state = TrainState.create(pp, tx, jax.random.PRNGKey(0))
+    n_micro = 2
+    _, loss_fn = make_pipelined_asr_train_step(
+        model, tx, mesh, n_micro=n_micro, data_axis=None)
+    rngs = {"specaug": jax.random.PRNGKey(11),
+            "encoder": jax.random.PRNGKey(22),
+            "decoder": jax.random.PRNGKey(33)}
+    got_loss, got_stats = loss_fn(state.params, batch, rngs)
+
+    # --- serial comparator: same keys, same per-microbatch block walk ---
+    c = cfg
+    feats, flens = default_frontend(batch["speech"],
+                                    batch["speech_lengths"], c.frontend)
+    feats = specaug(rngs["specaug"], feats, flens, sa_cfg)
+    feats = utterance_mvn(feats, flens).astype(c.jax_dtype)
+    sub = Conv2dSubsampling(c.d_model, c.jax_dtype,
+                            factor=c.subsampling_factor)
+    x = sub.apply({"params": params["encoder"]["embed"]}, feats)
+    olens = Conv2dSubsampling.out_length(flens, c.subsampling_factor)
+    t = x.shape[1]
+    x = x * jnp.sqrt(jnp.asarray(c.d_model, x.dtype))
+    pos = rel_positional_embedding(t, c.d_model, c.jax_dtype)
+    pad = length_mask(olens, t)
+    bias = attention_bias(pad[:, None, None, :])
+    block = ConformerBlock(c.d_model, c.n_head, c.d_ff, c.kernel_size,
+                           c.dropout_rate, c.jax_dtype, use_flash=False)
+    b = x.shape[0]
+    mb = b // n_micro
+    outs = []
+    for m in range(n_micro):
+        sl = slice(m * mb, (m + 1) * mb)
+        h = x[sl]
+        for l in range(c.num_encoder_blocks):
+            key = jax.random.fold_in(
+                jax.random.fold_in(rngs["encoder"], l), m)
+            h = block.apply({"params": params["encoder"][f"block_{l}"]},
+                            h, pos, bias[sl], pad[sl], False,
+                            rngs={"dropout": key}, lengths=olens[sl])
+        outs.append(h)
+    hs = jnp.concatenate(outs, axis=0)
+    hs = nn.LayerNorm(dtype=c.jax_dtype).apply(
+        {"params": params["encoder"]["after_norm"]}, hs)
+    hs = jnp.where(pad[..., None], hs, 0.0)
+
+    logits = model.apply({"params": params}, hs,
+                         method=lambda m_, h: m_.ctc_proj(h))
+    want_ctc = ctc_ops.ctc_loss_mean_logits(
+        logits, olens, jnp.maximum(batch["text"], 0),
+        batch["text_lengths"], c.blank_id)
+    ys_in, ys_out = add_sos_eos(jnp.maximum(batch["text"], 0),
+                                batch["text_lengths"], c.sos_id, c.eos_id)
+    dec_logits = model.apply(
+        {"params": params}, ys_in, batch["text_lengths"] + 1, hs, olens,
+        method=lambda m_, yi, yl, h, hl: m_.decoder_logits(
+            yi, yl, h, hl, train=True),
+        rngs={"dropout": rngs["decoder"]})
+    want_att, _ = label_smoothing_loss(dec_logits, ys_out, c.lsm_weight)
+    want = c.ctc_weight * want_ctc + (1.0 - c.ctc_weight) * want_att
+
+    np.testing.assert_allclose(float(got_stats["loss_ctc"]),
+                               float(want_ctc), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(got_stats["loss_att"]),
+                               float(want_att), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(got_loss), float(want),
+                               rtol=2e-4, atol=2e-5)
+    # and dropout/specaug genuinely change the loss vs deterministic
+    det_loss, _ = loss_fn(state.params, batch)
+    assert abs(float(det_loss) - float(got_loss)) > 1e-4
+
+
+def test_pipelined_opt_state_layout_roundtrip():
+    """Checkpoint layout converters: the pipelined {blocks, rest} optimizer
+    state converts to the flat layout (matching a flat template for
+    CheckpointManager.restore) and back losslessly (ADVICE r3 medium)."""
+    import optax
+    from espnet_slurp_tpu.parallel.pipelined_asr import (
+        from_pipelined, opt_state_from_pipelined, opt_state_to_pipelined,
+        to_pipelined)
+
+    model, params, batch = _tiny_asr()
+    pp = to_pipelined(params, 2)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-3))
+    opt_pp = tx.init(pp)
+    opt_flat = opt_state_from_pipelined(opt_pp)
+    # flat layout must match a template built from flat params
+    tpl = tx.init(from_pipelined(pp))
+    assert (jax.tree.structure(opt_flat) == jax.tree.structure(tpl))
+    back = opt_state_to_pipelined(opt_flat, 2)
+    assert jax.tree.structure(back) == jax.tree.structure(opt_pp)
+    for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(opt_pp)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
