@@ -212,6 +212,10 @@ def batch_beam_search(
             fin = ctc_prefix.final_score(st.ctc, h_lengths_beam)  # [N]
             is_eos = cand == eos
             ctc_cand = jnp.where(is_eos, fin[:, None], psi_new)
+            # blank is not a valid prefix extension: the reference zeroes
+            # it out of the candidate scores (ctc_prefix_score.py:185-186,
+            # 352-353 log_psi[:, blank] = logzero)
+            ctc_cand = jnp.where(cand == mcfg.blank_id, neg, ctc_cand)
             delta = delta + w_ctc * (ctc_cand - st.ctc.psi[:, None])
         delta = delta + cfg.length_bonus
 

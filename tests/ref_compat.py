@@ -134,6 +134,31 @@ def install_shims() -> None:
             return _orig_mpm(lengths, xs, length_dim)
 
         _nu.make_pad_mask = make_pad_mask
+    # Fork bug #5: espnet2 asr/transducer/beam_search_transducer.py imports
+    # select_k_expansions/subtract which the fork's older v1 transducer
+    # utils predate (they exist in upstream espnet; only NSC/mAES/ALSD use
+    # them). Provide functional equivalents so the module imports.
+    import espnet.nets.pytorch_backend.transducer.utils as _tu
+    if not hasattr(_tu, "select_k_expansions"):
+        def select_k_expansions(hyps, topk_idxs, topk_logps, gamma, beta):
+            k_expansions = []
+            for i, hyp in enumerate(hyps):
+                hyp_i = [(int(k), hyp.score + float(v))
+                         for k, v in zip(topk_idxs[i], topk_logps[i])]
+                k_best = max(hyp_i, key=lambda x: x[1])[1]
+                k_expansions.append(sorted(
+                    [(k, v) for k, v in hyp_i if v >= (k_best - gamma)],
+                    key=lambda x: x[1], reverse=True))
+            return k_expansions
+
+        _tu.select_k_expansions = select_k_expansions
+    if not hasattr(_tu, "subtract"):
+        def subtract(x, subset):
+            final = [h for h in x
+                     if all(h.yseq != s.yseq for s in subset)]
+            return final
+
+        _tu.subtract = subtract
     try:
         import editdistance  # noqa: F401
     except ImportError:
@@ -331,3 +356,43 @@ def transformer_decoder(mod) -> dict:
             "ff": feed_forward(layer.feed_forward),
         }
     return params
+
+
+def lstm_cell(torch_lstm, layer: int = 0) -> dict:
+    """torch.nn.LSTM layer -> flax OptimizedLSTMCell params.
+
+    torch packs gates (i, f, g, o) row-blocks in weight_ih/hh; flax splits
+    them into per-gate Dense kernels `i{g}` (no bias) and `h{g}` (bias =
+    bias_ih + bias_hh)."""
+    wi = t2n(getattr(torch_lstm, f"weight_ih_l{layer}"))  # [4H, In]
+    wh = t2n(getattr(torch_lstm, f"weight_hh_l{layer}"))  # [4H, H]
+    bi = t2n(getattr(torch_lstm, f"bias_ih_l{layer}"))
+    bh = t2n(getattr(torch_lstm, f"bias_hh_l{layer}"))
+    h = wh.shape[1]
+    out = {}
+    for gi, g in enumerate(("i", "f", "g", "o")):
+        sl = slice(gi * h, (gi + 1) * h)
+        out[f"i{g}"] = {"kernel": wi[sl].T}
+        out[f"h{g}"] = {"kernel": wh[sl].T, "bias": bi[sl] + bh[sl]}
+    return out
+
+
+def transducer_prediction(dec) -> dict:
+    """espnet2/asr/decoder/transducer_decoder.py TransducerDecoder ->
+    repo models/transducer.py PredictionNetwork params."""
+    out = {"embed": {"embedding": t2n(dec.embed.weight)}}
+    for i, lstm in enumerate(dec.decoder):
+        out[f"rnn_{i}"] = {"cell": lstm_cell(lstm)}
+    return out
+
+
+def transducer_joint(j) -> dict:
+    """espnet2/asr_transducer/joint_network.py JointNetwork -> repo
+    JointNetwork params (reference lin_dec has no bias -> zero bias)."""
+    return {
+        "lin_enc": linear(j.lin_enc),
+        "lin_pred": {"kernel": t2n(j.lin_dec.weight).T,
+                     "bias": np.zeros(j.lin_dec.weight.shape[0],
+                                      np.float32)},
+        "lin_out": linear(j.lin_out),
+    }

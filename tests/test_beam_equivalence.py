@@ -201,7 +201,10 @@ def python_joint_beam(model, params, hs, h_lengths, beam, max_len, *,
                 new_ctc = ctc_st
                 if ctc_lp is not None:
                     r_nb, r_b, psi_prev = ctc_st
-                    if v == eos:
+                    if v == 0:  # blank is not a valid prefix extension
+                        delta += ctc_weight * -1e30  # (ctc_prefix_score.py
+                        # :185-186 log_psi[:, blank] = logzero)
+                    elif v == eos:
                         fin = np.logaddexp(r_nb[-1], r_b[-1])
                         delta += ctc_weight * (fin - psi_prev)
                     else:

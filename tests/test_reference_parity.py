@@ -480,3 +480,191 @@ def test_tcpgen_pointer_parity():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(ptr), ptr_ref.numpy(),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# 9. Hypothesis-level beam-search parity: same converted weights, same
+#    encoder output -> the reference BeamSearch (espnet/nets/beam_search.py
+#    :281-408, decoder + CTC prefix + length bonus) and the repo's
+#    batched lax.while_loop search return the same n-best tokens + scores.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_beam_search_hypothesis_parity():
+    from espnet.nets.beam_search import BeamSearch as RefBeamSearch
+    from espnet.nets.scorers.ctc import CTCPrefixScorer as RefCTCScorer
+    from espnet.nets.scorers.length_bonus import LengthBonus
+    from espnet2.asr.ctc import CTC as RefCTC
+    from espnet2.asr.decoder.transformer_decoder import (
+        TransformerDecoder as RefDecoder,
+    )
+    from espnet_slurp_tpu.decode.beam import (BeamSearchConfig,
+                                              batch_beam_search)
+    from espnet_slurp_tpu.models.asr_model import ASRConfig, ASRModel
+    from espnet_slurp_tpu.ops.frontend import FrontendConfig
+
+    v, d, h, d_ff, blocks, t_enc = 14, 32, 2, 64, 2, 24
+    sos = eos = v - 1
+    torch.manual_seed(SEED)
+    ref_dec = RefDecoder(vocab_size=v, encoder_output_size=d,
+                         attention_heads=h, linear_units=d_ff,
+                         num_blocks=blocks, dropout_rate=0.0,
+                         positional_dropout_rate=0.0,
+                         self_attention_dropout_rate=0.0,
+                         src_attention_dropout_rate=0.0)
+    ref_ctc = RefCTC(odim=v, encoder_output_size=d, dropout_rate=0.0)
+    g = _rng()
+    for p in list(ref_dec.parameters()) + list(ref_ctc.parameters()):
+        p.data.uniform_(-0.25, 0.25, generator=g)
+    # nudge eos up so every beam terminates naturally well before maxlen
+    # (the reference scores a maxlen-forced eos differently: it appends
+    # eos WITHOUT a decoder step, beam_search.py:437-443)
+    ref_dec.output_layer.bias.data[eos] += 1.5
+    ref_dec.eval()
+    ref_ctc.eval()
+
+    rng = _np_rng()
+    hs = rng.standard_normal((1, t_enc, d)).astype(np.float32)
+
+    ctc_weight, bonus, beam = 0.3, 0.4, 4
+    ref_bs = RefBeamSearch(
+        scorers={"decoder": ref_dec,
+                 "ctc": RefCTCScorer(ctc=ref_ctc, eos=eos),
+                 "length_bonus": LengthBonus(v)},
+        weights={"decoder": 1.0 - ctc_weight, "ctc": ctc_weight,
+                 "length_bonus": bonus},
+        beam_size=beam, vocab_size=v, sos=sos, eos=eos,
+        pre_beam_ratio=100.0, pre_beam_score_key="full")
+    with torch.no_grad():
+        # maxlenratio > 0 disables end_detect's early stop; 2*t_enc frames
+        # is far beyond natural eos here
+        nbest = ref_bs.forward(torch.from_numpy(hs[0]), maxlenratio=2.0)
+
+    cfg = ASRConfig(vocab_size=v, d_model=d, n_head=h, d_ff=d_ff,
+                    num_encoder_blocks=1, num_decoder_blocks=blocks,
+                    decoder_d_ff=d_ff, kernel_size=7, dropout_rate=0.0,
+                    ctc_weight=ctc_weight, flash_attention="off",
+                    frontend=FrontendConfig(n_fft=128, hop_length=64,
+                                            n_mels=16),
+                    specaug=None)
+    model = ASRModel(cfg)
+    batch = {
+        "speech": jnp.asarray(rng.standard_normal((1, 1600)),
+                              jnp.float32) * 0.1,
+        "speech_lengths": jnp.asarray([1600]),
+        "text": jnp.asarray([[1, 2, 3]], jnp.int32),
+        "text_lengths": jnp.asarray([3]),
+    }
+    params = dict(model.init(jax.random.PRNGKey(0), **batch)["params"])
+    params["decoder"] = ref_compat.transformer_decoder(ref_dec)
+    params["ctc"] = ref_compat.linear(ref_ctc.ctc_lo)
+
+    bcfg = BeamSearchConfig(beam_size=beam, pre_beam_size=v,
+                            max_len=2 * t_enc, ctc_weight=ctc_weight,
+                            length_bonus=bonus)
+    tokens, lengths, nb_tokens, nb_lengths, nb_scores = batch_beam_search(
+        model, params, jnp.asarray(hs), jnp.asarray([t_enc]), bcfg,
+        return_nbest=True)
+
+    # top-1: same token sequence, same total score
+    want = [int(x) for x in nbest[0].yseq[1:-1]]  # strip sos/eos
+    got = [int(x) for x in np.asarray(tokens[0])[: int(lengths[0])]]
+    assert got == want, (got, want)
+    np.testing.assert_allclose(float(nb_scores[0, 0]),
+                               float(nbest[0].score), rtol=1e-3, atol=1e-3)
+    # n-best prefix: compare as score-sorted SETS over the top 3 (ties in
+    # total score can swap adjacent ranks between implementations)
+    k_cmp = min(3, len(nbest))
+    ref_set = {(tuple(int(x) for x in h_.yseq[1:-1]),
+                round(float(h_.score), 3)) for h_ in nbest[:k_cmp]}
+    mine_set = set()
+    for j in range(k_cmp):
+        lj = int(nb_lengths[0, j])
+        mine_set.add((tuple(int(x) for x in np.asarray(nb_tokens[0, j])[:lj]),
+                      round(float(nb_scores[0, j]), 3)))
+    assert mine_set == ref_set, (mine_set, ref_set)
+
+
+# ---------------------------------------------------------------------------
+# 10. Transducer `default` beam parity: converted prediction-net (LSTM) +
+#     joint weights, same encoder output -> reference default_beam_search
+#     (beam_search_transducer.py:255-355) and the repo's fixed-pool
+#     redesign return the same best hypothesis (bounds the documented
+#     deviations: expansion cap, kept-pool top-K truncation).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_transducer_default_beam_parity():
+    from espnet2.asr.decoder.transducer_decoder import (
+        TransducerDecoder as RefTDecoder,
+    )
+    from espnet2.asr.transducer.beam_search_transducer import (
+        BeamSearchTransducer,
+    )
+    from espnet2.asr_transducer.joint_network import (
+        JointNetwork as RefJoint,
+    )
+    from espnet_slurp_tpu.decode.transducer_beam import (DefaultBeamConfig,
+                                                         default_beam_search)
+    from espnet_slurp_tpu.models.asr_model import ASRConfig
+    from espnet_slurp_tpu.models.transducer import (TransducerConfig,
+                                                    TransducerModel)
+    from espnet_slurp_tpu.ops.frontend import FrontendConfig
+
+    v, d, t_enc = 10, 16, 9
+    torch.manual_seed(SEED)
+    ref_dec = RefTDecoder(vocab_size=v, rnn_type="lstm", num_layers=1,
+                          hidden_size=d, dropout=0.0, dropout_embed=0.0)
+    ref_joint = RefJoint(output_size=v, encoder_size=d, decoder_size=d,
+                         joint_space_size=d)
+    g = _rng()
+    for p in list(ref_dec.parameters()) + list(ref_joint.parameters()):
+        p.data.uniform_(-0.4, 0.4, generator=g)
+    ref_dec.eval()
+    ref_joint.eval()
+
+    cfg = TransducerConfig(
+        asr=ASRConfig(vocab_size=v, d_model=d, n_head=2, d_ff=32,
+                      num_encoder_blocks=1, kernel_size=7, dropout_rate=0.0,
+                      ctc_weight=0.0, flash_attention="off",
+                      frontend=FrontendConfig(n_fft=128, hop_length=64,
+                                              n_mels=16),
+                      specaug=None),
+        prediction="lstm", pred_layers=1, pred_dim=d, joint_dim=d)
+    model = TransducerModel(cfg)
+    rng = _np_rng()
+    batch = {
+        "speech": jnp.asarray(rng.standard_normal((1, 1600)),
+                              jnp.float32) * 0.1,
+        "speech_lengths": jnp.asarray([1600]),
+        "text": jnp.asarray([[1, 2, 3]], jnp.int32),
+        "text_lengths": jnp.asarray([3]),
+    }
+    params = dict(model.init(jax.random.PRNGKey(0), **batch)["params"])
+    params["prediction"] = ref_compat.transducer_prediction(ref_dec)
+    params["joint"] = ref_compat.transducer_joint(ref_joint)
+
+    # module-level guard: converted LSTM prediction net == reference
+    seq = np.array([[0, 3, 1, 4, 2]], np.int64)
+    with torch.no_grad():
+        emb = ref_dec.embed(torch.from_numpy(seq))
+        ref_g, _ = ref_dec.decoder[0](emb)
+    mine_g = model.apply({"params": params}, jnp.asarray(seq),
+                         method=lambda m, s: m.prediction(s))
+    np.testing.assert_allclose(np.asarray(mine_g), ref_g.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+    hs = rng.standard_normal((1, t_enc, d)).astype(np.float32) * 1.5
+    beam = 4
+    ref_bs = BeamSearchTransducer(decoder=ref_dec, joint_network=ref_joint,
+                                  beam_size=beam, search_type="default",
+                                  score_norm=False, nbest=beam)
+    with torch.no_grad():
+        nbest = ref_bs(torch.from_numpy(hs[0]))
+    want = [int(x) for x in nbest[0].yseq[1:]]  # strip leading blank
+
+    tokens, lengths = default_beam_search(
+        model, params, jnp.asarray(hs), jnp.asarray([t_enc]),
+        DefaultBeamConfig(beam_size=beam, max_len=16, max_expansions=12))
+    got = [int(x) for x in np.asarray(tokens[0])[: int(lengths[0])]]
+    assert got == want, (got, want)
