@@ -50,16 +50,27 @@ def main(argv=None):
                       ngram_file=args.ngram_file,
                       ngram_weight=args.ngram_weight,
                       ctc_timesync=args.ctc_timesync)
-    wavs = read_2column_text(Path(args.data_dir) / "wav.scp")
     hyps = {}
     audio_sec = 0.0
     decode_sec = 0.0
     # Sort by duration and decode in batches: one batched beam-search call
     # per group (length-sorted so pad waste inside a batch stays low).
     loaded = []
-    for uid, path in wavs.items():
-        wav, sr = load_wav(path)
-        loaded.append((uid, wav, sr))
+    if s2t.cfg.data.feats_type == "ssl":
+        # externally-dumped SSL features: decode straight from feats.scp
+        # (s3prl.py frontends have no in-framework wav path)
+        import numpy as np
+        feats = read_2column_text(Path(args.data_dir) / "feats.scp")
+        for uid, path in feats.items():
+            mat = np.load(path)
+            # frame rate unknown for external dumps; report RTF per ~100
+            # frames/s so the log keeps a comparable scale
+            loaded.append((uid, mat, 100))
+    else:
+        wavs = read_2column_text(Path(args.data_dir) / "wav.scp")
+        for uid, path in wavs.items():
+            wav, sr = load_wav(path)
+            loaded.append((uid, wav, sr))
     loaded.sort(key=lambda x: len(x[1]))
     with DatadirWriter(args.output_dir) as w:
         for i in range(0, len(loaded), args.batch_size):

@@ -37,6 +37,7 @@ def build_batches(
     drop_last: bool = False,
     fold_length: Optional[Sequence[int]] = None,
     utt2category: Optional[Dict[str, str]] = None,
+    batch_size_multiple: int = 1,
 ) -> List[List[str]]:
     """Build the global batch list (rank sharding happens later, like
     abs_task.py:1533-1542 but per-host slices of each batch).
@@ -53,6 +54,13 @@ def build_batches(
       - 'numel': greedy bins by sum of padded elements (batch_bins budget)
     utt2category: optional {uttid: category} — batches never mix
     categories (samplers/category_balanced_sampler / utt2category file).
+    batch_size_multiple: round every 'length'/'numel' batch's size DOWN to
+    a multiple (the trimmed tail — the batch's shortest utts in the
+    descending order — carries into the next batch; the final batch stays
+    ragged). Bounds XLA recompilation: padded lengths are already
+    geometric buckets, so with B also bucketed the compile count is
+    O(buckets), not O(distinct packed sizes). TPU addition, no reference
+    analogue (torch pays no recompile cost).
     """
     keys = sorted(shapes[0], key=lambda k: -shapes[0][k][0])
     if utt2category is not None:
@@ -67,7 +75,8 @@ def build_batches(
                 sub_shapes, batch_type=batch_type, batch_size=batch_size,
                 batch_bins=batch_bins, sort_in_batch=sort_in_batch,
                 min_batch_size=min_batch_size, drop_last=drop_last,
-                fold_length=fold_length))
+                fold_length=fold_length,
+                batch_size_multiple=batch_size_multiple))
         return out
     if batch_type == "unsorted":
         keys = sorted(shapes[0])
@@ -106,7 +115,7 @@ def build_batches(
                 cur = cand
         if cur and not drop_last:
             batches.append(cur)
-        return batches
+        return _apply_batch_multiple(batches, batch_size_multiple)
     if batch_type != "numel":
         raise ValueError(f"unknown batch_type {batch_type}")
 
@@ -127,7 +136,29 @@ def build_batches(
             cur = cand
     if cur and not drop_last:
         batches.append(cur)
-    return batches
+    return _apply_batch_multiple(batches, batch_size_multiple)
+
+
+def _apply_batch_multiple(batches: List[List[str]],
+                          m: int) -> List[List[str]]:
+    """Round each batch's size down to a multiple of m, carrying the tail
+    (the shortest utts of that batch in descending order) into the next
+    batch; the final batch keeps its ragged size (one extra compile)."""
+    if m <= 1:
+        return batches
+    out: List[List[str]] = []
+    carry: List[str] = []
+    for b in batches:
+        b = carry + b
+        keep = (len(b) // m) * m
+        if keep == 0:
+            carry = b
+            continue
+        out.append(b[:keep])
+        carry = b[keep:]
+    if carry:
+        out.append(carry)
+    return out
 
 
 def round_up(x: int, m: int) -> int:

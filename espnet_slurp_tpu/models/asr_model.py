@@ -44,6 +44,13 @@ class ASRConfig:
     # Feature width of the dump (reference --input_size); 0 = frontend
     # n_mels. fbank_pitch dumps are n_mels + 1.
     input_feats_dim: int = 0
+    # Externally-dumped SSL features (S3prlFrontend analogue,
+    # espnet2/asr/frontend/s3prl.py): > 0 means `speech` is a
+    # [B, T, ssl_num_layers, D] multi-layer hidden-state dump
+    # (bin/ssl_dump.py) collapsed by a learned softmax layer weighting —
+    # the s3prl Featurizer. Requires input_feats=True; pair with
+    # preencoder="linear" for a projection to the encoder width.
+    ssl_num_layers: int = 0
     # Longformer sliding-window half-width (frames after x4 subsampling).
     attention_window: int = 64
     # Contextual-block encoder geometry (contextual_block_conformer_encoder
@@ -309,6 +316,10 @@ class ASRModel(nn.Module):
                 length_adaptor_n_layers=c.postencoder_length_adaptor,
                 hf_dir=c.postencoder_hf_dir, dtype=c.jax_dtype,
                 name="postencoder")
+        if c.ssl_num_layers > 0:
+            self.ssl_layer_weights = self.param(
+                "ssl_layer_weights", nn.initializers.zeros,
+                (c.ssl_num_layers,))
         self.ctc_proj = nn.Dense(c.vocab_size, dtype=c.jax_dtype, name="ctc")
         if c.decoder == "rnn":
             from .rnn_decoder import RNNDecoder
@@ -354,6 +365,13 @@ class ASRModel(nn.Module):
             # Precomputed features (asr.sh feats_type=fbank stage-3 dump):
             # [B, T, D] straight past the frontend.
             feats, feat_lengths = speech.astype(jnp.float32), speech_lengths
+            if c.ssl_num_layers > 0:
+                # Multi-layer SSL dump [B, T, L, D] -> learned softmax
+                # layer weighting (the s3prl Featurizer inside
+                # S3prlFrontend, s3prl.py multilayer_feature).
+                w = jax.nn.softmax(self.ssl_layer_weights.astype(
+                    jnp.float32))
+                feats = jnp.einsum("btld,l->btd", feats, w)
         elif speech.ndim == 3:
             # Multichannel [B, N, C]: WPE/MVDR enhancement before log-mel
             # (DefaultFrontend use_wpe/use_beamformer path,

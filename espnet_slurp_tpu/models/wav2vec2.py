@@ -121,8 +121,14 @@ class Wav2Vec2Encoder(nn.Module):
         return z, x, lens
 
     @nn.compact
-    def contextualize(self, x, lengths, deterministic=True):
-        """Projected latents -> transformer states (HF post-LN blocks)."""
+    def contextualize(self, x, lengths, deterministic=True,
+                      collect_layers=False):
+        """Projected latents -> transformer states (HF post-LN blocks).
+
+        collect_layers=True additionally returns the per-layer hidden
+        states stacked as [B, T, num_blocks + 1, D] (block inputs + final)
+        — the s3prl "hidden_states" surface used by multilayer SSL
+        frontends (s3prl.py S3prlFrontend multilayer_feature)."""
         c = self.cfg
         t = x.shape[1]
         pos = self.pos_conv(x)
@@ -134,6 +140,7 @@ class Wav2Vec2Encoder(nn.Module):
         mask = length_mask(lengths, t)
         bias = attention_bias(mask[:, None, None, :])
         from .attention import MultiHeadAttention
+        layers = [x]
         for i in range(c.num_blocks):
             h = MultiHeadAttention(c.n_head, c.d_model, c.dropout_rate,
                                    c.jax_dtype, name=f"attn_{i}")(
@@ -145,12 +152,24 @@ class Wav2Vec2Encoder(nn.Module):
                          name=f"ff2_{i}")(nn.gelu(h, approximate=False))
             x = nn.LayerNorm(epsilon=1e-5, dtype=c.jax_dtype,
                              name=f"norm2_{i}")(x + h)
-        return jnp.where(mask[..., None], x, 0.0)
+            layers.append(x)
+        out = jnp.where(mask[..., None], x, 0.0)
+        if collect_layers:
+            stacked = jnp.stack(layers, axis=2)  # [B, T, L+1, D]
+            return out, jnp.where(mask[..., None, None], stacked, 0.0)
+        return out
 
     def __call__(self, speech, speech_lengths, deterministic=True):
         _, x, lens = self.extract(speech, speech_lengths)
         hs = self.contextualize(x, lens, deterministic)
         return hs, lens, ()
+
+    def layer_states(self, speech, speech_lengths):
+        """Raw waveform -> ([B, T, L, D] all-layer hiddens, [B] lengths):
+        the SSL feature-dump surface (bin/ssl_dump.py)."""
+        _, x, lens = self.extract(speech, speech_lengths)
+        _, stacked = self.contextualize(x, lens, True, collect_layers=True)
+        return stacked, lens
 
 
 def span_mask(rng, b, t, lengths, mask_prob, mask_span):

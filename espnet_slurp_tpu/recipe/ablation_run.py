@@ -213,7 +213,11 @@ def main(argv=None):
     data_kw = dict(train_dir=str(train_dir), valid_dir=str(dev_dir),
                    token_type="bpe", bpe_vocab_size=400,
                    batch_type="numel", batch_bins=1_500_000,
-                   speech_bucket_multiple=8192, text_bucket_multiple=8)
+                   speech_bucket_multiple=8192, text_bucket_multiple=8,
+                   # B bucketed to multiples of 8: bounds remote-compile
+                   # count to O(length buckets) — the axon tunnel pays
+                   # ~30-60 s per XLA compile
+                   batch_size_multiple=8)
     cfg = ASRTaskConfig(
         exp_dir=str(base_exp), model=ASRConfig(**model_kw),
         optim=OptimConfig(lr=2e-3, scheduler="warmuplr", warmup_steps=1500),

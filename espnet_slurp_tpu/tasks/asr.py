@@ -67,6 +67,10 @@ class DataConfig:
     batch_bins: int = 2_000_000
     speech_bucket_multiple: int = 4096
     text_bucket_multiple: int = 8
+    # Round numel/length batch sizes down to this multiple (tail carries
+    # into the next batch) so B is bucketed like the padded lengths —
+    # bounds XLA recompilation to O(buckets) shapes (data/sampler.py).
+    batch_size_multiple: int = 1
     num_iters_per_epoch: Optional[int] = None
     seed: int = 0
 
@@ -155,7 +159,9 @@ class ASRTask:
                       multichannel: bool = False,
                       feats_type: str = "raw") -> SpeechDataset:
         sound_type = "sound_mc" if multichannel else "sound"
-        if feats_type in ("fbank", "fbank_pitch"):
+        if feats_type in ("fbank", "fbank_pitch", "ssl"):
+            # "ssl": externally-dumped [T, D] or [T, L, D] SSL hiddens
+            # (bin/ssl_dump.py; s3prl.py S3prlFrontend analogue)
             speech_stream = (str(Path(data_dir) / "feats.scp"), "speech",
                              "npy")
         else:
@@ -233,7 +239,8 @@ class ASRTask:
         batches = build_batches(
             [speech_shapes, text_shapes], batch_type=data.batch_type,
             batch_size=data.batch_size, batch_bins=data.batch_bins,
-            min_batch_size=world, utt2category=u2c)
+            min_batch_size=world, utt2category=u2c,
+            batch_size_multiple=data.batch_size_multiple)
         divisor = max(batch_divisor, world)
         if divisor > 1:
             def align(b):
@@ -343,7 +350,8 @@ class ASRTask:
             # (stage-3 dump path). D must match the dump exactly — the
             # subsampling output projection width depends on it.
             d = cfg.input_feats_dim or cfg.frontend.n_mels
-            shape = (b, 64, d)
+            shape = ((b, 64, cfg.ssl_num_layers, d)
+                     if cfg.ssl_num_layers > 0 else (b, 64, d))
             n = 64
         elif cfg.use_beamformer or cfg.use_wpe:
             shape = (b, n, 2)
@@ -730,10 +738,18 @@ class Speech2Text:
             self._decode_jit = self._build_decode()
         from ..data.sampler import bucket_length
         if self.cfg.model.input_feats:
-            # feats_type=fbank model: convert waveforms to the same dumped
-            # features host-side (recipe stage3_dump_feats) so the wav-in
-            # text-out surface is unchanged (asr.sh:472-543 decode side).
-            speeches = [self._wav_to_feats(s) for s in speeches]
+            if self.cfg.data.feats_type == "ssl":
+                # SSL dumps come from an external model; callers pass the
+                # dumped [T, D] / [T, L, D] matrices directly
+                # (bin/asr_inference reads feats.scp for this config).
+                assert all(s.ndim >= 2 for s in speeches), \
+                    "feats_type=ssl decode consumes dumped feature matrices"
+            else:
+                # feats_type=fbank model: convert waveforms to the same
+                # dumped features host-side (recipe stage3_dump_feats) so
+                # the wav-in text-out surface is unchanged (asr.sh:472-543
+                # decode side).
+                speeches = [self._wav_to_feats(s) for s in speeches]
         b = len(speeches)
         # bucket batch size (1, 2, 4, 8, ...) to bound recompilation
         bb = 1

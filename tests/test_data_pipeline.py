@@ -242,3 +242,28 @@ def test_numeric_text_loader_types(tmp_path):
     np.testing.assert_allclose(d["d"], [0.25, 0.75])
     np.testing.assert_array_equal(d["e"], [1, 2, 3])
     assert d["a"].dtype == np.int64 and d["d"].dtype == np.float32
+
+
+def test_batch_size_multiple_buckets_numel_batches():
+    """batch_size_multiple rounds numel-packed batch sizes down to the
+    multiple, carrying tails forward; nothing is dropped, order stays
+    descending, and only the last batch may be ragged (bounds XLA
+    recompile count — data/sampler.py _apply_batch_multiple)."""
+    from espnet_slurp_tpu.data.sampler import build_batches
+    rng = np.random.RandomState(0)
+    shapes = [{f"u{i:03d}": (int(rng.randint(50, 400)),)
+               for i in range(137)}]
+    base = build_batches(shapes, batch_type="numel", batch_bins=3000)
+    got = build_batches(shapes, batch_type="numel", batch_bins=3000,
+                        batch_size_multiple=8)
+    # every batch except the last is a multiple of 8
+    assert all(len(b) % 8 == 0 for b in got[:-1])
+    # same utterances overall, each exactly once
+    flat_base = [u for b in base for u in b]
+    flat_got = [u for b in got for u in b]
+    assert sorted(flat_base) == sorted(flat_got)
+    # global descending length order preserved
+    lens = [shapes[0][u][0] for u in flat_got]
+    assert lens == sorted(lens, reverse=True)
+    # distinct batch sizes collapse to far fewer values
+    assert len({len(b) for b in got}) <= len({len(b) for b in base})
