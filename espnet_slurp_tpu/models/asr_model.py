@@ -442,6 +442,31 @@ class ASRModel(nn.Module):
         return jax.nn.log_softmax(
             self.ctc_proj(hs).astype(jnp.float32), axis=-1)
 
+    def _ctc_loss_mean(self, hs, h_lengths, text, text_lengths):
+        """Batch-mean CTC loss from encoder states.
+
+        On TPU (128-aligned width): the fused-head Pallas kernel
+        (ops/pallas/ctc_head.py) — projection + logsumexp + label gather
+        in VMEM, so the [B, T, V] logits never reach HBM (~4 GB/step at
+        the 17x512 config, PERF_NOTES round-3 census). Elsewhere: the
+        plain projection + fused-emit path.
+        """
+        import os
+        c = self.cfg
+        labels = jnp.maximum(text, 0)
+        if (jax.default_backend() == "tpu" and hs.shape[-1] % 128 == 0
+                # A/B kill switch for perf attribution (tools/)
+                and os.environ.get("ESPNET_TPU_NO_FUSED_CTC_HEAD") != "1"):
+            from ..ops.pallas.ctc_head import ctc_loss_pallas_head
+            _ = self.ctc_proj(hs[:, :1])  # materialize shared params
+            p = self.ctc_proj.variables["params"]
+            per = ctc_loss_pallas_head(hs, p["kernel"], p["bias"],
+                                       h_lengths, labels, text_lengths,
+                                       c.blank_id)
+            return jnp.sum(per) / per.shape[0]
+        return ctc_ops.ctc_loss_mean_logits(self.ctc_proj(hs), h_lengths,
+                                            labels, text_lengths, c.blank_id)
+
     def decoder_logits(self, ys_in, ys_in_lengths, hs, h_lengths, train=False):
         return self.decoder(ys_in, ys_in_lengths, hs, h_lengths,
                             deterministic=not train)
@@ -482,20 +507,20 @@ class ASRModel(nn.Module):
             loss = loss + c.moe_aux_weight * moe_aux
         if c.ctc_weight > 0.0:
             # Fused gather+logsumexp CTC: no f32 [B,T,V] log-softmax buffer.
-            loss_ctc = ctc_ops.ctc_loss_mean_logits(
-                self.ctc_proj(hs), h_lengths, jnp.maximum(text, 0),
-                text_lengths, c.blank_id)
+            loss_ctc = self._ctc_loss_mean(hs, h_lengths, text, text_lengths)
             stats["loss_ctc"] = loss_ctc
             if c.interctc_weight > 0.0 and ctc_taps:
                 inter_loss = 0.0
                 for _, xs in ctc_taps:
                     # With self-conditioning the taps already carry the
                     # encoder's shared-head logits (conformer.py sc_ctc).
-                    tap_logits = xs if c.self_conditioning \
-                        else self.ctc_proj(xs)
-                    inter_loss += ctc_ops.ctc_loss_mean_logits(
-                        tap_logits, h_lengths, jnp.maximum(text, 0),
-                        text_lengths, c.blank_id)
+                    if c.self_conditioning:
+                        inter_loss += ctc_ops.ctc_loss_mean_logits(
+                            xs, h_lengths, jnp.maximum(text, 0),
+                            text_lengths, c.blank_id)
+                    else:
+                        inter_loss += self._ctc_loss_mean(
+                            xs, h_lengths, text, text_lengths)
                 inter_loss /= len(ctc_taps)
                 stats["loss_interctc"] = inter_loss
                 loss_ctc = ((1.0 - c.interctc_weight) * loss_ctc

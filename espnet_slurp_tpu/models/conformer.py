@@ -76,30 +76,68 @@ class ConvModule(nn.Module):
     kernel_size: int = 31
     causal: bool = False  # streaming: no future leakage through the conv
     dtype: jnp.dtype = jnp.float32
-    # "layer" (TPU default, batch-stat-free) or "batch": frozen-running-stats
-    # BatchNorm matching the reference's eval-mode nn.BatchNorm1d — used for
-    # numerical parity against reference checkpoints/modules.
+    # "layer" (TPU default, batch-stat-free) or "batch": BatchNorm matching
+    # the reference's nn.BatchNorm1d — used for numerical parity against
+    # reference checkpoints/modules. bn_train_stats=False normalizes by the
+    # FROZEN running stats (torch eval mode); True normalizes by the batch's
+    # own statistics (torch train mode; apply with mutable=["batch_stats"]).
     norm_type: str = "layer"
+    bn_train_stats: bool = False
+    # Fused Pallas path (ops/pallas/conv_module.py): the whole
+    # GLU→depthwise→norm→swish chain tile-by-tile in VMEM so none of the
+    # five per-block intermediates reach HBM (~8.5 GB/step at the 17x512
+    # config — PERF_NOTES round-3 census).
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, pad_mask=None):
-        h = nn.Dense(2 * self.d_model, dtype=self.dtype, name="pointwise1")(x)
+        pw1 = nn.Dense(2 * self.d_model, dtype=self.dtype, name="pointwise1")
+        pad = [(self.kernel_size - 1, 0)] if self.causal else "SAME"
+        dw = nn.Conv(self.d_model, (self.kernel_size,), padding=pad,
+                     feature_group_count=self.d_model, dtype=self.dtype,
+                     name="depthwise")
+        if self.norm_type == "batch":
+            norm = nn.BatchNorm(
+                use_running_average=not self.bn_train_stats, epsilon=1e-5,
+                dtype=self.dtype, name="norm")
+        else:
+            norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+        pw2 = nn.Dense(self.d_model, dtype=self.dtype, name="pointwise2")
+        import os
+        fusable = (self.use_flash and self.norm_type == "layer"
+                   and x.ndim == 3 and x.shape[-1] % 128 == 0
+                   and (self.causal or self.kernel_size % 2 == 1)
+                   # A/B kill switch for perf attribution (tools/)
+                   and os.environ.get("ESPNET_TPU_NO_FUSED_CONV") != "1")
+        if fusable:
+            from ..ops.pallas.conv_module import fused_conv_module
+            # Materialize params via a 1-row slice (compute-free at trace
+            # time beyond a [B,1,D] chain) — same scheme as FeedForward.
+            h0 = pw1(x[:, :1, :])
+            a0, b0 = jnp.split(h0, 2, axis=-1)
+            _ = pw2(norm(dw(a0 * nn.sigmoid(b0))))
+            lengths = (None if pad_mask is None
+                       else pad_mask.astype(jnp.int32).sum(axis=-1))
+            p1 = pw1.variables["params"]
+            pd = dw.variables["params"]
+            pn = norm.variables["params"]
+            p2 = pw2.variables["params"]
+            return fused_conv_module(
+                x.astype(self.dtype), lengths,
+                p1["kernel"], p1["bias"],
+                pd["kernel"].reshape(self.kernel_size, self.d_model),
+                pd["bias"], pn["scale"], pn["bias"],
+                p2["kernel"], p2["bias"],
+                kernel_size=self.kernel_size, causal=self.causal)
+        h = pw1(x)
         a, b = jnp.split(h, 2, axis=-1)
         h = a * nn.sigmoid(b)  # GLU
         if pad_mask is not None:
             h = jnp.where(pad_mask[..., None], h, 0.0)
-        pad = [(self.kernel_size - 1, 0)] if self.causal else "SAME"
-        h = nn.Conv(
-            self.d_model, (self.kernel_size,), padding=pad,
-            feature_group_count=self.d_model, dtype=self.dtype,
-            name="depthwise")(h)
-        if self.norm_type == "batch":
-            h = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
-                             dtype=self.dtype, name="norm")(h)
-        else:
-            h = nn.LayerNorm(dtype=self.dtype, name="norm")(h)
+        h = dw(h)
+        h = norm(h)
         h = nn.swish(h)
-        return nn.Dense(self.d_model, dtype=self.dtype, name="pointwise2")(h)
+        return pw2(h)
 
 
 class ConformerBlock(nn.Module):
@@ -123,6 +161,7 @@ class ConformerBlock(nn.Module):
     # 1/(1-rate); the survive/skip draw lives in the encoder loop.
     residual_coeff: float = 1.0
     conv_norm: str = "layer"  # see ConvModule.norm_type
+    conv_bn_train_stats: bool = False  # see ConvModule.bn_train_stats
 
     @nn.compact
     def __call__(self, x, pos_emb, mask_bias, pad_mask, deterministic=True,
@@ -147,6 +186,8 @@ class ConformerBlock(nn.Module):
         x = x + cf * ConvModule(self.d_model, self.kernel_size,
                                 self.causal_conv,
                                 self.dtype, norm_type=self.conv_norm,
+                                bn_train_stats=self.conv_bn_train_stats,
+                                use_flash=self.use_flash,
                                 name="conv")(h, pad_mask)
         # Macaron FF half 2 (routed MoE when moe_experts > 0).
         h = nn.LayerNorm(dtype=self.dtype, name="norm_ff2")(x)

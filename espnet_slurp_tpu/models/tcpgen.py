@@ -50,12 +50,19 @@ class GCNTreeEncoder(nn.Module):
 
 
 class GATTreeEncoder(nn.Module):
-    """Graph attention over the trie (reference GAT.py:GATLayerImp3).
+    """Graph attention over the trie — parity with the reference
+    GAT.py:GATLayerImp2 as driven by decoders.py:549-556 (treetype
+    'gat_<h>.._1': per-layer head counts, heads CONCATENATED + ELU on all
+    but the last layer, last layer head-MEAN with no activation).
 
-    Neighborhood of node i = {i} ∪ children(i) (same adjacency as the GCN);
-    per head: e_ij = leakyrelu(a_src·Wh_j + a_tgt·Wh_i), softmax over the
-    fixed [1+MB] neighbor slots (invalid slots masked), heads concatenated
-    with a skip projection — all batched gathers, no edge lists.
+    Per layer, for aggregating node i over neighbors j ∈ {i} ∪ children(i)
+    (the adjacency rows get_lextree_encs_gcn builds):
+      e_ij = leakyrelu_0.2(a_source·Wh_i + a_target·Wh_j)  (GAT.py:390-401)
+      alpha = softmax_j(e); out_i = Σ alpha_ij Wh_j
+      skip: += h_i when FIN == FOUT(per-head) else += skip_proj(h_i)
+      then concat-heads(+ELU) / mean-heads, + bias (GAT.py:145-173).
+    Batched as fixed-slot gathers over [N, 1+MB] — no N×N score matrix,
+    no edge lists.
     """
     d_model: int
     num_layers: int = 2
@@ -65,33 +72,42 @@ class GATTreeEncoder(nn.Module):
     @nn.compact
     def __call__(self, node_feats, children_node, n_children):
         mb = children_node.shape[1]
+        n = node_feats.shape[0]
         h = node_feats.astype(self.dtype)
-        nh = self.n_head
-        f = self.d_model // nh
+        f = self.d_model  # tree_hid: per-head width (= dunits in the ref)
         valid = jnp.arange(mb)[None, :] < n_children[:, None]  # [N, MB]
+        nbr = jnp.concatenate(
+            [jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0),
+             children_node], axis=1)                  # [N, 1+MB]
+        ok = jnp.concatenate([jnp.ones((n, 1), bool), valid], axis=1)
         for li in range(self.num_layers):
-            proj = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
-                            name=f"proj_l{li}")(h).reshape(-1, nh, f)
+            last = li == self.num_layers - 1
+            nh = 1 if last else self.n_head
+            proj = nn.Dense(nh * f, use_bias=False, dtype=self.dtype,
+                            name=f"proj_l{li}")(h).reshape(n, nh, f)
+            # scoring_fn_source scores the AGGREGATING node (softmax row),
+            # scoring_fn_target the neighbor (GAT.py:390-401 broadcast).
             a_src = self.param(f"a_src_l{li}", nn.initializers.normal(0.1),
                                (nh, f), self.dtype)
             a_tgt = self.param(f"a_tgt_l{li}", nn.initializers.normal(0.1),
                                (nh, f), self.dtype)
-            s_src = jnp.sum(proj * a_src[None], -1)   # [N, NH]
-            s_tgt = jnp.sum(proj * a_tgt[None], -1)
-            nbr = jnp.concatenate(
-                [jax.lax.broadcasted_iota(jnp.int32, (h.shape[0], 1), 0),
-                 children_node], axis=1)              # [N, 1+MB]
-            ok = jnp.concatenate(
-                [jnp.ones((h.shape[0], 1), bool), valid], axis=1)
-            e = nn.leaky_relu(s_src[nbr] + s_tgt[:, None, :], 0.2)
+            s_self = jnp.sum(proj * a_src[None], -1)  # [N, NH]
+            s_nbr = jnp.sum(proj * a_tgt[None], -1)   # [N, NH]
+            e = nn.leaky_relu(s_self[:, None, :] + s_nbr[nbr], 0.2)
             e = jnp.where(ok[..., None], e, -1e9)
             alpha = jax.nn.softmax(e, axis=1)         # [N, 1+MB, NH]
             out = jnp.einsum("nkh,nkhf->nhf", alpha.astype(self.dtype),
                              proj[nbr])
-            out = out.reshape(-1, self.d_model)
-            skip = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
-                            name=f"skip_l{li}")(h)
-            h = nn.elu(out + skip)
+            if h.shape[-1] == f:
+                out = out + h[:, None, :]  # FIN == FOUT: raw skip
+            else:
+                out = out + nn.Dense(
+                    nh * f, use_bias=False, dtype=self.dtype,
+                    name=f"skip_l{li}")(h).reshape(n, nh, f)
+            out = out.mean(axis=1) if last else out.reshape(n, nh * f)
+            out = out + self.param(f"bias_l{li}", nn.initializers.zeros,
+                                   (out.shape[-1],), self.dtype)
+            h = out if last else nn.elu(out)
         return h
 
 

@@ -46,11 +46,15 @@ def _mask_along_axis(
     """
     b = x.shape[0]
     kw, ks = jax.random.split(key)
+    # Width ~ U[w0, w1) and position ~ U[0, max(1, L - max_drawn_width)) —
+    # the exact draw law of mask_along_axis.py:32-43 (the position bound is
+    # data-dependent on the batch's max width, so it is emulated with a
+    # floor(uniform * bound) rather than randint).
     widths = jax.random.randint(
-        kw, (b, num_mask, 1), width_range[0], width_range[1] + 1)
-    starts = jax.random.randint(ks, (b, num_mask, 1), 0, axis_len)
-    # Clamp so the band stays in range even for short axes.
-    starts = jnp.minimum(starts, jnp.maximum(axis_len - widths, 0))
+        kw, (b, num_mask, 1), width_range[0], max(width_range[1], 1))
+    bound = jnp.maximum(1, axis_len - jnp.max(widths)).astype(jnp.float32)
+    u = jax.random.uniform(ks, (b, num_mask, 1))
+    starts = jnp.floor(u * bound).astype(jnp.int32)
     pos = lax.broadcasted_iota(jnp.int32, (1, 1, axis_len), 2)
     band = (pos >= starts) & (pos < starts + widths)  # (B, num_mask, L)
     masked = jnp.any(band, axis=1)  # (B, L)

@@ -17,10 +17,14 @@ transfers:
   11 ASR training
   12 decoding
   13 scoring (WER/CER)
+  14 pack                       (self-contained model.zip; asr.sh:1398-1447)
+  15 unpack + verify            (unpacked dir decodes identically —
+                                 the testable contract stage 16's upload
+                                 relies on)
 
-Stages 6/14-16 (lm data prep, packing/upload) are no-ops here: packing is
-`pack` below. Stage 3 is a no-op for feats_type=raw (wavs are read
-directly on device).
+Stage 6 (lm data prep) is folded into 7; stage 16 (zenodo/HF upload) stays
+a stub (no egress from this environment). Stage 3 is a no-op for
+feats_type=raw (wavs are read directly on device).
 """
 from __future__ import annotations
 
@@ -311,32 +315,84 @@ def run_pipeline(cfg: ASRTaskConfig, opts: PipelineOptions = PipelineOptions(),
                     f.write(f"WER {wer:.4f}\nCER {cer:.4f}\n")
                 log.info("stage13 %s: WER %.2f%% CER %.2f%%", dname.name,
                          wer * 100, cer * 100)
+
+    if stage <= 14 <= stop_stage:
+        # Stage 14-15 (asr.sh:1398-1494 pack/upload analogue): pack the
+        # model, unpack it into a SELF-CONTAINED dir, and verify the
+        # unpacked model decodes identically to the training exp dir.
+        # Zenodo/HF upload itself stays a stub (no egress); the round trip
+        # is the testable contract the upload relies on.
+        archive = pack(exp, exp / "model.zip")
+        results["pack_path"] = str(archive)
+        log.info("stage14: packed -> %s", archive)
+    if stage <= 15 <= stop_stage:
+        unpacked = unpack(exp / "model.zip", exp / "unpacked")
+        s2t_u = Speech2Text(str(unpacked), beam_size=opts.decode_beam_size,
+                            ctc_weight=opts.decode_ctc_weight,
+                            max_len=opts.decode_max_len)
+        s2t_o = Speech2Text(str(exp), beam_size=opts.decode_beam_size,
+                            ctc_weight=opts.decode_ctc_weight,
+                            max_len=opts.decode_max_len)
+        wavs = read_2column_text(Path(cfg.data.valid_dir) / "wav.scp")
+        sample = [load_wav(path)[0] for _, path in sorted(wavs.items())[:4]]
+        hyp_u = s2t_u.decode_batch(sample)
+        hyp_o = s2t_o.decode_batch(sample)
+        results["unpack_decode_match"] = hyp_u == hyp_o
+        if hyp_u != hyp_o:
+            raise RuntimeError(
+                f"stage15: unpacked model decode mismatch: {hyp_u} vs "
+                f"{hyp_o}")
+        log.info("stage15: unpacked model decodes identically (%d utts)",
+                 len(sample))
     return results
 
 
 def pack(exp_dir: str | Path, out_path: str | Path) -> Path:
-    """Stage 14 analogue (espnet2/bin/pack.py): zip config + tokens + best
-    checkpoint for distribution."""
+    """Stage 14 analogue (espnet2/bin/pack.py, asr.sh:1398-1447): zip
+    everything inference needs to run STANDALONE — config, vocab (tokens +
+    bpe model), GlobalMVN stats, and the best checkpoint."""
     import zipfile
     exp = Path(exp_dir)
     out_path = Path(out_path)
+    import json
     with zipfile.ZipFile(out_path, "w") as z:
-        for name in ["config.yaml", "tokens.txt", "reporter.json"]:
+        for name in ["config.yaml", "tokens.txt", "reporter.json",
+                     "bpe.json", "stats/feats_stats.npz", "latest.json"]:
             p = exp / name
             if p.exists():
                 z.write(p, name)
-        for best in sorted(exp.glob("valid.*best")):
-            for f in best.rglob("*"):
+        # Preferred checkpoint: the averaged n-best dir; else the latest
+        # epoch dir (exactly the resolution order Speech2Text uses).
+        best = sorted(exp.glob("valid.*best"))[:1]
+        if not best and (exp / "latest.json").exists():
+            with open(exp / "latest.json") as f:
+                best = [exp / f"{json.load(f)['epoch']}epoch"]
+        for ckpt in best:
+            for f in ckpt.rglob("*"):
                 if f.is_file():
                     z.write(f, str(f.relative_to(exp)))
-            break
     return out_path
 
 
 def unpack(archive: str | Path, out_dir: str | Path) -> Path:
+    """Stage 15 analogue: extract a packed model and REBASE its config so
+    the unpacked directory is self-contained (the archived config.yaml
+    points at the training exp_dir; exp-relative assets — tokens.txt,
+    bpe.json, stats — must resolve inside the unpack dir instead)."""
+    import dataclasses as _dc
     import zipfile
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     with zipfile.ZipFile(archive) as z:
         z.extractall(out)
+    cfg_path = out / "config.yaml"
+    if cfg_path.exists():
+        from ..tasks.asr import load_task_config
+        cfg = load_task_config(cfg_path)
+        cfg = _dc.replace(cfg, exp_dir=str(out))
+        if (out / "bpe.json").exists():
+            cfg = _dc.replace(
+                cfg, data=_dc.replace(cfg.data,
+                                      bpemodel=str(out / "bpe.json")))
+        save_yaml(cfg, cfg_path)
     return out

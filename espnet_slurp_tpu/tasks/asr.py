@@ -125,14 +125,24 @@ class ASRTask:
         """Build tokenizer + token list from the training text. Returns
         (tokenizer, converter, resolved ASRConfig with true vocab_size)."""
         data = cfg.data
-        texts = read_2column_text(Path(data.train_dir) / "text")
-        if data.text_cleaner:
-            clean = TextCleaner(data.text_cleaner)
-            texts = {k: clean(v) for k, v in texts.items()}
+        # Lazy train-text read: a packed/unpacked model dir (recipe stage
+        # 14/15 round trip) carries tokens.txt + bpe.json but no corpus —
+        # inference must not touch data.train_dir then.
+        _texts_cache = {}
+
+        def texts():
+            if "t" not in _texts_cache:
+                t = read_2column_text(Path(data.train_dir) / "text")
+                if data.text_cleaner:
+                    clean = TextCleaner(data.text_cleaner)
+                    t = {k: clean(v) for k, v in t.items()}
+                _texts_cache["t"] = t
+            return _texts_cache["t"]
+
         if data.token_type == "bpe":
             bpe_path = data.bpemodel or str(Path(cfg.exp_dir) / "bpe.json")
             if not Path(bpe_path).exists():
-                BpeTokenizer.train(texts.values(), data.bpe_vocab_size,
+                BpeTokenizer.train(texts().values(), data.bpe_vocab_size,
                                    bpe_path)
             tokenizer = build_tokenizer("bpe", bpemodel=bpe_path)
         else:
@@ -141,7 +151,7 @@ class ASRTask:
         if token_list_path.exists():
             converter = TokenIDConverter(token_list_path)
         else:
-            tl = build_token_list(texts.values(), tokenizer)
+            tl = build_token_list(texts().values(), tokenizer)
             token_list_path.parent.mkdir(parents=True, exist_ok=True)
             token_list_path.write_text(
                 "\n".join(tl) + "\n", encoding="utf-8")

@@ -43,8 +43,11 @@ def test_full_pipeline(tmp_path):
     opts = PipelineOptions(speed_perturb_factors=(0.9, 1.0),
                            decode_beam_size=2, decode_max_len=8,
                            train_lm=True, train_ngram=True)
-    results = run_pipeline(cfg, opts, stage=1, stop_stage=13)
+    results = run_pipeline(cfg, opts, stage=1, stop_stage=15)
     assert "wer_dev" in results and np.isfinite(results["wer_dev"])
+    # stage 14/15: pack -> unpack -> decode round trip (self-contained dir)
+    assert results["unpack_decode_match"] is True
+    assert (tmp_path / "exp" / "unpacked" / "tokens.txt").exists()
     assert "lm_ppl" in results and results["lm_ppl"] > 1
     # stage 9: in-framework ngram trained + compiled
     assert (tmp_path / "exp" / "train.arpa").exists()

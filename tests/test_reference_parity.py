@@ -668,3 +668,193 @@ def test_transducer_default_beam_parity():
         DefaultBeamConfig(beam_size=beam, max_len=16, max_expansions=12))
     got = [int(x) for x in np.asarray(tokens[0])[: int(lengths[0])]]
     assert got == want, (got, want)
+
+
+# ---------------------------------------------------------------------------
+# 11. GCN tree encoder vs the reference forward_gcn
+#     (espnet/nets/pytorch_backend/rnn/decoders.py:468-487)
+# ---------------------------------------------------------------------------
+
+def _random_tree(n_nodes, max_branch, rng):
+    """Random rooted forest: returns (children_node [N, MB], n_children [N],
+    adjacency rows in the reference's [self, children...] format)."""
+    children = [[] for _ in range(n_nodes)]
+    for child in range(1, n_nodes):
+        parent = int(rng.integers(0, child))
+        while len(children[parent]) >= max_branch:
+            parent = int(rng.integers(0, child))
+        children[parent].append(child)
+    children_node = np.zeros((n_nodes, max_branch), np.int32)
+    n_children = np.zeros((n_nodes,), np.int32)
+    adjacency = []
+    for i, kids in enumerate(children):
+        n_children[i] = len(kids)
+        children_node[i, : len(kids)] = kids
+        adjacency.append([i] + kids)
+    return children_node, n_children, adjacency
+
+
+def test_gcn_tree_encoder_parity():
+    from espnet.nets.pytorch_backend.rnn.decoders import Decoder
+    from espnet_slurp_tpu.models.tcpgen import GCNTreeEncoder
+
+    d, n_nodes, mb = 24, 17, 4
+    rng = _np_rng()
+    g = _rng()
+    children_node, n_children, adjacency = _random_tree(n_nodes, mb, rng)
+    feats = rng.standard_normal((n_nodes, d)).astype(np.float32)
+
+    # forward_gcn only touches gcn_l1/gcn_l2/gcn_l3 and treetype: drive the
+    # real unbound reference function with a stub carrying torch Linears.
+    import types
+    stub = types.SimpleNamespace(treetype="gcn2")
+    stub.gcn_l1 = torch.nn.Linear(d, d)
+    stub.gcn_l2 = torch.nn.Linear(d, d)
+    for lin in (stub.gcn_l1, stub.gcn_l2):
+        lin.weight.data.uniform_(-0.3, 0.3, generator=g)
+        lin.bias.data.uniform_(-0.1, 0.1, generator=g)
+    embeddings = [torch.from_numpy(feats[i : i + 1]) for i in range(n_nodes)]
+    with torch.no_grad():
+        ref_out = Decoder.forward_gcn(stub, None, embeddings, adjacency)
+
+    params = {
+        "gcn_l1": ref_compat.linear(stub.gcn_l1),
+        "gcn_l2": ref_compat.linear(stub.gcn_l2),
+    }
+    enc = GCNTreeEncoder(d_model=d, num_layers=2)
+    out = enc.apply({"params": params}, jnp.asarray(feats),
+                    jnp.asarray(children_node), jnp.asarray(n_children))
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                               rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# 12. GAT tree encoder vs the reference GAT network (IMP2, the layer type
+#     decoders.py:549-556 actually drives with a dense adjacency matrix)
+# ---------------------------------------------------------------------------
+
+def test_gat_tree_encoder_parity():
+    from espnet.nets.pytorch_backend.GAT import GAT, LayerType
+    from espnet_slurp_tpu.models.tcpgen import GATTreeEncoder
+
+    d, n_nodes, mb, nh = 16, 13, 3, 4
+    rng = _np_rng()
+    g = _rng()
+    children_node, n_children, adjacency = _random_tree(n_nodes, mb, rng)
+    feats = rng.standard_normal((n_nodes, d)).astype(np.float32)
+
+    net = GAT(num_of_layers=2, num_heads_per_layer=[nh, 1],
+              num_features_per_layer=[d, d, d], add_skip_connection=True,
+              bias=True, dropout=0.0, layer_type=LayerType.IMP2)
+    for p in net.parameters():
+        if p.dim() >= 2:
+            p.data.uniform_(-0.3, 0.3, generator=g)
+        else:
+            p.data.uniform_(-0.05, 0.05, generator=g)
+    net.eval()
+    adj = torch.zeros(n_nodes, n_nodes)
+    for row in adjacency:
+        for j in row:
+            adj[row[0], j] = 1.0
+    with torch.no_grad():
+        ref_out, _ = net((torch.from_numpy(feats), adj))
+
+    params = {}
+    for li, layer in enumerate(net.gat_net):
+        params[f"proj_l{li}"] = {
+            "kernel": ref_compat.t2n(layer.linear_proj.weight).T}
+        params[f"a_src_l{li}"] = ref_compat.t2n(
+            layer.scoring_fn_source)[0]
+        params[f"a_tgt_l{li}"] = ref_compat.t2n(
+            layer.scoring_fn_target)[0]
+        params[f"bias_l{li}"] = ref_compat.t2n(layer.bias)
+        if li == 1:  # FIN(nh*d) != FOUT(d): the projected skip engages
+            params[f"skip_l{li}"] = {
+                "kernel": ref_compat.t2n(layer.skip_proj.weight).T}
+    enc = GATTreeEncoder(d_model=d, num_layers=2, n_head=nh)
+    out = enc.apply({"params": params}, jnp.asarray(feats),
+                    jnp.asarray(children_node), jnp.asarray(n_children))
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# 13. SpecAug mask statistics vs the reference mask_along_axis draw law
+#     (espnet2/layers/mask_along_axis.py:8-68)
+# ---------------------------------------------------------------------------
+
+def test_specaug_mask_statistics():
+    from espnet2.layers.mask_along_axis import mask_along_axis
+    from espnet_slurp_tpu.ops.specaug import _mask_along_axis
+
+    b, t, f = 16, 120, 80
+    w_range, num_mask = (0, 30), 2
+    n_rounds = 60
+    torch.manual_seed(SEED)
+
+    ref_frac = []
+    ones_t = torch.ones(b, t, f)
+    lens_t = torch.full((b,), t, dtype=torch.long)
+    for _ in range(n_rounds):
+        masked, _ = mask_along_axis(ones_t.clone(), lens_t,
+                                    mask_width_range=w_range, dim=1,
+                                    num_mask=num_mask)
+        ref_frac.append(1.0 - masked.mean().item())
+
+    key = jax.random.key(SEED)
+    mine_frac = []
+    ones_j = jnp.ones((b, t, f))
+    for i in range(n_rounds):
+        sub = jax.random.fold_in(key, i)
+        out = _mask_along_axis(sub, ones_j, t, w_range, num_mask, axis=1)
+        mine_frac.append(1.0 - float(out.mean()))
+
+    ref_mean, mine_mean = np.mean(ref_frac), np.mean(mine_frac)
+    # Same draw law => same expected masked fraction. 60 rounds x 16 rows
+    # gives a tight empirical mean; 3-sigma band ~ 0.008 at this scale.
+    sigma = np.std(ref_frac) / np.sqrt(n_rounds)
+    assert abs(ref_mean - mine_mean) < max(4 * sigma, 0.01), (
+        ref_mean, mine_mean, sigma)
+
+
+# ---------------------------------------------------------------------------
+# 14. Conformer layer in TRAIN mode: BatchNorm batch statistics
+#     (conformer/convolution.py nn.BatchNorm1d in .train())
+# ---------------------------------------------------------------------------
+
+def test_conformer_layer_train_batchnorm_parity():
+    from espnet.nets.pytorch_backend.transformer.embedding import (
+        RelPositionalEncoding,
+    )
+    from espnet_slurp_tpu.models.conformer import ConformerBlock
+    from espnet_slurp_tpu.models.embedding import rel_positional_embedding
+    from espnet_slurp_tpu.ops.masks import attention_bias, length_mask
+
+    d, h, d_ff, kernel, b, t = 64, 4, 128, 15, 3, 19
+    g = _rng()
+    layer = _make_ref_conformer_layer(d, h, d_ff, kernel, g)
+    layer.train()  # dropout_rate=0.0, so train-mode == batch-stat BatchNorm
+    rng = _np_rng()
+    x = rng.standard_normal((b, t, d)).astype(np.float32)
+    lens = np.array([t] * b)
+
+    pe = RelPositionalEncoding(d, dropout_rate=0.0)
+    pe.eval()
+    with torch.no_grad():
+        _, pos_emb_t = pe(torch.from_numpy(x))
+        mask_t = (torch.arange(t)[None, :]
+                  < torch.from_numpy(lens)[:, None])[:, None, :]
+        (ref_out, _), _ = layer((torch.from_numpy(x), pos_emb_t), mask_t)
+
+    params, stats = ref_compat.conformer_encoder_layer(layer)
+    block = ConformerBlock(d_model=d, n_head=h, d_ff=d_ff,
+                           kernel_size=kernel, dropout_rate=0.0,
+                           conv_norm="batch", conv_bn_train_stats=True)
+    pos_emb = rel_positional_embedding(t, d)
+    pad = length_mask(jnp.asarray(lens), t)
+    bias = attention_bias(pad[:, None, None, :])
+    out, _ = block.apply({"params": params, "batch_stats": stats},
+                         jnp.asarray(x), pos_emb, bias, pad,
+                         mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                               rtol=2e-4, atol=2e-4)
