@@ -312,7 +312,8 @@ def batch_beam_search(
             new_node, new_pmask = trie_step(
                 trie, gather_n(st.node.reshape(n)), tok.reshape(n),
                 biasing["boundary_mask"], eos, biasing["dead"],
-                root=root_arg)
+                root=root_arg,
+                prefix_boundary=biasing.get("prefix_boundary", False))
             new_node = new_node.reshape(b, k)
             new_pmask = new_pmask.reshape(b, k)
         else:

@@ -281,30 +281,43 @@ def tcpgen_final_logprobs(logits, ptr_dist, p_gen) -> jnp.ndarray:
 
 
 def trie_step(trie: Dict[str, jnp.ndarray], node, y, boundary_mask,
-              eos_id: int, dead: int, root=0):
+              eos_id: int, dead: int, root=0, prefix_boundary: bool = False):
     """Vectorized decode-time walk: (node [N], chosen token y [N]) -> new node.
 
-    boundary_mask: [V+1]-shaped bool lookup of word-boundary tokens
-    (tokens ending in '▁' / <space>). Mirrors
-    get_lextree_step_embs_inference (decoders.py:251-285).
+    boundary_mask: [V+1]-shaped bool lookup of word-boundary tokens.
+    Suffix convention (prefix_boundary=False; tokens ENDING in '▁' /
+    <space>) mirrors get_lextree_step_embs_inference (decoders.py:251-285).
+    Prefix convention (prefix_boundary=True; '▁'-INITIAL pieces — the HF
+    Metaspace BPE this framework trains) restarts the walk from root
+    THROUGH a word-initial token and resets to root whenever a descend
+    completes a word (childless node), keeping the pointer live for the
+    next word's first piece; must match walk_trie's training-time walk.
     root: reset target on eos / word boundary — the global trie root (0) for
     ASR biasing lists, or a per-hypothesis [N] array of slot-ontology roots
     for the KA2G forest (must match walk_forest's training-time reset,
     otherwise pointer state diverges between train and decode).
     Returns (new_node [N], p_gen_mask [N]).
     """
-    ct = trie["trie_children_tok"][node]   # [N, MB]
-    cn = trie["trie_children_node"][node]
-    nc = trie["trie_n_children"][node]
+    is_eos = y == eos_id
+    is_boundary = boundary_mask[y]
+    root = jnp.broadcast_to(jnp.asarray(root, jnp.int32), y.shape)
+    start = node
+    if prefix_boundary:
+        start = jnp.where(is_boundary, root, node)
+    ct = trie["trie_children_tok"][start]   # [N, MB]
+    cn = trie["trie_children_node"][start]
+    nc = trie["trie_n_children"][start]
     mb = ct.shape[1]
     valid = jnp.arange(mb)[None, :] < nc[:, None]
     hit = (ct == y[:, None]) & valid       # [N, MB]
     found = jnp.any(hit, axis=1)
     child = jnp.sum(jnp.where(hit, cn, 0), axis=1)  # unique match or 0
     child_nc = trie["trie_n_children"][child]
-    is_eos = y == eos_id
-    is_boundary = boundary_mask[y]
-    root = jnp.broadcast_to(jnp.asarray(root, jnp.int32), y.shape)
+    if prefix_boundary:
+        desc = jnp.where(child_nc > 0, child, root)
+        new_node = jnp.where(is_eos, root, jnp.where(found, desc, dead))
+        p_gen_mask = jnp.where(is_eos, 0, jnp.where(found, 0, 1))
+        return new_node.astype(jnp.int32), p_gen_mask.astype(jnp.int32)
     # boundary: descend if child exists and has children, else root
     boundary_node = jnp.where(found & (child_nc > 0), child, root)
     in_tree_node = jnp.where(found, child, dead)

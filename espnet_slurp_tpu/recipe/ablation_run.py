@@ -129,21 +129,14 @@ def make_hard_corpus(root, n_train=10000, n_dev=200, n_test=400,
     return tuple(dirs) + (rare,)
 
 
-def _boundary_ids(converter):
-    ids = set()
-    for i, tok in enumerate(converter.token_list):
-        if tok.endswith("▁") or tok == "<space>":
-            ids.add(i)
-    return ids
-
-
 class _TCPGenASRTask:
     """ASRTask wrapper whose iter factory augments every batch with the
     rare-word biasing trie + teacher-forced trie walk (the fork's
     KBmeetingTrain per-batch KB, KB.py:120-230 — here the trie is the full
     rare list + DBdrop handled by p_gen_mask supervision)."""
 
-    def __init__(self, trie, boundary_ids, sos_id, eos_id):
+    def __init__(self, trie, boundary_ids, sos_id, eos_id,
+                 prefix_boundary=False):
         import jax.numpy as jnp
         self.trie_arrays = {
             "trie_token": jnp.asarray(trie.token),
@@ -153,6 +146,7 @@ class _TCPGenASRTask:
         }
         self.trie = trie
         self.boundary_ids = boundary_ids
+        self.prefix_boundary = prefix_boundary
         self.sos_id = sos_id
         self.eos_id = eos_id
 
@@ -167,7 +161,8 @@ class _TCPGenASRTask:
                     [np.full((text.shape[0], 1), self.sos_id, np.int32),
                      np.maximum(text, 0).astype(np.int32)], axis=1)
                 node, mask = walk_trie(self.trie, ys_in, self.boundary_ids,
-                                       self.eos_id)
+                                       self.eos_id,
+                                       prefix_boundary=self.prefix_boundary)
                 out = dict(batch)
                 out.update(self.trie_arrays)
                 out["node"] = jnp.asarray(node)
@@ -231,18 +226,24 @@ def main(argv=None):
     wavs = read_2column_text(Path(test_dir) / "wav.scp")
     loaded = sorted(((u, load_wav(pth)[0]) for u, pth in wavs.items()),
                     key=lambda x: len(x[1]))
+    dev_refs = read_2column_text(Path(dev_dir) / "text")
+    dev_wavs = read_2column_text(Path(dev_dir) / "wav.scp")
+    dev_loaded = sorted(((u, load_wav(pth)[0])
+                         for u, pth in dev_wavs.items()),
+                        key=lambda x: len(x[1]))
 
-    def decode(exp_dir, beam, **kw):
+    def decode(exp_dir, beam, _loaded=None, **kw):
         # The remote-TPU transport (axon tunnel) occasionally drops a
         # compile RPC mid-campaign; retry the arm from scratch rather than
         # lose hours of training above it.
+        utts = loaded if _loaded is None else _loaded
         for attempt in range(3):
             try:
                 s2t = Speech2Text(str(exp_dir), beam_size=beam,
                                   ctc_weight=0.3, max_len=24, **kw)
                 hyps = {}
-                for i in range(0, len(loaded), 16):
-                    chunk = loaded[i:i + 16]
+                for i in range(0, len(utts), 16):
+                    chunk = utts[i:i + 16]
                     for (u, _), txt in zip(
                             chunk,
                             s2t.decode_batch([x for _, x in chunk])):
@@ -300,14 +301,27 @@ def main(argv=None):
                               batch_size=64),
             max_epoch=max(args.max_epoch // 2, 8), keep_nbest=3)
         LMTask.train(lm_cfg)
+        # Tune the fusion weight on DEV (standard recipe practice), report
+        # the TEST decode at the selected weight.
+        if "lm_weight" not in results:
+            best_w, best_wer = 0.0, None
+            for w in (0.1, 0.2, 0.3, 0.5):
+                dev_hyps = decode(base_exp, beam=10, _loaded=dev_loaded,
+                                  lm_exp_dir=str(lm_exp), lm_weight=w)
+                dev_wer, _ = error_rate(dev_refs, dev_hyps, "word")
+                log.info("lm sweep w=%.1f dev WER %.2f%%", w, dev_wer * 100)
+                if best_wer is None or dev_wer < best_wer:
+                    best_w, best_wer = w, dev_wer
+            results["lm_weight"] = best_w
+            results_json.write_text(json.dumps(results, indent=1))
         arm("beam10_lm", lambda: decode(base_exp, beam=10,
                                         lm_exp_dir=str(lm_exp),
-                                        lm_weight=0.3))
+                                        lm_weight=results["lm_weight"]))
 
     if "tcpgen" not in args.skip:
         log.info("=== TCPGen training ===")
         from ..data.tokenizer import TokenIDConverter, build_tokenizer
-        from ..slu.kb import build_trie
+        from ..slu.kb import boundary_token_ids, build_trie
         tcp_exp = out / "exp_tcpgen"
         tcp_cfg = dataclasses.replace(
             cfg, exp_dir=str(tcp_exp),
@@ -322,8 +336,10 @@ def main(argv=None):
         pieces = [converter.tokens2ids(tokenizer.text2tokens(w))
                   for w in rare]
         trie = build_trie(pieces)
-        aug = _TCPGenASRTask(trie, _boundary_ids(converter),
-                             tcp_cfg.model.sos_id, tcp_cfg.model.eos_id)
+        bset, prefix = boundary_token_ids(converter.token_list)
+        aug = _TCPGenASRTask(trie, bset,
+                             tcp_cfg.model.sos_id, tcp_cfg.model.eos_id,
+                             prefix_boundary=prefix)
 
         class Task(ASRTask):
             @classmethod
@@ -368,6 +384,9 @@ def main(argv=None):
         "|---|---|---|---|",
     ]
     for tag, r in results.items():
+        if not isinstance(r, dict):  # scalar records (lm_weight sweep pick)
+            lines.append(f"| {tag} = {r} | | | |")
+            continue
         lines.append(f"| {tag} | {r['wer'] * 100:.2f}% | "
                      f"{r['rare_wer'] * 100:.2f}% | "
                      f"{r['common_wer'] * 100:.2f}% |")

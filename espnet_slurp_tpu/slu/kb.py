@@ -95,19 +95,46 @@ def build_trie(word_pieces: Sequence[Sequence[int]],
                     n_children=nc, word_end=we, n_nodes=n, dead=dead)
 
 
+def boundary_token_ids(token_list) -> Tuple[Set[int], bool]:
+    """Word-boundary token ids + the marker convention.
+
+    Returns (ids, prefix): suffix convention (reference fork: pieces END
+    with '▁', decoders.py:259 endswith) when any token ends with the
+    metaspace marker; otherwise prefix convention (HF-tokenizers Metaspace:
+    word-INITIAL pieces START with '▁') — the walk semantics adapt via the
+    ``prefix_boundary`` flag of walk_trie/trie_step.
+    """
+    suffix = {i for i, t in enumerate(token_list)
+              if t.endswith("▁") or t == "<space>"}
+    if suffix:
+        return suffix, False
+    prefix = {i for i, t in enumerate(token_list)
+              if t.startswith("▁")}
+    return prefix, True
+
+
 def walk_trie(trie: FlatTrie, prev_tokens: np.ndarray,
-              boundary_ids: Set[int], eos_id: int
+              boundary_ids: Set[int], eos_id: int,
+              prefix_boundary: bool = False
               ) -> Tuple[np.ndarray, np.ndarray]:
     """Teacher-forced walk (training): prev_tokens [B, U] (token emitted at
     step i-1; step 0 gets sos/eos -> root). Returns (node [B, U],
     p_gen_mask [B, U]) — mask=1 where the pointer is disabled (out-of-tree).
 
-    Implements get_lextree_step_embs semantics (decoders.py:286-320):
+    Suffix convention (prefix_boundary=False) implements
+    get_lextree_step_embs semantics (decoders.py:286-320):
       - eos -> reset to root, ptr active
       - word-boundary token: descend if it continues the tree with children,
         else reset to root; ptr active
       - in-tree token -> descend; ptr active
       - out-of-tree token -> DEAD; ptr disabled
+
+    Prefix convention (prefix_boundary=True; '▁'-INITIAL pieces start a
+    word): a word-initial token restarts the walk from root THROUGH that
+    token; any descend that lands on a childless node (word complete)
+    resets to root so the pointer can immediately score the next word's
+    first piece — the same one-step-early decision the reference's
+    boundary case makes.
     """
     b, u = prev_tokens.shape
     node = np.zeros((b, u), np.int32)
@@ -116,12 +143,21 @@ def walk_trie(trie: FlatTrie, prev_tokens: np.ndarray,
         cur = ROOT
         for j in range(u):
             y = int(prev_tokens[i, j])
-            row = trie.children_tok[cur, :trie.n_children[cur]]
+            start = cur
+            if prefix_boundary and y in boundary_ids:
+                start = ROOT
+            row = trie.children_tok[start, :trie.n_children[start]]
             hit = np.nonzero(row == y)[0]
-            child = (int(trie.children_node[cur, hit[0]])
+            child = (int(trie.children_node[start, hit[0]])
                      if hit.size else None)
             if y == eos_id:
                 cur, m = ROOT, 0
+            elif prefix_boundary:
+                if child is not None:
+                    cur = child if trie.n_children[child] > 0 else ROOT
+                    m = 0
+                else:
+                    cur, m = trie.dead, 1
             elif y in boundary_ids:
                 if child is not None and trie.n_children[child] > 0:
                     cur, m = child, 0

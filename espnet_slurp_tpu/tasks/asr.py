@@ -633,21 +633,22 @@ class Speech2Text:
             # Build the biasing trie from raw words (decode-time KB,
             # asr_recog.py --meetingKB analogue).
             import jax.numpy as jnp
-            from ..slu.kb import build_trie
+            from ..slu.kb import boundary_token_ids, build_trie
             pieces = [self.converter.tokens2ids(
                 self.tokenizer.text2tokens(w)) for w in biasing_words]
             t = build_trie(pieces)
             v = self.model.cfg.vocab_size
+            bset, prefix = boundary_token_ids(self.converter.token_list)
             boundary = np.zeros((v + 1,), bool)
-            for i, tok in enumerate(self.converter.token_list):
-                if tok.endswith("\u2581") or tok == "<space>":
-                    boundary[i] = True
+            for i in bset:
+                boundary[i] = True
             self.biasing = {
                 "trie": {"trie_token": jnp.asarray(t.token),
                          "trie_children_tok": jnp.asarray(t.children_tok),
                          "trie_children_node": jnp.asarray(t.children_node),
                          "trie_n_children": jnp.asarray(t.n_children)},
                 "boundary_mask": jnp.asarray(boundary),
+                "prefix_boundary": prefix,
                 "dead": t.dead,
                 "smoothprob": tcpgen_smoothprob,
             }

@@ -277,3 +277,56 @@ def test_tree_encoder_family():
                     method=lambda m, f, t: m.encode_tree(f, t))
     ptr, kb = tg.apply({"params": params}, q, node, td, encs)
     assert np.isfinite(np.asarray(ptr)).all()
+
+
+def test_walk_trie_prefix_boundary():
+    """Prefix-'▁' convention (HF Metaspace BPE): word-initial tokens restart
+    the walk from root THROUGH themselves; completing a word resets to root
+    so the pointer stays live for the next word's first piece."""
+    t = small_trie()  # words [3,4], [3,5], [6]; 3 and 6 are word-initial
+    eos = 9
+    bset = {3, 6}
+    # 3(root->n3) 4(word done -> ROOT, ptr live) 6(word-initial found,
+    # leaf -> ROOT) 7(not boundary, not under root -> dead) 3(restart) 5(done)
+    prev = np.array([[3, 4, 6, 7, 3, 5]])
+    node, mask = walk_trie(t, prev, bset, eos, prefix_boundary=True)
+    assert node[0, 0] != 0 and mask[0, 0] == 0        # descended into n3
+    assert node[0, 1] == 0 and mask[0, 1] == 0        # word done -> root
+    assert node[0, 2] == 0 and mask[0, 2] == 0        # [6] done -> root
+    assert node[0, 3] == t.dead and mask[0, 3] == 1   # out-of-tree
+    assert node[0, 4] != 0 and mask[0, 4] == 0        # restart via boundary
+    assert node[0, 5] == 0 and mask[0, 5] == 0        # [3,5] done -> root
+
+
+def test_trie_step_matches_walk_prefix():
+    """Decode-time walk must track the training walk in PREFIX mode too —
+    otherwise pointer state diverges between teacher forcing and search."""
+    t = small_trie()
+    eos = 9
+    trie = {"trie_token": jnp.asarray(t.token),
+            "trie_children_tok": jnp.asarray(t.children_tok),
+            "trie_children_node": jnp.asarray(t.children_node),
+            "trie_n_children": jnp.asarray(t.n_children)}
+    bset = {3, 6}
+    boundary = np.zeros((11,), bool)
+    for i in bset:
+        boundary[i] = True
+    boundary = jnp.asarray(boundary)
+    seqs = np.array([[3, 4, 6, 7, 3, 5], [eos, 6, 3, 5, 7, 3]])
+    node_ref, mask_ref = walk_trie(t, seqs, bset, eos, prefix_boundary=True)
+    node = jnp.zeros((2,), jnp.int32)
+    for j in range(seqs.shape[1]):
+        node, mask = trie_step(trie, node, jnp.asarray(seqs[:, j]),
+                               boundary, eos, t.dead, prefix_boundary=True)
+        np.testing.assert_array_equal(np.asarray(node), node_ref[:, j],
+                                      err_msg=f"step {j}")
+        np.testing.assert_array_equal(np.asarray(mask), mask_ref[:, j],
+                                      err_msg=f"step {j}")
+
+
+def test_boundary_token_ids_detection():
+    from espnet_slurp_tpu.slu.kb import boundary_token_ids
+    ids, prefix = boundary_token_ids(["<blank>", "▁wo", "rd", "▁x"])
+    assert prefix and ids == {1, 3}
+    ids, prefix = boundary_token_ids(["<blank>", "wo▁", "rd", "x▁"])
+    assert not prefix and ids == {1, 3}
