@@ -181,13 +181,20 @@ class ConformerBlock(nn.Module):
             name="self_attn")(h, pos_emb, mask_bias, deterministic,
                               lengths=lengths, chunk_size=self.chunk_size,
                               left_chunks=self.left_chunks)
-        # Convolution module.
+        # Convolution module. The fused Pallas path is OPT-IN here
+        # (ESPNET_TPU_FUSED_CONV=1): measured at the 17x512 config the
+        # fusion's backward recompute + VMEM pressure cost ~3% step time
+        # against the ~8.5 GB byte saving (PERF_NOTES round-4 A/B), so
+        # the production default keeps XLA's own fusion.
+        import os
+        fuse_conv = (self.use_flash and
+                     os.environ.get("ESPNET_TPU_FUSED_CONV") == "1")
         h = nn.LayerNorm(dtype=self.dtype, name="norm_conv")(x)
         x = x + cf * ConvModule(self.d_model, self.kernel_size,
                                 self.causal_conv,
                                 self.dtype, norm_type=self.conv_norm,
                                 bn_train_stats=self.conv_bn_train_stats,
-                                use_flash=self.use_flash,
+                                use_flash=fuse_conv,
                                 name="conv")(h, pad_mask)
         # Macaron FF half 2 (routed MoE when moe_experts > 0).
         h = nn.LayerNorm(dtype=self.dtype, name="norm_ff2")(x)

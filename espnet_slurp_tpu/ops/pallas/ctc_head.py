@@ -59,7 +59,7 @@ def _onehot(ext_row, vp, dtype):
 def _fwd_kernel(ext_ref, x_ref, w_ref, b_ref, o_ref):
     x = x_ref[0]
     lg, z = _logits_z(x, w_ref[...], b_ref[...])
-    onehot = _onehot(ext_ref[...], lg.shape[-1], x.dtype)
+    onehot = _onehot(ext_ref[0], lg.shape[-1], x.dtype)
     gathered = lax.dot_general(lg.astype(x.dtype), onehot,
                                (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
@@ -89,7 +89,7 @@ def _bwd_kernel(ext_ref, x_ref, w_ref, b_ref, g_ref,
     de = g_ref[0]  # [TT, Sp] f32
     de = jnp.where(valid, de, 0.0)
     dsum = jnp.sum(de, axis=-1, keepdims=True)  # [TT, 1]
-    onehot = _onehot(ext_ref[...], lg.shape[-1], x.dtype)
+    onehot = _onehot(ext_ref[0], lg.shape[-1], x.dtype)
     scat = lax.dot_general(de.astype(x.dtype), onehot,
                            (((1,), (1,)), ((), ())),
                            preferred_element_type=jnp.float32)
@@ -130,7 +130,10 @@ def fused_ctc_head_emit(hs: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
                  constant_values=NEG).reshape(1, vp)
     tt = min(block_rows, _round_up(t, 8))
     nt = pl.cdiv(t, tt)
-    ext = ext.astype(jnp.int32)
+    # Carry ext as [B, 1, Sp]: a (1, 1, Sp) block's LAST TWO dims then
+    # satisfy Mosaic's (8, 128)-divisible-or-full rule ((1, Sp) on a
+    # 2-D [B, Sp] array does not — second-minor 1 != B).
+    ext = ext.astype(jnp.int32)[:, None, :]
 
     cparams = None
     if not interpret:
@@ -142,7 +145,7 @@ def fused_ctc_head_emit(hs: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
             cparams = pltpu.TPUCompilerParams(vmem_limit_bytes=vmem)
 
     grid = (bsz, nt)
-    ext_spec = pl.BlockSpec((1, sp), lambda ib, it: (ib, 0),
+    ext_spec = pl.BlockSpec((1, 1, sp), lambda ib, it: (ib, 0, 0),
                             memory_space=pltpu.VMEM)
     hs_spec = pl.BlockSpec((1, tt, d), lambda ib, it: (ib, it, 0),
                            memory_space=pltpu.VMEM)

@@ -305,7 +305,7 @@ def main(argv=None):
         # the TEST decode at the selected weight.
         if "lm_weight" not in results:
             best_w, best_wer = 0.0, None
-            for w in (0.1, 0.2, 0.3, 0.5):
+            for w in (0.05, 0.1, 0.2, 0.3, 0.5):
                 dev_hyps = decode(base_exp, beam=10, _loaded=dev_loaded,
                                   lm_exp_dir=str(lm_exp), lm_weight=w)
                 dev_wer, _ = error_rate(dev_refs, dev_hyps, "word")
@@ -366,7 +366,13 @@ def main(argv=None):
             mbr=MBRConfig(weight=0.5, beam_size=4, max_len=24),
             max_epoch=args.max_epoch + args.mbr_epochs)
         ASRTask.train(mbr_cfg)  # resumes from the copied checkpoints
-        arm("mbr_beam10", lambda: decode(mbr_exp, beam=10))
+        # Decode the FINE-TUNED weights (latest epoch): the MBR epochs
+        # raise valid CE loss by construction, so the valid-loss 5-best
+        # average would silently fall back to the copied base checkpoints
+        # (observed: mbr_beam10 bit-identical to beam10).
+        arm("mbr_beam10", lambda: decode(
+            mbr_exp, beam=10,
+            ckpt_name=f"{args.max_epoch + args.mbr_epochs}epoch"))
 
     lines = [
         "# RESULTS — ablations on the hard synthetic corpus",
