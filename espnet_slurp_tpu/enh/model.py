@@ -46,7 +46,17 @@ class EnhConfig:
     #   masking, dc_crn_separator.py) | ineube (TCNDenseUNet complex
     #   mapping -> optional mfMCWF -> DNN2 refinement, multichannel;
     #   ineube_separator.py)
+    # | external (bring-your-own flax separator resolved from a dotted
+    #   path — the TPU-native analogue of the reference's asteroid plugin
+    #   bridge, espnet2/enh/separator/asteroid_models.py:11-67: instead of
+    #   wrapping external torch modules, any installed flax module class
+    #   is pulled into the task by name and trained/jitted natively)
     separator: str = "blstm"
+    # external separator: "package.module:ClassName"; the class is built as
+    # ClassName(n_spk=..., **external_kwargs) and called as
+    # (speech_mix [B, N], speech_lengths [B]) -> (est [B, n_spk, N'], lens)
+    external_path: str = ""
+    external_kwargs: Tuple[Tuple[str, Any], ...] = ()
     # ineube options (ineube_separator.py:output_from/n_chunks/tik_eps)
     ineube_output_from: str = "dnn1"  # dnn1 | mfmcwf | dnn2
     ineube_n_chunks: int = 1
@@ -116,6 +126,8 @@ class EnhModel(nn.Module):
             return self._separate_dc_crn(speech_mix, speech_lengths)
         if c.separator == "ineube":
             return self._separate_ineube(speech_mix, speech_lengths)
+        if c.separator == "external":
+            return self._separate_external(speech_mix, speech_lengths)
         if c.separator == "dpcl":
             return self._separate_dpcl(speech_mix, speech_lengths)
         if c.separator == "dan":
@@ -178,6 +190,26 @@ class EnhModel(nn.Module):
                     n_fft=c.n_fft, hop=c.hop_length)
         est = est.reshape(b, s, -1)
         return est, flens
+
+    def _separate_external(self, speech_mix, speech_lengths):
+        """Bring-your-own separator (asteroid_models.py:11-67 analogue).
+
+        Resolves cfg.external_path "package.module:ClassName" to a flax
+        nn.Module class, builds it with (n_spk=..., **external_kwargs) and
+        calls it with the raw mixture — so any externally installed
+        JAX/flax separation model plugs into the enh task (training,
+        decoding, checkpointing) without a wrapper class per model.
+        """
+        import importlib
+        c = self.cfg
+        if ":" not in c.external_path:
+            raise ValueError(
+                "external separator needs external_path='module:Class', "
+                f"got {c.external_path!r}")
+        mod_name, cls_name = c.external_path.split(":", 1)
+        cls = getattr(importlib.import_module(mod_name), cls_name)
+        sep = cls(n_spk=c.n_spk, **dict(c.external_kwargs), name="external")
+        return sep(speech_mix, speech_lengths)
 
     def _separate_tasnet(self, speech_mix, speech_lengths):
         """Time-domain path: conv filterbank -> TCN/DPRNN masks -> deconv."""

@@ -599,3 +599,43 @@ def test_mfmcwf_taps_zero_padded_not_circular():
     # Circular taps would have placed mix[-1] at frame 0 (tap d=+1).
     np.testing.assert_allclose(np.abs(y[:, 0]), 0.0, atol=1e-6)
     assert np.abs(y[:, -1]).max() > 0.1
+
+
+def test_external_separator_plugin():
+    """asteroid_models.py analogue: a dotted-path flax separator plugs into
+    EnhModel (train grads + separate), no wrapper class per model."""
+    cfg = EnhConfig(
+        n_spk=2, separator="external",
+        external_path="espnet_slurp_tpu.enh.external_example:"
+                      "LearnedGainSeparator",
+        external_kwargs=(("taps", 5),))
+    model = EnhModel(cfg)
+    rng = np.random.RandomState(11)
+    s1 = rng.randn(2, 1200).astype(np.float32) * 0.3
+    s2 = rng.randn(2, 1200).astype(np.float32) * 0.3
+    batch = {
+        "speech_mix": jnp.asarray(s1 + s2),
+        "speech_mix_lengths": jnp.asarray([1200, 900]),
+        "speech_ref": jnp.asarray(np.stack([s1, s2], 1)),
+    }
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+    assert "external" in params, list(params)
+    (loss, stats), grads = jax.value_and_grad(
+        lambda p: model.apply({"params": p}, **batch), has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads))
+    est, flens = model.apply({"params": params}, batch["speech_mix"],
+                             batch["speech_mix_lengths"],
+                             method=lambda m, s, sl: m.separate(s, sl))
+    assert est.shape == (2, 2, 1200)
+    np.testing.assert_array_equal(np.asarray(flens), [1200, 900])
+
+
+def test_external_separator_bad_path_raises():
+    cfg = EnhConfig(n_spk=2, separator="external", external_path="nocolon")
+    model = EnhModel(cfg)
+    x = jnp.zeros((1, 400))
+    with pytest.raises(ValueError, match="external_path"):
+        model.init(jax.random.PRNGKey(0), x, jnp.asarray([400]),
+                   jnp.zeros((1, 2, 400)))
