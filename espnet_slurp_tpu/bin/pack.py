@@ -19,19 +19,38 @@ def get_parser():
     up = sub.add_parser("unpack", help="zip archive -> exp dir")
     up.add_argument("--archive", required=True)
     up.add_argument("--out_dir", required=True)
+    pb = sub.add_parser("publish",
+                        help="archive -> local model zoo (stage-16 "
+                             "upload analogue, no egress)")
+    pb.add_argument("--archive", required=True)
+    pb.add_argument("--name", required=True)
+    pb.add_argument("--zoo_dir", default=None)
+    ft = sub.add_parser("fetch",
+                        help="zoo name -> decodable exp dir "
+                             "(from_pretrained analogue)")
+    ft.add_argument("--name", required=True)
+    ft.add_argument("--out_dir", required=True)
+    ft.add_argument("--zoo_dir", default=None)
     return p
 
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args = get_parser().parse_args(argv)
-    from ..recipe.asr_pipeline import pack, unpack
+    from ..recipe.asr_pipeline import fetch, pack, publish, unpack
     if args.mode == "pack":
         out = pack(args.exp_dir, args.out)
         logging.info("packed %s -> %s", args.exp_dir, out)
-    else:
+    elif args.mode == "unpack":
         out = unpack(args.archive, args.out_dir)
         logging.info("unpacked %s -> %s", args.archive, out)
+    elif args.mode == "publish":
+        out = publish(args.archive, args.name, args.zoo_dir)
+        logging.info("published %s as %r -> %s", args.archive, args.name,
+                     out)
+    else:
+        out = fetch(args.name, args.out_dir, args.zoo_dir)
+        logging.info("fetched %r -> %s", args.name, out)
     return 0
 
 

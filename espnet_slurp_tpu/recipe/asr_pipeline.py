@@ -374,6 +374,61 @@ def pack(exp_dir: str | Path, out_path: str | Path) -> Path:
     return out_path
 
 
+def publish(archive: str | Path, name: str,
+            zoo_dir: str | Path | None = None) -> Path:
+    """Stage 16 analogue (asr.sh:1449-1494 upload_models / zenodo_upload):
+    publish a packed model into the LOCAL model zoo — a content-addressed
+    registry directory (ESPNET_SLURP_TPU_ZOO or
+    ~/.cache/espnet_slurp_tpu/zoo) with an index.json of
+    name -> {file, sha256, bytes}. No-egress: the registry plays the role
+    of zenodo/HF hub; `fetch` is the from_pretrained counterpart."""
+    import hashlib
+    import json
+    import os
+    import shutil
+    zoo = Path(zoo_dir or os.environ.get(
+        "ESPNET_SLURP_TPU_ZOO",
+        Path.home() / ".cache" / "espnet_slurp_tpu" / "zoo"))
+    zoo.mkdir(parents=True, exist_ok=True)
+    archive = Path(archive)
+    digest = hashlib.sha256(archive.read_bytes()).hexdigest()
+    dest = zoo / f"{name}.zip"
+    shutil.copyfile(archive, dest)
+    index_path = zoo / "index.json"
+    index = (json.loads(index_path.read_text())
+             if index_path.exists() else {})
+    index[name] = {"file": dest.name, "sha256": digest,
+                   "bytes": dest.stat().st_size}
+    index_path.write_text(json.dumps(index, indent=1))
+    return dest
+
+
+def fetch(name: str, out_dir: str | Path,
+          zoo_dir: str | Path | None = None) -> Path:
+    """from_pretrained analogue: resolve `name` in the local model zoo,
+    verify its sha256 against the registry index, and unpack it into a
+    self-contained, decodable exp dir."""
+    import hashlib
+    import json
+    import os
+    zoo = Path(zoo_dir or os.environ.get(
+        "ESPNET_SLURP_TPU_ZOO",
+        Path.home() / ".cache" / "espnet_slurp_tpu" / "zoo"))
+    index_path = zoo / "index.json"
+    if not index_path.exists():
+        raise FileNotFoundError(f"no model zoo index at {index_path}")
+    index = json.loads(index_path.read_text())
+    if name not in index:
+        raise KeyError(f"model {name!r} not in zoo ({sorted(index)})")
+    entry = index[name]
+    archive = zoo / entry["file"]
+    digest = hashlib.sha256(archive.read_bytes()).hexdigest()
+    if digest != entry["sha256"]:
+        raise ValueError(f"sha256 mismatch for {name}: registry "
+                         f"{entry['sha256'][:12]}.. != file {digest[:12]}..")
+    return unpack(archive, out_dir)
+
+
 def unpack(archive: str | Path, out_dir: str | Path) -> Path:
     """Stage 15 analogue: extract a packed model and REBASE its config so
     the unpacked directory is self-contained (the archived config.yaml

@@ -72,3 +72,31 @@ def test_hf_export_vocabulary(tmp_path):
     assert lines[0] == "<blank>"
     assert lines[-1] == "<eos>"
     assert "<unk>" in lines
+
+def test_publish_fetch_zoo(tmp_path):
+    """Stage-16 analogue: pack -> publish to the local zoo -> fetch by name
+    (sha256-verified) -> self-contained dir; corrupted archives refuse."""
+    from espnet_slurp_tpu.bin.pack import main as cli_main
+    exp = tmp_path / "exp"
+    exp.mkdir()
+    (exp / "config.yaml").write_text("exp_dir: x\n")
+    (exp / "tokens.txt").write_text("<blank>\na\n")
+    archive = tmp_path / "model.zip"
+    assert cli_main(["pack", "--exp_dir", str(exp),
+                     "--out", str(archive)]) == 0
+    zoo = tmp_path / "zoo"
+    assert cli_main(["publish", "--archive", str(archive),
+                     "--name", "demo_asr", "--zoo_dir", str(zoo)]) == 0
+    idx = json.loads((zoo / "index.json").read_text())
+    assert "demo_asr" in idx and len(idx["demo_asr"]["sha256"]) == 64
+    out = tmp_path / "fetched"
+    assert cli_main(["fetch", "--name", "demo_asr",
+                     "--out_dir", str(out), "--zoo_dir", str(zoo)]) == 0
+    assert (out / "tokens.txt").read_text() == "<blank>\na\n"
+    # tamper -> sha mismatch refuses
+    from espnet_slurp_tpu.recipe.asr_pipeline import fetch
+    (zoo / "demo_asr.zip").write_bytes(b"corrupt")
+    with pytest.raises(ValueError, match="sha256 mismatch"):
+        fetch("demo_asr", tmp_path / "f2", zoo)
+    with pytest.raises(KeyError):
+        fetch("nope", tmp_path / "f3", zoo)
