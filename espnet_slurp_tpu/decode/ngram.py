@@ -111,8 +111,17 @@ class ArpaLM:
                 if any(i < 0 for i in ids):
                     continue
                 if order == 1:
-                    self.uni[ids[0]] = lp
-                    self.uni_bo[ids[0]] = bo
+                    if words[0] == "<s>":
+                        # <s> is context-only (ARPA logp -99, never
+                        # predicted). With a JOINT sos/eos id (the usual
+                        # decoder wiring) the shared slot must keep
+                        # p(</s>) for prediction and take <s>'s backoff
+                        # weight for its role as context — writing the
+                        # -99 would clobber the eos probability.
+                        self.uni_bo[ids[0]] = bo
+                    else:
+                        self.uni[ids[0]] = lp
+                        self.uni_bo[ids[0]] = bo
                 elif order == 2:
                     bi_rows.setdefault(ids[0], []).append((ids[1], lp))
                     if bo != 0.0:

@@ -180,7 +180,7 @@ def main(argv=None):
     p.add_argument("--max_epoch", type=int, default=25)
     p.add_argument("--mbr_epochs", type=int, default=3)
     p.add_argument("--skip", nargs="*", default=[],
-                   help="subset of {lm,tcpgen,mbr} to skip")
+                   help="subset of {lm,ngram,tcpgen,mbr} to skip")
     args = p.parse_args(argv)
 
     import jax
@@ -309,7 +309,7 @@ def main(argv=None):
                 dev_hyps = decode(base_exp, beam=10, _loaded=dev_loaded,
                                   lm_exp_dir=str(lm_exp), lm_weight=w)
                 dev_wer, _ = error_rate(dev_refs, dev_hyps, "word")
-                log.info("lm sweep w=%.1f dev WER %.2f%%", w, dev_wer * 100)
+                log.info("lm sweep w=%.2f dev WER %.2f%%", w, dev_wer * 100)
                 if best_wer is None or dev_wer < best_wer:
                     best_w, best_wer = w, dev_wer
             results["lm_weight"] = best_w
@@ -317,6 +317,35 @@ def main(argv=None):
         arm("beam10_lm", lambda: decode(base_exp, beam=10,
                                         lm_exp_dir=str(lm_exp),
                                         lm_weight=results["lm_weight"]))
+
+    if "ngram" not in args.skip:
+        # Count-based BPE-token 3-gram via the in-framework lmplz analogue
+        # (decode/ngram_train.py): the corpus grammar IS a bigram model
+        # over words, so a count LM is the matched-capacity fusion arm
+        # (reference: KenLM-trained ngram via scorers/ngram.py).
+        log.info("=== n-gram fusion ===")
+        from ..data.tokenizer import build_tokenizer
+        from ..decode.ngram_train import train_arpa_from_file
+        arpa = out / "train_bpe3.arpa"
+        if not arpa.exists():
+            tok = build_tokenizer("bpe", bpemodel=str(base_exp / "bpe.json"))
+            train_arpa_from_file(Path(train_dir) / "text", arpa, order=3,
+                                 tokenizer=tok.text2tokens)
+        if "ngram_weight" not in results:
+            best_w, best_wer = 0.1, None
+            for w in (0.1, 0.2, 0.3, 0.5):
+                dev_hyps = decode(base_exp, beam=10, _loaded=dev_loaded,
+                                  ngram_file=str(arpa), ngram_weight=w)
+                dev_wer, _ = error_rate(dev_refs, dev_hyps, "word")
+                log.info("ngram sweep w=%.2f dev WER %.2f%%",
+                         w, dev_wer * 100)
+                if best_wer is None or dev_wer < best_wer:
+                    best_w, best_wer = w, dev_wer
+            results["ngram_weight"] = best_w
+            results_json.write_text(json.dumps(results, indent=1))
+        arm("beam10_ngram",
+            lambda: decode(base_exp, beam=10, ngram_file=str(arpa),
+                           ngram_weight=results["ngram_weight"]))
 
     if "tcpgen" not in args.skip:
         log.info("=== TCPGen training ===")
@@ -398,9 +427,10 @@ def main(argv=None):
                      f"{r['common_wer'] * 100:.2f}% |")
     lines += [
         "",
-        "Expected directions: beam10 < greedy; +LM < beam10 (bigram "
-        "grammar); tcpgen_bias rare-word WER < tcpgen_nobias AND < beam10; "
-        "mbr_beam10 <= beam10.",
+        "Expected directions: beam10 < greedy; +LM < beam10 and "
+        "+ngram < beam10 (the corpus grammar IS a bigram model); "
+        "tcpgen_bias rare-word WER < tcpgen_nobias AND < beam10; "
+        "mbr_beam10 <= beam10 (decoded at the fine-tuned checkpoint).",
         "",
         json.dumps(results),
     ]

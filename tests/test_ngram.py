@@ -170,15 +170,13 @@ def test_ngram_training_normalizes(tmp_path):
     """In-framework lmplz analogue: the written ARPA, read back through the
     scorer, gives per-context distributions that sum to ~1 and prefer the
     training bigrams."""
-    from espnet_slurp_tpu.decode.ngram_train import (train_arpa_file,
-                                                     train_ngram,
-                                                     write_arpa)
+    from espnet_slurp_tpu.decode.ngram_train import (train_arpa,
+                                                     train_arpa_from_file)
 
     sents = [["a", "b", "c"], ["a", "b", "a"], ["b", "c", "a"],
              ["a", "c"], ["c", "b", "a", "b"]] * 3
-    tables = train_ngram(sents, order=3)
     p = tmp_path / "lm.arpa"
-    write_arpa(tables, str(p))
+    train_arpa(sents, p, order=3, discount=0.4)
 
     # score through the runtime scorer
     vocab = {"a": 1, "b": 2, "c": 3, "<s>": 4, "</s>": 4}
@@ -187,18 +185,18 @@ def test_ngram_training_normalizes(tmp_path):
     st = init(1)
     row, st = step(jnp.asarray([4]), st)   # context (<s>)
     probs = np.exp(np.asarray(row[0]))
-    # ids 1..4 cover a/b/c/</s>: total prob mass ~1 (id 0 is padding/blank)
-    assert 0.9 < probs[1:].sum() < 1.1
+    # ids 1..4 cover a/b/c/</s>: total mass ~1 minus the dropped <unk>
+    assert 0.8 < probs[1:].sum() < 1.001
     # 'a' is the most common sentence starter
     assert probs[1] == probs[1:4].max()
     row2, _ = step(jnp.asarray([1]), st)   # context (<s>, a)
     probs2 = np.exp(np.asarray(row2[0]))
-    assert 0.9 < probs2[1:].sum() < 1.1
+    assert 0.8 < probs2[1:].sum() < 1.001
     assert probs2[2] > probs2[3]           # 'a b' dominates 'a c'
 
     # file-level entry point
     txt = tmp_path / "text"
     txt.write_text("u1 a b c\nu2 a b a\n")
-    train_arpa_file(str(txt), str(tmp_path / "lm2.arpa"), order=2)
+    train_arpa_from_file(str(txt), str(tmp_path / "lm2.arpa"), order=2)
     lm2 = ArpaLM(str(tmp_path / "lm2.arpa"), vocab, 5)
     assert lm2.uni[1] > lm2.uni[3]  # 'a' more frequent than 'c'
