@@ -251,12 +251,12 @@ def run_pipeline(cfg: ASRTaskConfig, opts: PipelineOptions = PipelineOptions(),
         # Train over the DECODE token units (the scorer fuses token ids),
         # like the reference's BPE-tokenized lmplz input (asr.sh stage 9).
         from ..decode.ngram import ArpaLM
-        from ..decode.ngram_train import train_ngram, write_arpa
+        from ..decode.ngram_train import train_arpa
         tokenizer, conv, _ = ASRTask.prepare_vocab(cfg)
         sents = [tokenizer.text2tokens(t) for t in
                  read_2column_text(Path(train_dir) / "text").values()]
         arpa = exp / "train.arpa"
-        write_arpa(train_ngram(sents, order=opts.ngram_order), str(arpa))
+        train_arpa(sents, str(arpa), order=opts.ngram_order)
         ngram_file = str(exp / "train_ngram.npz")
         tok2id = {t: i for i, t in enumerate(conv.token_list)}
         sos = len(conv.token_list) - 1
