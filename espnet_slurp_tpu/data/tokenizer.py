@@ -59,21 +59,53 @@ class WordTokenizer(AbsTokenizer):
 
 
 class BpeTokenizer(AbsTokenizer):
-    """BPE via HuggingFace tokenizers, sentencepiece-style ▁ word boundary."""
+    """BPE via HuggingFace tokenizers, sentencepiece-style ▁ word boundary.
 
-    def __init__(self, model_path: str):
+    marker="prefix" (default): HF Metaspace convention — word-INITIAL
+    pieces start with ▁ ("▁ca", "t").
+    marker="suffix": word-FINAL pieces end with ▁ ("ca", "t▁") — the
+    reference fork's TCPGen dictionary convention
+    (egs/slurp/asr1/conf: bpe_dict_unigram600suffix.txt). Suffix marking
+    makes "a word just ended" observable from the PAST token stream, which
+    is what lets the TCPGen trie walk reset to root (pointer live) at word
+    starts and park at DEAD (pointer masked) mid-unknown-word with
+    IDENTICAL semantics in teacher forcing and beam search
+    (decoders.py:259,300-311). The underlying BPE model is trained once in
+    Metaspace form; the marker only re-marks the emitted pieces.
+    """
+
+    def __init__(self, model_path: str, marker: str = "prefix"):
         from tokenizers import Tokenizer
         self.tok = Tokenizer.from_file(str(model_path))
+        assert marker in ("prefix", "suffix"), marker
+        self.marker = marker
+
+    @staticmethod
+    def _to_suffix(tokens: List[str]) -> List[str]:
+        out: List[str] = []
+        for t in tokens:
+            start = t.startswith("▁")
+            core = t[1:] if start else t
+            if start and out:
+                out[-1] += "▁"
+            if core:
+                out.append(core)
+        if out:
+            out[-1] += "▁"
+        return out
 
     def text2tokens(self, line: str) -> List[str]:
-        return self.tok.encode(line).tokens
+        toks = self.tok.encode(line).tokens
+        return self._to_suffix(toks) if self.marker == "suffix" else toks
 
     def tokens2text(self, tokens: Iterable[str]) -> str:
+        # both conventions detokenize identically: ▁ -> space
         return "".join(tokens).replace("▁", " ").strip()
 
     @staticmethod
     def train(texts: Iterable[str], vocab_size: int, out_path: str,
-              character_coverage: float = 1.0) -> "BpeTokenizer":
+              character_coverage: float = 1.0,
+              marker: str = "prefix") -> "BpeTokenizer":
         """Train a BPE model over an iterator of raw text lines."""
         from tokenizers import Tokenizer, models, pre_tokenizers, trainers
         tok = Tokenizer(models.BPE(unk_token=None))
@@ -83,7 +115,7 @@ class BpeTokenizer(AbsTokenizer):
         tok.train_from_iterator(texts, trainer)
         Path(out_path).parent.mkdir(parents=True, exist_ok=True)
         tok.save(str(out_path))
-        return BpeTokenizer(out_path)
+        return BpeTokenizer(out_path, marker=marker)
 
 
 class PhonemeTokenizer(AbsTokenizer):
@@ -137,7 +169,8 @@ class PhonemeTokenizer(AbsTokenizer):
 def build_tokenizer(token_type: str, bpemodel: str | None = None,
                     non_linguistic_symbols: Sequence[str] = (),
                     delimiter: str | None = None,
-                    g2p_lexicon: str | None = None) -> AbsTokenizer:
+                    g2p_lexicon: str | None = None,
+                    bpe_marker: str = "prefix") -> AbsTokenizer:
     """espnet2/text/build_tokenizer.py analogue."""
     if token_type == "char":
         return CharTokenizer(non_linguistic_symbols=non_linguistic_symbols)
@@ -145,7 +178,7 @@ def build_tokenizer(token_type: str, bpemodel: str | None = None,
         return WordTokenizer(delimiter=delimiter)
     if token_type == "bpe":
         assert bpemodel is not None
-        return BpeTokenizer(bpemodel)
+        return BpeTokenizer(bpemodel, marker=bpe_marker)
     if token_type == "phn":
         return PhonemeTokenizer(lexicon=g2p_lexicon)
     raise ValueError(f"unknown token_type {token_type}")

@@ -147,6 +147,12 @@ class ASRConfig:
     tcpgen_gcn_layers: int = 2
     tcpgen_tree_encoder: str = "gcn"  # gcn | gat | sage | treelstm
     tcpgen_smoothprob: float = 1.0
+    # > 0 adds an explicit pointer-attention CE at steps where the target
+    # is a child of the walk's node (reference calc_ptr_loss att_labs,
+    # decoders.py:528-529): trains the tree attention to point correctly
+    # even while the generation gate is still closed, which is what keeps
+    # the gate from collapsing when biased words are sparse.
+    tcpgen_ptr_loss_weight: float = 0.0
     frontend: FrontendConfig = FrontendConfig()
     specaug: Optional[SpecAugConfig] = SpecAugConfig()
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
@@ -479,8 +485,8 @@ class ASRModel(nn.Module):
     def __call__(self, speech, speech_lengths, text, text_lengths, *,
                  trie_token=None, trie_children_tok=None,
                  trie_children_node=None, trie_n_children=None, node=None,
-                 p_gen_mask=None, train=False, specaug_rng=None,
-                 mvn_stats=None):
+                 p_gen_mask=None, ptr_label_mask=None, smoothprob_scale=None,
+                 train=False, specaug_rng=None, mvn_stats=None):
         """Full training forward -> (loss, stats dict). espnet_model.py:169-297.
 
         The trie_*/node/p_gen_mask kwargs are the TCPGen biasing batch
@@ -541,12 +547,39 @@ class ASRModel(nn.Module):
                     deterministic=not train, return_hidden=True)
                 tree_encs = self.tcpgen_tree_encs(trie)
                 ptr_dist, kb_emb = self.tcpgen(hidden, node, trie, tree_encs)
-                p_gen = self.tcpgen.gen_prob(hidden, kb_emb, p_gen_mask,
-                                             c.tcpgen_smoothprob)
+                # Pointer ramp (reference PtrSche / fullepoch scaling,
+                # decoders.py:777): the host passes a [0,1] scalar that
+                # scales p_gen up over the first epochs so the early-
+                # training (noisy) pointer cannot teach the gate shut.
+                sp = c.tcpgen_smoothprob
+                if smoothprob_scale is not None:
+                    sp = sp * smoothprob_scale
+                p_gen = self.tcpgen.gen_prob(hidden, kb_emb, p_gen_mask, sp)
                 logp = tcpgen_final_logprobs(logits, ptr_dist, p_gen)
                 loss_att, acc = label_smoothing_loss(
                     logp, ys_out, c.lsm_weight, logits_are_logprobs=True)
                 stats["p_gen"] = jnp.mean(p_gen)
+                if (c.tcpgen_ptr_loss_weight > 0.0
+                        and ptr_label_mask is not None):
+                    # att_labs CE (decoders.py:528-529) over live steps:
+                    # label 1 -> -log ptr(target child); label 2 -> -log
+                    # ptr(OOKB) (slu/kb.py augment). OOKB steps outnumber
+                    # child steps; balance the classes so the attention
+                    # does not collapse onto the sink.
+                    tgt = jnp.clip(ys_out, 0, c.vocab_size - 1)
+                    p_child = jnp.take_along_axis(
+                        ptr_dist[..., :c.vocab_size], tgt[..., None],
+                        axis=-1)[..., 0]
+                    p_ookb = ptr_dist[..., c.vocab_size]
+                    m1 = (ptr_label_mask == 1).astype(jnp.float32)
+                    m2 = (ptr_label_mask == 2).astype(jnp.float32)
+                    n1, n2 = m1.sum(), m2.sum()
+                    w = m1 + m2 * (n1 / jnp.maximum(n2, 1.0))
+                    p_tgt = jnp.where(ptr_label_mask == 1, p_child, p_ookb)
+                    loss_ptr = (-jnp.log(p_tgt + 1e-9) * w).sum() \
+                        / jnp.maximum(w.sum(), 1.0)
+                    stats["loss_ptr"] = loss_ptr
+                    loss = loss + c.tcpgen_ptr_loss_weight * loss_ptr
             else:
                 logits = self.decoder_logits(ys_in, text_lengths + 1, hs,
                                              h_lengths, train=train)

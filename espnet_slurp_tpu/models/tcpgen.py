@@ -290,8 +290,9 @@ def trie_step(trie: Dict[str, jnp.ndarray], node, y, boundary_mask,
     Prefix convention (prefix_boundary=True; '▁'-INITIAL pieces — the HF
     Metaspace BPE this framework trains) restarts the walk from root
     THROUGH a word-initial token and resets to root whenever a descend
-    completes a word (childless node), keeping the pointer live for the
-    next word's first piece; must match walk_trie's training-time walk.
+    completes a word (childless node) OR leaves the tree, keeping the
+    pointer live for the next word's first piece (mask always 0 in this
+    convention); must match walk_trie's training-time walk.
     root: reset target on eos / word boundary — the global trie root (0) for
     ASR biasing lists, or a per-hypothesis [N] array of slot-ontology roots
     for the KA2G forest (must match walk_forest's training-time reset,
@@ -314,9 +315,12 @@ def trie_step(trie: Dict[str, jnp.ndarray], node, y, boundary_mask,
     child = jnp.sum(jnp.where(hit, cn, 0), axis=1)  # unique match or 0
     child_nc = trie["trie_n_children"][child]
     if prefix_boundary:
+        # Out-of-tree resets to ROOT with the pointer LIVE (see walk_trie:
+        # the next step may start a biased word, whose first piece is a
+        # child of root; DEAD would blind the pointer exactly there).
         desc = jnp.where(child_nc > 0, child, root)
-        new_node = jnp.where(is_eos, root, jnp.where(found, desc, dead))
-        p_gen_mask = jnp.where(is_eos, 0, jnp.where(found, 0, 1))
+        new_node = jnp.where(is_eos, root, jnp.where(found, desc, root))
+        p_gen_mask = jnp.zeros_like(new_node)
         return new_node.astype(jnp.int32), p_gen_mask.astype(jnp.int32)
     # boundary: descend if child exists and has children, else root
     boundary_node = jnp.where(found & (child_nc > 0), child, root)

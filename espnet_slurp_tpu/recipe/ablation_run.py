@@ -129,46 +129,8 @@ def make_hard_corpus(root, n_train=10000, n_dev=200, n_test=400,
     return tuple(dirs) + (rare,)
 
 
-class _TCPGenASRTask:
-    """ASRTask wrapper whose iter factory augments every batch with the
-    rare-word biasing trie + teacher-forced trie walk (the fork's
-    KBmeetingTrain per-batch KB, KB.py:120-230 — here the trie is the full
-    rare list + DBdrop handled by p_gen_mask supervision)."""
-
-    def __init__(self, trie, boundary_ids, sos_id, eos_id,
-                 prefix_boundary=False):
-        import jax.numpy as jnp
-        self.trie_arrays = {
-            "trie_token": jnp.asarray(trie.token),
-            "trie_children_tok": jnp.asarray(trie.children_tok),
-            "trie_children_node": jnp.asarray(trie.children_node),
-            "trie_n_children": jnp.asarray(trie.n_children),
-        }
-        self.trie = trie
-        self.boundary_ids = boundary_ids
-        self.prefix_boundary = prefix_boundary
-        self.sos_id = sos_id
-        self.eos_id = eos_id
-
-    def wrap(self, base_factory):
-        from ..slu.kb import walk_trie
-        import jax.numpy as jnp
-
-        def factory(epoch):
-            for batch in base_factory(epoch):
-                text = np.asarray(batch["text"])
-                ys_in = np.concatenate(
-                    [np.full((text.shape[0], 1), self.sos_id, np.int32),
-                     np.maximum(text, 0).astype(np.int32)], axis=1)
-                node, mask = walk_trie(self.trie, ys_in, self.boundary_ids,
-                                       self.eos_id,
-                                       prefix_boundary=self.prefix_boundary)
-                out = dict(batch)
-                out.update(self.trie_arrays)
-                out["node"] = jnp.asarray(node)
-                out["p_gen_mask"] = jnp.asarray(mask)
-                yield out
-        return factory
+# Per-batch biasing for the TCPGen arm lives in the framework now:
+# slu/kb.py TCPGenBatchAugmenter (KBmeetingTrain + PtrSche analogue).
 
 
 def main(argv=None):
@@ -207,6 +169,11 @@ def main(argv=None):
         dtype="bfloat16")
     data_kw = dict(train_dir=str(train_dir), valid_dir=str(dev_dir),
                    token_type="bpe", bpe_vocab_size=400,
+                   # Suffix-marked pieces ('ca t▁') — the fork's TCPGen
+                   # dictionary convention (bpe_dict_unigram600suffix.txt):
+                   # word ends are past-observable, so the biasing walk's
+                   # pointer mask is identical in training and beam search.
+                   bpe_marker="suffix",
                    batch_type="numel", batch_bins=1_500_000,
                    speech_bucket_multiple=8192, text_bucket_multiple=8,
                    # B bucketed to multiples of 8: bounds remote-compile
@@ -298,6 +265,7 @@ def main(argv=None):
                               valid_text=str(Path(dev_dir) / "text"),
                               token_type="bpe",
                               bpemodel=str(base_exp / "bpe.json"),
+                              bpe_marker="suffix",
                               batch_size=64),
             max_epoch=max(args.max_epoch // 2, 8), keep_nbest=3)
         LMTask.train(lm_cfg)
@@ -328,7 +296,8 @@ def main(argv=None):
         from ..decode.ngram_train import train_arpa_from_file
         arpa = out / "train_bpe3.arpa"
         if not arpa.exists():
-            tok = build_tokenizer("bpe", bpemodel=str(base_exp / "bpe.json"))
+            tok = build_tokenizer("bpe", bpemodel=str(base_exp / "bpe.json"),
+                                  bpe_marker="suffix")
             train_arpa_from_file(Path(train_dir) / "text", arpa, order=3,
                                  tokenizer=tok.text2tokens)
         if "ngram_weight" not in results:
@@ -350,25 +319,48 @@ def main(argv=None):
     if "tcpgen" not in args.skip:
         log.info("=== TCPGen training ===")
         from ..data.tokenizer import TokenIDConverter, build_tokenizer
-        from ..slu.kb import boundary_token_ids, build_trie
+        from ..slu.kb import TCPGenBatchAugmenter, boundary_token_ids
         tcp_exp = out / "exp_tcpgen"
+        # Fine-tune from the base run's averaged weights (the reference's
+        # PtrSche=20 staging: the pointer only ever trains against a
+        # competent model — training it from scratch collapses the
+        # generation gate long before the decoder is any good).
         tcp_cfg = dataclasses.replace(
             cfg, exp_dir=str(tcp_exp),
-            model=ASRConfig(use_tcpgen=True, **model_kw),
+            model=ASRConfig(use_tcpgen=True, tcpgen_ptr_loss_weight=1.0,
+                            **model_kw),
             data=DataConfig(bpemodel=str(base_exp / "bpe.json"), **{
-                k: v for k, v in data_kw.items() if k != "bpemodel"}))
+                k: v for k, v in data_kw.items() if k != "bpemodel"}),
+            optim=OptimConfig(lr=5e-4, scheduler="constant"),
+            init_params_from=str(base_exp / "valid.loss.ave_5best"),
+            max_epoch=10, keep_nbest=5, nbest_average=3)
         # share the base vocab so tries/ids line up
         tcp_exp.mkdir(parents=True, exist_ok=True)
         shutil.copy(base_exp / "tokens.txt", tcp_exp / "tokens.txt")
-        tokenizer = build_tokenizer("bpe", bpemodel=str(base_exp / "bpe.json"))
+        tokenizer = build_tokenizer("bpe", bpemodel=str(base_exp / "bpe.json"),
+                                    bpe_marker="suffix")
         converter = TokenIDConverter(tcp_exp / "tokens.txt")
+        # f30-analogue biasing vocabulary (fork: data/KB/rarewords_f30.txt,
+        # every word under a train-frequency threshold): the rare eval set
+        # alone is too sparse for the generation gate to learn WHEN to
+        # point; the broader tail supplies the positive steps.
+        from collections import Counter
+        wc = Counter(w for t in read_2column_text(
+            Path(train_dir) / "text").values() for w in t.split())
+        bias_vocab = sorted(set(w for w, n in wc.items() if n <= 30)
+                            | set(rare))
+        log.info("biasing vocabulary: %d words (rare eval: %d)",
+                 len(bias_vocab), len(rare))
         pieces = [converter.tokens2ids(tokenizer.text2tokens(w))
-                  for w in rare]
-        trie = build_trie(pieces)
+                  for w in bias_vocab]
         bset, prefix = boundary_token_ids(converter.token_list)
-        aug = _TCPGenASRTask(trie, bset,
-                             tcp_cfg.model.sos_id, tcp_cfg.model.eos_id,
-                             prefix_boundary=prefix)
+        # Fork recipe: per-batch 20-word lists (present + distractors),
+        # DBdrop 0.3, pointer ramp over the first epochs
+        # (conf/train_slu_tcpgen_gcn.yaml + decoders.py:777).
+        aug = TCPGenBatchAugmenter(
+            pieces, bset, tcp_cfg.model.sos_id, tcp_cfg.model.eos_id,
+            prefix_boundary=prefix, kb_len=30, db_drop=0.3,
+            sched_epochs=3, seed=7)
 
         class Task(ASRTask):
             @classmethod
@@ -382,26 +374,32 @@ def main(argv=None):
         Task.train(tcp_cfg)
         arm("tcpgen_nobias", lambda: decode(tcp_exp, beam=10))
         arm("tcpgen_bias",
-            lambda: decode(tcp_exp, beam=10, biasing_words=rare))
+            lambda: decode(tcp_exp, beam=10, biasing_words=bias_vocab))
 
     if "mbr" not in args.skip:
         log.info("=== MBR fine-tune ===")
+        # Fine-tune from the base run's AVERAGED weights with a fresh
+        # low-LR optimizer — resuming the base's latest checkpoint
+        # resumes whatever late-training instability it ended on
+        # (observed: 25epoch at valid loss 30 vs 2.8 best -> 125% WER).
         mbr_exp = out / "exp_mbr"
-        if not (mbr_exp / "reporter.json").exists():
-            shutil.copytree(base_exp, mbr_exp, dirs_exist_ok=True)
+        mbr_exp.mkdir(parents=True, exist_ok=True)
+        shutil.copy(base_exp / "tokens.txt", mbr_exp / "tokens.txt")
         mbr_cfg = dataclasses.replace(
             cfg, exp_dir=str(mbr_exp),
-            optim=OptimConfig(lr=2e-4, scheduler="constant"),
+            data=DataConfig(bpemodel=str(base_exp / "bpe.json"), **{
+                k: v for k, v in data_kw.items() if k != "bpemodel"}),
+            optim=OptimConfig(lr=1e-4, scheduler="constant"),
+            init_params_from=str(base_exp / "valid.loss.ave_5best"),
             mbr=MBRConfig(weight=0.5, beam_size=4, max_len=24),
-            max_epoch=args.max_epoch + args.mbr_epochs)
-        ASRTask.train(mbr_cfg)  # resumes from the copied checkpoints
+            max_epoch=args.mbr_epochs, keep_nbest=args.mbr_epochs,
+            nbest_average=1)
+        ASRTask.train(mbr_cfg)
         # Decode the FINE-TUNED weights (latest epoch): the MBR epochs
-        # raise valid CE loss by construction, so the valid-loss 5-best
-        # average would silently fall back to the copied base checkpoints
-        # (observed: mbr_beam10 bit-identical to beam10).
+        # raise valid CE loss by construction, so a valid-loss n-best
+        # average could silently prefer the earliest fine-tune epoch.
         arm("mbr_beam10", lambda: decode(
-            mbr_exp, beam=10,
-            ckpt_name=f"{args.max_epoch + args.mbr_epochs}epoch"))
+            mbr_exp, beam=10, ckpt_name=f"{args.mbr_epochs}epoch"))
 
     lines = [
         "# RESULTS — ablations on the hard synthetic corpus",

@@ -134,7 +134,13 @@ def walk_trie(trie: FlatTrie, prev_tokens: np.ndarray,
     token; any descend that lands on a childless node (word complete)
     resets to root so the pointer can immediately score the next word's
     first piece — the same one-step-early decision the reference's
-    boundary case makes.
+    boundary case makes. Out-of-tree tokens also reset to ROOT with the
+    pointer LIVE (not DEAD/disabled): in this convention every next step
+    may start a new word, and root's children are exactly the biasing
+    words' first pieces — parking at DEAD would blind the pointer at the
+    very step a biased word begins (the reference's suffix convention gets
+    this for free because its boundary marker is the word's LAST piece,
+    decoders.py:300-311). The OOKB sink absorbs mid-word continuations.
     """
     b, u = prev_tokens.shape
     node = np.zeros((b, u), np.int32)
@@ -155,9 +161,9 @@ def walk_trie(trie: FlatTrie, prev_tokens: np.ndarray,
             elif prefix_boundary:
                 if child is not None:
                     cur = child if trie.n_children[child] > 0 else ROOT
-                    m = 0
                 else:
-                    cur, m = trie.dead, 1
+                    cur = ROOT
+                m = 0
             elif y in boundary_ids:
                 if child is not None and trie.n_children[child] > 0:
                     cur, m = child, 0
@@ -214,3 +220,135 @@ class BiasingListSampler:
         for i in self.rng.permutation(len(self.full_list))[:n_extra]:
             chosen.add(self.full_list[i])
         return sorted(chosen)
+
+
+class TCPGenBatchAugmenter:
+    """Per-batch biasing for TCPGen training — the fork's KBmeetingTrain +
+    PtrSche recipe (KB.py:120-230; conf/train_slu_tcpgen_gcn.yaml:
+    KBmaxlen 20, randomKBsample, DBdrop 0.3; decoders.py:777 epoch ramp).
+
+    Each batch gets a FRESH small trie: the biasing words found in the
+    batch's references (each dropped with prob ``db_drop`` so the model
+    cannot over-rely on the pointer) plus random distractors up to
+    ``kb_len`` words. A small, mostly-present list is what makes the
+    pointer precise enough during training for the generation gate to
+    learn to open — a static full-list trie starves it of positive signal.
+
+    All trie arrays are padded to FIXED shapes (kb_len-derived), so the
+    jitted train step compiles once. ``start_epoch``/``sched_epochs``
+    emit a ``smoothprob_scale`` scalar per batch: 0 before ``start_epoch``
+    (pointer branch inert — the reference's PtrSche gate, decoders.py:702:
+    the SLURP recipe trains the plain model 20 epochs first, which is what
+    keeps the generation gate from collapsing against an untrained
+    pointer), then ramping to 1 over ``sched_epochs`` (the fullepoch
+    curriculum, decoders.py:777).
+
+    Use ``wrap(iter_factory)`` to augment an ASRTask iterator factory.
+    """
+
+    def __init__(self, word_pieces: Sequence[Sequence[int]],
+                 boundary_ids: Set[int], sos_id: int, eos_id: int,
+                 prefix_boundary: bool = False, kb_len: int = 20,
+                 db_drop: float = 0.3, sched_epochs: int = 0,
+                 start_epoch: int = 0, seed: int = 0):
+        words = sorted({tuple(int(p) for p in w) for w in word_pieces
+                        if len(w)})
+        if not words:
+            raise ValueError("empty biasing list")
+        self.words = words
+        self.kb_len = min(kb_len, len(words))
+        self.db_drop = db_drop
+        self.sched_epochs = sched_epochs
+        self.start_epoch = start_epoch
+        self.boundary_ids = boundary_ids
+        self.prefix_boundary = prefix_boundary
+        self.sos_id = sos_id
+        self.eos_id = eos_id
+        self.rng = np.random.RandomState(seed)
+        # " id id " substring patterns for presence search (word-boundary
+        # guarded); C-level `in` beats a python subsequence scan.
+        self._pats = [" " + " ".join(map(str, w)) + " " for w in words]
+        max_pieces = max(len(w) for w in words)
+        need = self.kb_len * max_pieces + 2  # + root + dead
+        self.pad_nodes = -(-need // 64) * 64
+        self.max_branch = self.kb_len
+
+    def sample_words(self, text_ids: np.ndarray) -> List[Tuple[int, ...]]:
+        """Biasing list for one batch of padded reference ids [B, U]."""
+        rows = [" " + " ".join(str(int(i)) for i in row if i >= 0) + " "
+                for row in text_ids]
+        chosen = []
+        for w, pat in zip(self.words, self._pats):
+            if any(pat in s for s in rows):
+                if self.db_drop > 0 and self.rng.rand() < self.db_drop:
+                    continue
+                chosen.append(w)
+        if len(chosen) > self.kb_len:
+            keep = self.rng.permutation(len(chosen))[: self.kb_len]
+            chosen = [chosen[i] for i in sorted(keep)]
+        elif len(chosen) < self.kb_len:
+            have = set(chosen)
+            pool = [w for w in self.words if w not in have]
+            for i in self.rng.permutation(len(pool))[
+                    : self.kb_len - len(chosen)]:
+                chosen.append(pool[i])
+        return sorted(chosen)
+
+    def augment(self, batch: Dict, epoch: int) -> Dict:
+        import jax.numpy as jnp
+        text = np.asarray(batch["text"])
+        trie = build_trie(self.sample_words(text),
+                          pad_nodes_multiple=self.pad_nodes,
+                          max_branch=self.max_branch)
+        # Start column uses eos_id regardless of sos: the walk's eos case
+        # is "reset to root, pointer live", which is exactly the sequence-
+        # start state (decode-time search also starts at root) — a
+        # distinct sos id must not park the first step at DEAD.
+        ys_in = np.concatenate(
+            [np.full((text.shape[0], 1), self.eos_id, np.int32),
+             np.maximum(text, 0).astype(np.int32)], axis=1)
+        node, mask = walk_trie(trie, ys_in, self.boundary_ids, self.eos_id,
+                               prefix_boundary=self.prefix_boundary)
+        # Oracle pointer labels (att_labs analogue) over LIVE steps:
+        #   1 -> the target is a child of node[j]: point at it;
+        #   2 -> it is not: the correct pointer action is the OOKB sink
+        #        (which routes the generation mass back to the model);
+        #   0 -> pointer masked / padding: no supervision.
+        # Supervising BOTH cases trains the attention to discriminate,
+        # which makes a nonzero p_gen harmless off the biasing list — the
+        # precondition for the gate to learn to open at all.
+        tgt = np.concatenate(
+            [np.maximum(text, 0).astype(np.int32),
+             np.full((text.shape[0], 1), self.eos_id, np.int32)], axis=1)
+        b, u = node.shape
+        pad = np.concatenate(
+            [(text < 0).astype(bool),
+             np.zeros((text.shape[0], 1), bool)], axis=1)
+        ct = trie.children_tok[node.reshape(-1)]          # [B*U, MB]
+        nc = trie.n_children[node.reshape(-1)]            # [B*U]
+        valid = np.arange(ct.shape[1])[None, :] < nc[:, None]
+        hit = ((ct == tgt.reshape(-1)[:, None]) & valid).any(axis=1)
+        hit = hit.reshape(b, u)
+        live = (mask == 0) & ~pad
+        ptr_label = np.where(live & hit, 1,
+                             np.where(live, 2, 0)).astype(np.int32)
+        out = dict(batch)
+        out["trie_token"] = jnp.asarray(trie.token)
+        out["trie_children_tok"] = jnp.asarray(trie.children_tok)
+        out["trie_children_node"] = jnp.asarray(trie.children_node)
+        out["trie_n_children"] = jnp.asarray(trie.n_children)
+        out["node"] = jnp.asarray(node)
+        out["p_gen_mask"] = jnp.asarray(mask)
+        out["ptr_label_mask"] = jnp.asarray(ptr_label)
+        if self.sched_epochs > 0 or self.start_epoch > 0:
+            past = epoch - self.start_epoch
+            scale = (0.0 if past <= 0
+                     else min(1.0, past / max(self.sched_epochs, 1)))
+            out["smoothprob_scale"] = jnp.asarray(scale, jnp.float32)
+        return out
+
+    def wrap(self, base_factory):
+        def factory(epoch):
+            for batch in base_factory(epoch):
+                yield self.augment(batch, epoch)
+        return factory

@@ -23,6 +23,7 @@ from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..data.cleaner import TextCleaner
@@ -54,6 +55,10 @@ class DataConfig:
     text_cleaner: str = ""
     bpemodel: Optional[str] = None
     bpe_vocab_size: int = 300
+    # "prefix" (HF Metaspace '▁ca t') | "suffix" ('ca t▁' — the fork's
+    # TCPGen dictionary convention, bpe_dict_unigram600suffix.txt; use
+    # this for biasing/TCPGen runs so walk masks match at train & decode).
+    bpe_marker: str = "prefix"
     # Multichannel audio ([N, C] wavs via the sound_mc loader) for the
     # WPE/MVDR frontend path (model.use_beamformer / use_wpe).
     multichannel: bool = False
@@ -105,6 +110,12 @@ class ASRTaskConfig:
     nbest_average: int = 5
     log_interval: int = 50
     resume: bool = True
+    # Warm-start: orbax params-only checkpoint dir (e.g. a prior run's
+    # 'valid.loss.ave_5best') loaded into the fresh TrainState when no
+    # resume checkpoint exists — reference --init_param
+    # (espnet2/tasks/abs_task.py load_pretrained_model). Optimizer state
+    # starts fresh (fine-tune semantics).
+    init_params_from: str = ""
 
 
 def load_task_config(path: str | None = None, overrides: Dict | None = None
@@ -144,7 +155,8 @@ class ASRTask:
             if not Path(bpe_path).exists():
                 BpeTokenizer.train(texts().values(), data.bpe_vocab_size,
                                    bpe_path)
-            tokenizer = build_tokenizer("bpe", bpemodel=bpe_path)
+            tokenizer = build_tokenizer("bpe", bpemodel=bpe_path,
+                                        bpe_marker=data.bpe_marker)
         else:
             tokenizer = build_tokenizer(data.token_type)
         token_list_path = Path(cfg.exp_dir) / "tokens.txt"
@@ -410,6 +422,26 @@ class ASRTask:
         model = cls.build_model(model_cfg, cfg.model_arch)
         params = cls.init_params(model, cfg.data.seed)
         params = cls.load_postencoder_weights(params, model_cfg)
+        if cfg.init_params_from and not (exp / "latest.json").exists():
+            import orbax.checkpoint as ocp
+            loaded = ocp.PyTreeCheckpointer().restore(
+                str(Path(cfg.init_params_from).absolute()))["params"]
+            # keep the fresh tree's dtypes; tolerate new subtrees (e.g. a
+            # TCPGen head fine-tuned onto a plain ASR checkpoint) by
+            # merging leaf-wise where paths exist in the checkpoint.
+            flat_new = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+            flat_old = dict(jax.tree_util.tree_flatten_with_path(loaded)[0])
+            merged = {k: (jnp.asarray(flat_old[k], v.dtype)
+                          if k in flat_old and flat_old[k].shape == v.shape
+                          else v)
+                      for k, v in flat_new.items()}
+            params = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(params), [
+                    merged[k] for k, _ in
+                    jax.tree_util.tree_flatten_with_path(params)[0]])
+            n_hit = sum(1 for k in flat_new if k in flat_old)
+            log.info("init_params_from %s: %d/%d leaves loaded",
+                     cfg.init_params_from, n_hit, len(flat_new))
         tx = build_optimizer(cfg.optim)
         state = TrainState.create(params, tx,
                                   jax.random.PRNGKey(cfg.data.seed),

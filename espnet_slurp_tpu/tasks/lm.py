@@ -35,6 +35,7 @@ class LMDataConfig:
     valid_text: str = ""
     token_type: str = "char"
     bpemodel: Optional[str] = None
+    bpe_marker: str = "prefix"
     batch_size: int = 32
     max_len: int = 128
     seed: int = 0
@@ -69,7 +70,8 @@ class LMTask:
         exp = Path(cfg.exp_dir)
         texts = read_2column_text(cfg.data.train_text)
         tokenizer = build_tokenizer(cfg.data.token_type,
-                                    bpemodel=cfg.data.bpemodel)
+                                    bpemodel=cfg.data.bpemodel,
+                                    bpe_marker=cfg.data.bpe_marker)
         tl_path = exp / "tokens.txt"
         if tl_path.exists():
             conv = TokenIDConverter(tl_path)

@@ -287,13 +287,14 @@ def test_walk_trie_prefix_boundary():
     eos = 9
     bset = {3, 6}
     # 3(root->n3) 4(word done -> ROOT, ptr live) 6(word-initial found,
-    # leaf -> ROOT) 7(not boundary, not under root -> dead) 3(restart) 5(done)
+    # leaf -> ROOT) 7(not boundary, not under root -> ROOT, ptr stays LIVE
+    # so the next step can start a biased word) 3(restart) 5(done)
     prev = np.array([[3, 4, 6, 7, 3, 5]])
     node, mask = walk_trie(t, prev, bset, eos, prefix_boundary=True)
     assert node[0, 0] != 0 and mask[0, 0] == 0        # descended into n3
     assert node[0, 1] == 0 and mask[0, 1] == 0        # word done -> root
     assert node[0, 2] == 0 and mask[0, 2] == 0        # [6] done -> root
-    assert node[0, 3] == t.dead and mask[0, 3] == 1   # out-of-tree
+    assert node[0, 3] == 0 and mask[0, 3] == 0        # out-of-tree -> root
     assert node[0, 4] != 0 and mask[0, 4] == 0        # restart via boundary
     assert node[0, 5] == 0 and mask[0, 5] == 0        # [3,5] done -> root
 
@@ -330,3 +331,65 @@ def test_boundary_token_ids_detection():
     assert prefix and ids == {1, 3}
     ids, prefix = boundary_token_ids(["<blank>", "wo▁", "rd", "x▁"])
     assert not prefix and ids == {1, 3}
+
+
+def test_suffix_bpe_marking(tmp_path):
+    """marker='suffix' re-marks Metaspace pieces so the word-FINAL piece
+    carries the ▁ (the fork's bpe_dict_unigram600suffix convention) and
+    detokenization round-trips."""
+    from espnet_slurp_tpu.data.tokenizer import BpeTokenizer
+    texts = ["hello world", "hello there world", "worldly matters hello"]
+    path = tmp_path / "bpe.json"
+    BpeTokenizer.train(texts, 60, str(path))
+    pre = BpeTokenizer(str(path), marker="prefix")
+    suf = BpeTokenizer(str(path), marker="suffix")
+    for line in texts + ["hello worldly there"]:
+        pt = pre.text2tokens(line)
+        st = suf.text2tokens(line)
+        # same piece count, same round trip
+        assert len(pt) == len(st)
+        assert pre.tokens2text(pt) == line
+        assert suf.tokens2text(st) == line
+        # suffix: exactly the word-final pieces end with ▁, none start
+        assert not any(t.startswith("▁") for t in st)
+        assert sum(t.endswith("▁") for t in st) == len(line.split())
+        assert st[-1].endswith("▁")
+
+
+def test_tcpgen_batch_augmenter_labels():
+    """Per-batch sampling + oracle pointer labels + PtrSche ramp."""
+    from espnet_slurp_tpu.slu.kb import TCPGenBatchAugmenter
+    # biasing words over subword ids; suffix convention: last piece is
+    # boundary-marked (represent boundary ids as the set {4, 5, 6, 9}).
+    words = [[3, 4], [3, 5], [6]]
+    bset = {4, 5, 6, 9}  # word-final pieces + eos-ish
+    aug = TCPGenBatchAugmenter(words, bset, sos_id=8, eos_id=7,
+                               prefix_boundary=False, kb_len=3,
+                               db_drop=0.0, sched_epochs=2, start_epoch=1,
+                               seed=0)
+    # one utterance: [3, 4] (biased word) then [2, 9] (unbiased word)
+    batch = {"text": np.array([[3, 4, 2, 9]], np.int32)}
+    out = aug.augment(batch, epoch=1)   # epoch == start -> scale 0
+    assert float(out["smoothprob_scale"]) == 0.0
+    out3 = aug.augment(batch, epoch=3)  # (3-1)/2 -> 1.0
+    assert float(out3["smoothprob_scale"]) == 1.0
+    node = np.asarray(out["node"])[0]
+    mask = np.asarray(out["p_gen_mask"])[0]
+    lab = np.asarray(out["ptr_label_mask"])[0]
+    # step 0: consumed sos -> at root, live; target 3 IS a child -> label 1
+    assert mask[0] == 0 and lab[0] == 1
+    # step 1: consumed 3 -> at node(3), live; target 4 is a child -> 1
+    assert mask[1] == 0 and lab[1] == 1
+    # step 2: consumed 4 (boundary, word done) -> root, live;
+    # target 2 not a child -> OOKB label 2
+    assert mask[2] == 0 and lab[2] == 2
+    # step 3: consumed 2 (out of tree, not boundary) -> DEAD, masked
+    assert mask[3] == 1 and lab[3] == 0
+    # step 4: consumed 9 (boundary, resets to root) -> live; target eos
+    # not a child -> OOKB
+    assert mask[4] == 0 and lab[4] == 2
+    # trie shapes are fixed across batches (compile-once contract)
+    out2 = aug.augment({"text": np.array([[6, 2, 9]], np.int32)}, epoch=2)
+    assert (np.asarray(out2["trie_children_tok"]).shape
+            == np.asarray(out["trie_children_tok"]).shape)
+    assert np.asarray(out["trie_children_tok"]).shape[0] == aug.pad_nodes
