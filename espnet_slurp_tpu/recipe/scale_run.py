@@ -34,7 +34,10 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="exp/scale")
     p.add_argument("--n_train", type=int, default=50000)
-    p.add_argument("--max_epoch", type=int, default=15)
+    # 8 epochs: the 50k corpus converges into the target 15-40% WER band
+    # well before that; the axon tunnel pays per-RPC, so fewer/larger
+    # steps and fewer epochs are the transport-friendly shape.
+    p.add_argument("--max_epoch", type=int, default=8)
     p.add_argument("--skip_lm", action="store_true")
     args = p.parse_args(argv)
 
@@ -65,11 +68,11 @@ def main(argv=None):
         data=DataConfig(
             train_dir=str(train_dir), valid_dir=str(dev_dir),
             token_type="bpe", bpe_vocab_size=5000,
-            batch_type="numel", batch_bins=3_000_000,
+            batch_type="numel", batch_bins=6_000_000,
             speech_bucket_multiple=8192, text_bucket_multiple=8,
             batch_size_multiple=8),
         max_epoch=args.max_epoch, keep_nbest=5, nbest_average=5,
-        log_interval=100)
+        log_interval=50)
     log.info("=== base training (%d utts) ===", args.n_train)
     ASRTask.train(cfg)
 
