@@ -153,6 +153,13 @@ class ASRConfig:
     # even while the generation gate is still closed, which is what keeps
     # the gate from collapsing when biased words are sparse.
     tcpgen_ptr_loss_weight: float = 0.0
+    # > 0 additionally supervises the generation gate itself with the
+    # oracle labels (BCE toward 1 at target-child steps / 0 at OOKB
+    # steps). Extension beyond the reference loss (its oracle,
+    # get_oracle_ptrgen e2e_asr.py:349-362, feeds the SLU head instead);
+    # useful when biased words are so sparse that the interpolated CE
+    # alone cannot keep the gate from closing.
+    tcpgen_gate_loss_weight: float = 0.0
     frontend: FrontendConfig = FrontendConfig()
     specaug: Optional[SpecAugConfig] = SpecAugConfig()
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
@@ -559,6 +566,13 @@ class ASRModel(nn.Module):
                 loss_att, acc = label_smoothing_loss(
                     logp, ys_out, c.lsm_weight, logits_are_logprobs=True)
                 stats["p_gen"] = jnp.mean(p_gen)
+                if ptr_label_mask is not None:
+                    # gate openness WHERE POINTING IS CORRECT — the mean
+                    # over all steps hides a contextual gate (biased steps
+                    # are a few % of the batch).
+                    mb = (ptr_label_mask == 1).astype(jnp.float32)
+                    stats["p_gen_bias"] = (p_gen * mb).sum() \
+                        / jnp.maximum(mb.sum(), 1.0)
                 if (c.tcpgen_ptr_loss_weight > 0.0
                         and ptr_label_mask is not None):
                     # att_labs CE (decoders.py:528-529) over live steps:
@@ -580,6 +594,24 @@ class ASRModel(nn.Module):
                         / jnp.maximum(w.sum(), 1.0)
                     stats["loss_ptr"] = loss_ptr
                     loss = loss + c.tcpgen_ptr_loss_weight * loss_ptr
+                if (c.tcpgen_gate_loss_weight > 0.0
+                        and ptr_label_mask is not None):
+                    # oracle-gate BCE (class-balanced): open at pointed
+                    # steps, closed at OOKB steps.
+                    m1 = (ptr_label_mask == 1).astype(jnp.float32)
+                    m2 = (ptr_label_mask == 2).astype(jnp.float32)
+                    w = m1 + m2 * (m1.sum() / jnp.maximum(m2.sum(), 1.0))
+                    bce = -(m1 * jnp.log(p_gen + 1e-6)
+                            + m2 * jnp.log(1.0 - p_gen + 1e-6))
+                    loss_gate = (bce * w).sum() / jnp.maximum(w.sum(), 1.0)
+                    stats["loss_gate"] = loss_gate
+                    # during the PtrSche ramp p_gen is scaled toward 0 by
+                    # construction; scale the supervision identically so
+                    # the closed-by-schedule gate is not punished.
+                    gl_scale = (smoothprob_scale
+                                if smoothprob_scale is not None else 1.0)
+                    loss = loss + (c.tcpgen_gate_loss_weight * gl_scale
+                                   * loss_gate)
             else:
                 logits = self.decoder_logits(ys_in, text_lengths + 1, hs,
                                              h_lengths, train=train)

@@ -328,7 +328,7 @@ def main(argv=None):
         tcp_cfg = dataclasses.replace(
             cfg, exp_dir=str(tcp_exp),
             model=ASRConfig(use_tcpgen=True, tcpgen_ptr_loss_weight=1.0,
-                            **model_kw),
+                            tcpgen_gate_loss_weight=0.2, **model_kw),
             data=DataConfig(bpemodel=str(base_exp / "bpe.json"), **{
                 k: v for k, v in data_kw.items() if k != "bpemodel"}),
             optim=OptimConfig(lr=5e-4, scheduler="constant"),

@@ -93,7 +93,7 @@ def main():
     cfg = _dc.replace(
         base_cfg, exp_dir=str(exp),
         model=ASRConfig(use_tcpgen=True, tcpgen_ptr_loss_weight=1.0,
-                        **model_kw),
+                        tcpgen_gate_loss_weight=0.2, **model_kw),
         data=_dc.replace(base_cfg.data, bpemodel=str(base_exp / "bpe.json")),
         optim=OptimConfig(lr=1e-3, scheduler="constant"),
         init_params_from=str(base_exp / "valid.loss.ave_2best"),
