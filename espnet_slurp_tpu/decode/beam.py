@@ -182,6 +182,13 @@ def batch_beam_search(
                 biasing.get("smoothprob", 1.0),
                 method=lambda m, h, kb, pm, sp: m.tcpgen.gen_prob(
                     h, kb, pm, sp))
+            force = biasing.get("force_p_gen")
+            if force is not None:
+                # Diagnostic override (VERDICT r4): pin p_gen where the walk
+                # is live to separate gate-collapse failures from trie-walk
+                # misalignment at decode time.
+                p_gen = jnp.where(st.pmask.reshape(n) > 0, 0.0,
+                                  jnp.float32(force))
             att_lp = tcpgen_final_logprobs(logits, ptr_dist, p_gen)
         else:
             logits, cache = model.apply(

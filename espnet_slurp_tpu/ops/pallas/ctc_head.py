@@ -199,9 +199,10 @@ def fused_ctc_head_emit(hs: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     core.defvjp(core_fwd, core_bwd)
     emit = core(ext, hs.astype(dtype), wp, bp)
 
-    # Route padded-column grads back to the true [D, V]/[V] param shapes.
-    # core returns grads for (wp, bp); expose the unpadded signature by
-    # wrapping once more so callers differentiate w/b directly.
+    # The vocab pad/reshape of w/b happen OUTSIDE core(), in the traced
+    # caller graph, so JAX transposes them automatically: padded-column
+    # grads route back to the true [D, V]/[V] shapes via the pad's
+    # transpose (a slice) with no extra wrapper here.
     return emit
 
 

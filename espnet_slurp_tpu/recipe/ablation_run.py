@@ -57,6 +57,7 @@ def make_hard_corpus(root, n_train=10000, n_dev=200, n_test=400,
     words = [f"w{i:04d}" for i in range(vocab_size)]
     rare = words[vocab_size - n_rare:]
     if (root / "test" / "wav.scp").exists():
+        _ensure_lm_text(root, words, vocab_size - n_rare, seed)
         return (root / "train", root / "dev", root / "test", rare)
     rng = np.random.RandomState(seed)
     lexicon = {w: rng.randint(0, N_UNITS, size=rng.randint(2, 6)).tolist()
@@ -126,7 +127,45 @@ def make_hard_corpus(root, n_train=10000, n_dev=200, n_test=400,
                 writer["text"][uid] = " ".join(utt_words)
         dirs.append(d)
     (root / "rare_words.txt").write_text("\n".join(rare) + "\n")
+    _ensure_lm_text(root, words, n_common, seed)
     return tuple(dirs) + (rare,)
+
+
+def _ensure_lm_text(root: Path, words, n_common: int, seed: int,
+                    n_sent: int = 100_000):
+    """Text-only LM corpus, 10x the transcribed set, same bigram grammar.
+
+    Real recipes train the fusion LM on far more text than the AM ever
+    hears (asr.sh stage 6-8 uses external LM corpora) — that asymmetry is
+    WHY shallow fusion helps. Trained on the AM's own 10k transcripts the
+    LM knows nothing the decoder's implicit LM doesn't, and fusion only
+    double-counts the grammar (observed r4: monotonic WER degradation with
+    fusion weight). The generator re-derives the same successor graph from
+    the corpus seed.
+    """
+    out = root / "lm_train.text"
+    if out.exists():
+        return
+    rng = np.random.RandomState(seed)
+    # replay the exact rng call sequence of make_hard_corpus up to `succ`
+    for w in words:
+        rng.randint(0, N_UNITS, size=rng.randint(2, 6))
+    succ = {i: rng.choice(n_common, size=20, replace=False, p=None)
+            for i in range(n_common)}
+    zipf = 1.0 / np.arange(1, n_common + 1)
+    zipf /= zipf.sum()
+    gen = np.random.RandomState(seed + 1)
+    lines = []
+    for i in range(n_sent):
+        n_words = int(gen.randint(4, 10))
+        w = int(gen.choice(n_common, p=zipf))
+        sent = [words[w]]
+        for _ in range(n_words - 1):
+            w = int(succ[w][gen.randint(20)])
+            sent.append(words[w])
+        # kaldi text format (uid first column) so LMTask/train_arpa read it
+        lines.append(f"lm_{i:06d} " + " ".join(sent))
+    out.write_text("\n".join(lines) + "\n")
 
 
 # Per-batch biasing for the TCPGen arm lives in the framework now:
@@ -255,19 +294,22 @@ def main(argv=None):
         lm_exp.mkdir(parents=True, exist_ok=True)
         # share the ASR vocab so fused scores index the same token ids
         shutil.copy(base_exp / "tokens.txt", lm_exp / "tokens.txt")
+        # Train on the 100k-sentence text-only corpus (the external-LM-data
+        # asymmetry that makes shallow fusion pay in real recipes).
+        lm_text = Path(args.corpus) / "lm_train.text"
         lm_cfg = LMTaskConfig(
             exp_dir=str(lm_exp),
             model=LMConfig(arch="transformer", d_model=128, n_head=4,
                            d_ff=512, num_blocks=4, dropout_rate=0.1),
             optim=OptimConfig(lr=1e-3, scheduler="warmuplr",
                               warmup_steps=500),
-            data=LMDataConfig(train_text=str(Path(train_dir) / "text"),
+            data=LMDataConfig(train_text=str(lm_text),
                               valid_text=str(Path(dev_dir) / "text"),
                               token_type="bpe",
                               bpemodel=str(base_exp / "bpe.json"),
                               bpe_marker="suffix",
-                              batch_size=64),
-            max_epoch=max(args.max_epoch // 2, 8), keep_nbest=3)
+                              batch_size=256),
+            max_epoch=4, keep_nbest=2)
         LMTask.train(lm_cfg)
         # Tune the fusion weight on DEV (standard recipe practice), report
         # the TEST decode at the selected weight.
@@ -298,7 +340,10 @@ def main(argv=None):
         if not arpa.exists():
             tok = build_tokenizer("bpe", bpemodel=str(base_exp / "bpe.json"),
                                   bpe_marker="suffix")
-            train_arpa_from_file(Path(train_dir) / "text", arpa, order=3,
+            # Count on the text-only LM corpus (see lm arm) — plain lines,
+            # not the uid-prefixed datadir text file.
+            lm_text = Path(args.corpus) / "lm_train.text"
+            train_arpa_from_file(lm_text, arpa, order=3,
                                  tokenizer=tok.text2tokens)
         if "ngram_weight" not in results:
             best_w, best_wer = 0.1, None
@@ -331,7 +376,10 @@ def main(argv=None):
                             tcpgen_gate_loss_weight=0.2, **model_kw),
             data=DataConfig(bpemodel=str(base_exp / "bpe.json"), **{
                 k: v for k, v in data_kw.items() if k != "bpemodel"}),
-            optim=OptimConfig(lr=5e-4, scheduler="constant"),
+            # fine-tune LR: 5e-4 constant destabilized the from-scratch r4
+            # run (grad_norm 4 -> 512); 2e-4 + the trainer divergence guard
+            # keep the warm-started model in its basin.
+            optim=OptimConfig(lr=2e-4, scheduler="constant"),
             init_params_from=str(base_exp / "valid.loss.ave_5best"),
             max_epoch=10, keep_nbest=5, nbest_average=3)
         # share the base vocab so tries/ids line up
@@ -375,6 +423,13 @@ def main(argv=None):
         arm("tcpgen_nobias", lambda: decode(tcp_exp, beam=10))
         arm("tcpgen_bias",
             lambda: decode(tcp_exp, beam=10, biasing_words=bias_vocab))
+        # Diagnostic arm (not a pass/fail gate): pin p_gen at decode to
+        # separate gate-collapse failures from trie-walk misalignment —
+        # if forcing recovers rare words the gate is the problem; if not,
+        # the walk/trie is.
+        arm("tcpgen_bias_forcegen",
+            lambda: decode(tcp_exp, beam=10, biasing_words=bias_vocab,
+                           tcpgen_force_p_gen=0.3))
 
     if "mbr" not in args.skip:
         log.info("=== MBR fine-tune ===")
@@ -436,6 +491,57 @@ def main(argv=None):
     (out / "RESULTS_ABLATIONS.md").write_text("\n".join(lines) + "\n")
     log.info("wrote %s (total %.0fs)", out / "RESULTS_ABLATIONS.md",
              time.time() - t0)
+
+    # Self-checking campaign (VERDICT r4 #2): every arm must land inside a
+    # band of the base arm, and each feature must move its metric in the
+    # claimed direction — otherwise exit non-zero naming the regression,
+    # instead of silently recording a broken arm (the r4 mbr arm decoded a
+    # diverged checkpoint at WER 125% and nothing caught it).
+    failures = []
+
+    def check(name, cond):
+        (log.info if cond else log.error)(
+            "CHECK %s: %s", "PASS" if cond else "FAIL", name)
+        if not cond:
+            failures.append(name)
+
+    base = results.get("beam10")
+    if base:
+        for tag in ("beam10_lm", "beam10_ngram", "tcpgen_nobias",
+                    "tcpgen_bias", "mbr_beam10"):
+            if tag in results:
+                check(f"{tag} WER within band of beam10 "
+                      f"({results[tag]['wer']:.4f} vs {base['wer']:.4f})",
+                      results[tag]["wer"] <= base["wer"] * 1.5 + 0.02)
+        if "greedy" in results:
+            check("beam10 <= greedy", base["wer"]
+                  <= results["greedy"]["wer"] + 0.002)
+        if "beam10_lm" in results:
+            check("LM fusion helps (beam10_lm < beam10)",
+                  results["beam10_lm"]["wer"] < base["wer"])
+        if "beam10_ngram" in results:
+            check("ngram fusion does not hurt (<= beam10 + 0.2pt)",
+                  results["beam10_ngram"]["wer"] <= base["wer"] + 0.002)
+        if "mbr_beam10" in results:
+            check("MBR fine-tune <= beam10 + 0.25pt",
+                  results["mbr_beam10"]["wer"] <= base["wer"] + 0.0025)
+        if "tcpgen_bias" in results and "tcpgen_nobias" in results:
+            # The fork's acceptance criterion: biasing must cut rare-word
+            # WER vs both the unbiased decode of the same model and the
+            # plain baseline, and must be meaningfully below 100%.
+            rb = results["tcpgen_bias"]["rare_wer"]
+            check(f"tcpgen_bias rare WER ({rb:.3f}) < tcpgen_nobias "
+                  f"({results['tcpgen_nobias']['rare_wer']:.3f})",
+                  rb < results["tcpgen_nobias"]["rare_wer"])
+            check(f"tcpgen_bias rare WER ({rb:.3f}) < beam10 "
+                  f"({base['rare_wer']:.3f})", rb < base["rare_wer"])
+            check(f"tcpgen_bias rare WER ({rb:.3f}) meaningfully < 100%",
+                  rb < 0.95)
+    if failures:
+        log.error("ablation campaign FAILED %d check(s): %s",
+                  len(failures), "; ".join(failures))
+        return 1
+    log.info("ablation campaign: all checks passed")
     return 0
 
 

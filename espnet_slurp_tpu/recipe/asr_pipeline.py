@@ -357,16 +357,22 @@ def pack(exp_dir: str | Path, out_path: str | Path) -> Path:
     import json
     with zipfile.ZipFile(out_path, "w") as z:
         for name in ["config.yaml", "tokens.txt", "reporter.json",
-                     "bpe.json", "stats/feats_stats.npz", "latest.json"]:
+                     "bpe.json", "stats/feats_stats.npz"]:
             p = exp / name
             if p.exists():
                 z.write(p, name)
         # Preferred checkpoint: the averaged n-best dir; else the latest
         # epoch dir (exactly the resolution order Speech2Text uses).
+        # latest.json is packed ONLY when the packed checkpoint is the
+        # epoch dir it points at: an averaged-best archive carrying a
+        # stale latest.json would make an unpacked exp_dir attempt resume
+        # from a missing epoch dir (ASRTask.train restores when
+        # latest.json exists) and suppress init_params_from warm starts.
         best = sorted(exp.glob("valid.*best"))[:1]
         if not best and (exp / "latest.json").exists():
             with open(exp / "latest.json") as f:
                 best = [exp / f"{json.load(f)['epoch']}epoch"]
+            z.write(exp / "latest.json", "latest.json")
         for ckpt in best:
             for f in ckpt.rglob("*"):
                 if f.is_file():

@@ -104,13 +104,23 @@ def boundary_token_ids(token_list) -> Tuple[Set[int], bool]:
     word-INITIAL pieces START with '▁') — the walk semantics adapt via the
     ``prefix_boundary`` flag of walk_trie/trie_step.
     """
-    suffix = {i for i, t in enumerate(token_list)
-              if t.endswith("▁") or t == "<space>"}
-    if suffix:
-        return suffix, False
-    prefix = {i for i, t in enumerate(token_list)
-              if t.startswith("▁")}
-    return prefix, True
+    # A bare '▁' token occurs in BOTH conventions (a word whose first
+    # merge wasn't learned emits it in prefix vocabs too), so it must not
+    # decide the convention by itself: require a MULTI-char suffix-marked
+    # token, and prefer prefix when multi-char '▁'-initial tokens dominate
+    # (a default HF-Metaspace vocab has many of those and no multi-char
+    # suffix tokens).
+    n_suffix = sum(1 for t in token_list
+                   if len(t) > 1 and t.endswith("▁")
+                   and not t.startswith("▁"))
+    n_prefix = sum(1 for t in token_list
+                   if len(t) > 1 and t.startswith("▁")
+                   and not t.endswith("▁"))
+    if n_suffix >= n_prefix and n_suffix > 0:
+        return {i for i, t in enumerate(token_list)
+                if t.endswith("▁") or t == "<space>"}, False
+    return {i for i, t in enumerate(token_list)
+            if t.startswith("▁")}, True
 
 
 def walk_trie(trie: FlatTrie, prev_tokens: np.ndarray,
@@ -320,10 +330,17 @@ class TCPGenBatchAugmenter:
         tgt = np.concatenate(
             [np.maximum(text, 0).astype(np.int32),
              np.full((text.shape[0], 1), self.eos_id, np.int32)], axis=1)
+        # Replace padded-slot targets with eos: each row's true eos step is
+        # at column L (its length), not the appended column U.
+        lengths = (text >= 0).sum(axis=1)
+        tgt = np.where(np.arange(tgt.shape[1])[None, :]
+                       == lengths[:, None], self.eos_id, tgt)
         b, u = node.shape
-        pad = np.concatenate(
-            [(text < 0).astype(bool),
-             np.zeros((text.shape[0], 1), bool)], axis=1)
+        # Position j supervises target j of [text..., eos]: valid iff
+        # j <= L (j == L is the real eos step; beyond is padding — the
+        # earlier hardcoded zeros column supervised decoder state over
+        # padding for every short row).
+        pad = np.arange(u)[None, :] > lengths[:, None]
         ct = trie.children_tok[node.reshape(-1)]          # [B*U, MB]
         nc = trie.n_children[node.reshape(-1)]            # [B*U]
         valid = np.arange(ct.shape[1])[None, :] < nc[:, None]

@@ -445,7 +445,8 @@ class ASRTask:
         tx = build_optimizer(cfg.optim)
         state = TrainState.create(params, tx,
                                   jax.random.PRNGKey(cfg.data.seed),
-                                  ema=cfg.optim.ema_decay > 0)
+                                  ema=cfg.optim.ema_decay > 0,
+                                  guard=cfg.optim.spike_factor > 0)
         if mesh is not None:
             from ..parallel.mesh import replicated
             state = jax.device_put(state, replicated(mesh))
@@ -512,6 +513,7 @@ class ASRTask:
             make_train_step(model, tx, mvn_stats=mvn_stats,
                             grad_noise_eta=cfg.optim.grad_noise_eta,
                             ema_decay=cfg.optim.ema_decay,
+                            spike_factor=cfg.optim.spike_factor,
                             apply_fn=train_apply,
                             aux_loss_fn=(make_mbr_aux_loss(
                                 model, cfg.mbr, mvn_stats=mvn_stats,
@@ -616,6 +618,7 @@ class Speech2Text:
                  max_len: int = 128, beam_size: int = 1,
                  ctc_weight: float = 0.0, biasing_words=None,
                  tcpgen_smoothprob: float = 1.0,
+                 tcpgen_force_p_gen: Optional[float] = None,
                  lm_exp_dir: Optional[str] = None, lm_weight: float = 0.0,
                  ngram_file: Optional[str] = None,
                  ngram_weight: float = 0.0, ctc_timesync: bool = False):
@@ -683,6 +686,7 @@ class Speech2Text:
                 "prefix_boundary": prefix,
                 "dead": t.dead,
                 "smoothprob": tcpgen_smoothprob,
+                "force_p_gen": tcpgen_force_p_gen,
             }
 
     def _build_decode(self):

@@ -63,8 +63,9 @@ class CheckpointManager:
         self._sync(f"ckpt_rm_{epoch}")
         tree = {"params": state.params, "opt_state": state.opt_state,
                 "step": state.step, "rng": state.rng}
-        if getattr(state, "ema_params", None) is not None:
-            tree["ema_params"] = state.ema_params
+        for opt_field in ("ema_params", "lr_scale", "gnorm_ema"):
+            if getattr(state, opt_field, None) is not None:
+                tree[opt_field] = getattr(state, opt_field)
         self._ckpt.save(path.absolute(), jax.device_get(tree))
         if self._is_primary():
             reporter.save(self.exp_dir / "reporter.json")
@@ -80,21 +81,29 @@ class CheckpointManager:
             return json.load(f)["epoch"]
 
     def restore(self, epoch: int, state):
-        """Restore a TrainState saved at `epoch` (template = current state)."""
+        """Restore a TrainState saved at `epoch` (template = current state).
+
+        Optional subtrees (EMA shadow, divergence-guard scalars) may be
+        absent from checkpoints written before those features existed;
+        restore falls back to the base tree and keeps the live values.
+        """
         tpl = {"params": state.params, "opt_state": state.opt_state,
                "step": state.step, "rng": state.rng}
         path = self.epoch_dir(epoch).absolute()
-        if getattr(state, "ema_params", None) is not None:
-            # checkpoints written before EMA existed lack the subtree;
-            # fall back to restoring without it
+        opt_fields = [f for f in ("ema_params", "lr_scale", "gnorm_ema")
+                      if getattr(state, f, None) is not None]
+        if opt_fields:
             try:
-                restored = self._ckpt.restore(
-                    path, item=jax.device_get(
-                        {**tpl, "ema_params": state.ema_params}))
+                full = dict(tpl)
+                for f in opt_fields:
+                    full[f] = getattr(state, f)
+                restored = self._ckpt.restore(path,
+                                              item=jax.device_get(full))
                 return state.replace(
                     params=restored["params"],
                     opt_state=restored["opt_state"], step=restored["step"],
-                    rng=restored["rng"], ema_params=restored["ema_params"])
+                    rng=restored["rng"],
+                    **{f: restored[f] for f in opt_fields})
             except Exception:
                 pass
         restored = self._ckpt.restore(path, item=jax.device_get(tpl))

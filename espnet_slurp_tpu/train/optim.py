@@ -37,6 +37,9 @@ class OptimConfig:
     accum_grad: int = 1
     grad_noise_eta: float = 0.0   # trainer.py add_gradient_noise analogue
     ema_decay: float = 0.0        # v1 EMA wrapper analogue (asr.py:713-715)
+    # Divergence guard: skip updates whose grad norm exceeds spike_factor x
+    # the accepted-step EMA (train/state.py). 0 disables.
+    spike_factor: float = 10.0
 
 
 def build_schedule(cfg: OptimConfig) -> optax.Schedule:

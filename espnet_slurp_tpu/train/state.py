@@ -31,13 +31,21 @@ class TrainState(struct.PyTreeNode):
     # asr.py:713-715). None unless ema_decay > 0; the live params and the
     # update dynamics are untouched by it.
     ema_params: Any = None
+    # Divergence-guard state (one step past reference trainer.py:651-670):
+    # lr_scale multiplies every update (epoch-level LR backoff after a
+    # rollback); gnorm_ema tracks the accepted-step grad-norm so spikes
+    # (gnorm >> ema) can be skipped before they poison the optimizer.
+    lr_scale: Any = None
+    gnorm_ema: Any = None
 
     @classmethod
     def create(cls, params, tx: optax.GradientTransformation, rng: jax.Array,
-               ema: bool = False):
+               ema: bool = False, guard: bool = False):
         return cls(step=jnp.zeros((), jnp.int32), params=params,
                    opt_state=tx.init(params), rng=rng,
-                   ema_params=jax.tree.map(jnp.copy, params) if ema else None)
+                   ema_params=jax.tree.map(jnp.copy, params) if ema else None,
+                   lr_scale=jnp.ones((), jnp.float32) if guard else None,
+                   gnorm_ema=jnp.zeros((), jnp.float32) if guard else None)
 
     @property
     def eval_params(self):
@@ -53,6 +61,7 @@ def make_train_step(
     ema_decay: float = 0.0,
     aux_loss_fn: Optional[Callable] = None,
     apply_fn: Optional[Callable] = None,
+    spike_factor: float = 0.0,
 ) -> Callable:
     """Build the jitted train step: (state, batch) -> (state, stats).
 
@@ -111,7 +120,29 @@ def make_train_step(
         # Skip non-finite updates (trainer.py:651-667 analogue).
         gnorm = optax.global_norm(grads)
         ok = jnp.isfinite(gnorm) & jnp.isfinite(loss)
+        new_gnorm_ema = state.gnorm_ema
+        spiked = jnp.zeros((), jnp.float32)
+        if spike_factor > 0 and state.gnorm_ema is not None:
+            # Grad-norm spike skip (divergence guard, one step past the
+            # reference's non-finite skip): once the accepted-step EMA is
+            # warm, an update whose norm exceeds spike_factor x EMA is
+            # dropped whole — clip-by-norm still applies it at full clip
+            # magnitude, which is exactly how the observed epoch-16 blowup
+            # (grad_norm 4 -> 512 over 5 epochs) compounds.
+            warm = state.step > 20
+            spike = warm & (gnorm > spike_factor *
+                            jnp.maximum(state.gnorm_ema, 1e-6))
+            ok = ok & ~spike
+            spiked = spike.astype(jnp.float32)
+            new_gnorm_ema = jnp.where(
+                ok, jnp.where(state.step == 0, gnorm,
+                              0.95 * state.gnorm_ema + 0.05 * gnorm),
+                state.gnorm_ema)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        if state.lr_scale is not None:
+            # Epoch-level LR backoff (Trainer guard rollback) scales the
+            # final update, leaving optimizer moments untouched.
+            updates = jax.tree.map(lambda u: u * state.lr_scale, updates)
         new_params = optax.apply_updates(state.params, updates)
         new_params = jax.tree.map(
             lambda new, old: jnp.where(ok, new, old), new_params, state.params)
@@ -127,9 +158,12 @@ def make_train_step(
         stats = dict(stats)
         stats["grad_norm"] = gnorm
         stats["skipped"] = 1.0 - ok.astype(jnp.float32)
+        if spike_factor > 0 and state.gnorm_ema is not None:
+            stats["spike_skipped"] = spiked
         return state.replace(step=state.step + 1, params=new_params,
                              opt_state=new_opt, rng=rng,
-                             ema_params=new_ema), stats
+                             ema_params=new_ema,
+                             gnorm_ema=new_gnorm_ema), stats
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 

@@ -39,6 +39,14 @@ class TrainerOptions:
     plot_curves: bool = True  # exp_dir/images/<metric>.png epoch curves
     profile_start_step: Optional[int] = None
     profile_stop_step: Optional[int] = None
+    # Divergence guard (one step past reference trainer.py:651-670 +
+    # e2e_asr.py:575-581): when the epoch's valid criterion explodes past
+    # guard_factor x best-so-far (or goes non-finite), roll the TrainState
+    # back to the best epoch's checkpoint and multiply the update scale by
+    # guard_backoff. None disables. guard_max bounds total rollbacks.
+    guard_factor: Optional[float] = 5.0
+    guard_backoff: float = 0.5
+    guard_max: int = 3
 
 
 class Trainer:
@@ -61,6 +69,47 @@ class Trainer:
         if self.mesh is not None:
             return shard_batch(self.mesh, batch)
         return batch
+
+    def _guard(self, state, reporter, epoch, phase, key, mode):
+        """Divergence guard: rollback + LR backoff when the valid criterion
+        explodes (guard_factor x best) or goes non-finite. Returns
+        (state, rolled_back). The observed TCPGen-arm failure mode
+        (grad_norm 4 -> 512 over epochs 16-25 with the campaign decoding a
+        diverged model) is exactly what this catches."""
+        import math
+        o = self.options
+        cur = reporter.get_value(epoch, phase, key)
+        if cur is None:
+            return state, False
+        prev = [(e, reporter.get_value(e, phase, key))
+                for e in range(1, epoch)]
+        prev = [(e, v) for e, v in prev
+                if v is not None and math.isfinite(v)
+                and self.ckpt.epoch_dir(e).exists()]
+        if not prev:
+            return state, False
+        best_epoch, best = (min if mode == "min" else max)(
+            prev, key=lambda t: t[1])
+        if mode == "min":
+            diverged = (not math.isfinite(cur)) or cur > best * o.guard_factor
+        else:
+            diverged = (not math.isfinite(cur)) or cur < best / o.guard_factor
+        if not diverged:
+            return state, False
+        state = self.ckpt.restore(best_epoch, state)
+        if state.lr_scale is not None:
+            import jax.numpy as jnp
+            state = state.replace(
+                lr_scale=state.lr_scale * o.guard_backoff)
+            scale = float(jax.device_get(state.lr_scale))
+        else:
+            scale = 1.0
+        log.warning(
+            "divergence guard: epoch %d %s/%s=%.4g vs best %.4g (epoch %d, "
+            "factor %.1f) — rolled back to epoch %d, lr_scale now %.3g",
+            epoch, phase, key, cur, best, best_epoch, o.guard_factor,
+            best_epoch, scale)
+        return state, True
 
     def run(self, state: TrainState,
             train_iter_factory: Callable[[int], Iterable],
@@ -99,6 +148,7 @@ class Trainer:
 
         phase, key, mode = o.criterion
         global_step = 0
+        n_rollbacks = 0
         for epoch in range(start_epoch, o.max_epoch + 1):
             sub = SubReporter()
             t_prev = _time.perf_counter()
@@ -148,6 +198,16 @@ class Trainer:
                     self.attention_hook(state, epoch)
                 except Exception as e:  # diagnostics must not kill training
                     log.warning("attention plot hook failed: %s", e)
+
+            if o.guard_factor is not None:
+                state, rolled = self._guard(state, reporter, epoch,
+                                            phase, key, mode)
+                if rolled:
+                    n_rollbacks += 1
+                    if n_rollbacks > o.guard_max:
+                        raise RuntimeError(
+                            f"divergence guard rolled back {n_rollbacks} "
+                            "times; training is unstable (check lr)")
 
             self.ckpt.save_epoch(epoch, state, reporter)
             if o.patience is not None and reporter.check_early_stopping(

@@ -331,6 +331,11 @@ def test_boundary_token_ids_detection():
     assert prefix and ids == {1, 3}
     ids, prefix = boundary_token_ids(["<blank>", "wo▁", "rd", "x▁"])
     assert not prefix and ids == {1, 3}
+    # ADVICE r4 (medium): a bare '▁' token inside an otherwise
+    # prefix-marker vocab must not flip detection to suffix (it would run
+    # the suffix walk on a prefix trie and silently neutralize biasing).
+    ids, prefix = boundary_token_ids(["<blank>", "▁wo", "rd", "▁", "▁x"])
+    assert prefix and ids == {1, 3, 4}
 
 
 def test_suffix_bpe_marking(tmp_path):
