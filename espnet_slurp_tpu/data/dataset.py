@@ -345,6 +345,17 @@ class SpeechDataset:
             data = self.preprocess(uid, data)
         return uid, data
 
+    def item_without(self, uid: str | int, skip: tuple = ("speech",)):
+        """Load all streams EXCEPT ``skip`` (device-resident speech path:
+        the waveform never touches the host pipeline)."""
+        if isinstance(uid, int):
+            uid = self.keys[uid]
+        data = {name: loader[uid] for name, loader in self.loaders.items()
+                if name not in skip}
+        if self.preprocess is not None:
+            data = self.preprocess(uid, data)
+        return uid, data
+
 
 class IterableSpeechDataset:
     """Order-following streaming dataset (espnet2/train/iterable_dataset.py

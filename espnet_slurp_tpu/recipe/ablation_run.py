@@ -218,7 +218,9 @@ def main(argv=None):
                    # B bucketed to multiples of 8: bounds remote-compile
                    # count to O(length buckets) — the axon tunnel pays
                    # ~30-60 s per XLA compile
-                   batch_size_multiple=8)
+                   batch_size_multiple=8,
+                   # waveforms live in HBM; the tunnel ships only tokens
+                   resident_corpus=True)
     cfg = ASRTaskConfig(
         exp_dir=str(base_exp), model=ASRConfig(**model_kw),
         optim=OptimConfig(lr=2e-3, scheduler="warmuplr", warmup_steps=1500),
@@ -413,10 +415,10 @@ def main(argv=None):
         class Task(ASRTask):
             @classmethod
             def build_iter_factory(cls, cfg_, dataset, shuffle=True,
-                                   rank=0, world=1, batch_divisor=0):
+                                   rank=0, world=1, batch_divisor=0, **kw):
                 base = ASRTask.build_iter_factory(
                     cfg_, dataset, shuffle=shuffle, rank=rank, world=world,
-                    batch_divisor=batch_divisor)
+                    batch_divisor=batch_divisor, **kw)
                 return aug.wrap(base)
 
         Task.train(tcp_cfg)

@@ -70,7 +70,11 @@ def main(argv=None):
             token_type="bpe", bpe_vocab_size=5000,
             batch_type="numel", batch_bins=6_000_000,
             speech_bucket_multiple=8192, text_bucket_multiple=8,
-            batch_size_multiple=8),
+            batch_size_multiple=8,
+            # 50k utts ~ 5 GB int16 in HBM: the whole corpus rides the
+            # tunnel once instead of 12 MB per step (the r4 run's 5:1
+            # iter:step ratio and 20 s/step degraded-tunnel stalls).
+            resident_corpus=True),
         max_epoch=args.max_epoch, keep_nbest=5, nbest_average=5,
         log_interval=50)
     log.info("=== base training (%d utts) ===", args.n_train)

@@ -78,6 +78,13 @@ class DataConfig:
     batch_size_multiple: int = 1
     num_iters_per_epoch: Optional[int] = None
     seed: int = 0
+    # Device-resident corpus (data/resident.py): decode + upload all
+    # waveforms to HBM once; per-step batches are on-device gathers and
+    # the host->device link carries only token streams. The big win on
+    # remote-TPU transports (tunnel ~15-75 MB/s vs ~0.1 s device steps).
+    # Single-process raw-audio runs only (no RIR/noise host augmentation).
+    resident_corpus: bool = False
+    resident_workers: int = 16
 
 
 @dataclasses.dataclass(frozen=True)
@@ -239,7 +246,8 @@ class ASRTask:
     @classmethod
     def build_iter_factory(cls, cfg: ASRTaskConfig, dataset: SpeechDataset,
                            shuffle: bool = True, rank: int = 0,
-                           world: int = 1, batch_divisor: int = 0):
+                           world: int = 1, batch_divisor: int = 0,
+                           speech_materializer=None):
         """Epoch-seeded bucketed batch iterator factory (SURVEY.md §2.2).
 
         ``world``/``rank``: process count/index on a pod — every process
@@ -296,16 +304,28 @@ class ASRTask:
                 k = data.num_iters_per_epoch
                 bs = bs[(epoch - 1) * k % max(len(bs), 1):][:k] or bs[:k]
             for batch_utts in bs:
-                if world > 1:
-                    pad_to = global_pad(batch_utts)
-                    local = batch_utts[rank::world]
+                local = batch_utts[rank::world] if world > 1 else batch_utts
+                pad_to = global_pad(batch_utts) if world > 1 else None
+                if speech_materializer is not None:
+                    # Device-resident speech (data/resident.py): load only
+                    # the token streams on the host; the waveform batch is
+                    # an on-device gather — nothing big crosses the
+                    # host->device link per step.
+                    from ..data.sampler import bucket_length
+                    items = [dataset.item_without(u, skip=("speech",))
+                             for u in local]
+                    uids, coll = common_collate(
+                        items, bucket_multiples=buckets, pad_to=pad_to)
+                    t_pad = (pad_to["speech"] if pad_to else bucket_length(
+                        max(speech_shapes[u][0] for u in local),
+                        data.speech_bucket_multiple))
+                    sp, sl = speech_materializer(local, t_pad)
+                    coll["speech"] = sp
+                    coll["speech_lengths"] = sl
+                else:
                     items = [dataset[u] for u in local]
                     uids, coll = common_collate(
                         items, bucket_multiples=buckets, pad_to=pad_to)
-                else:
-                    items = [dataset[u] for u in batch_utts]
-                    uids, coll = common_collate(items,
-                                                bucket_multiples=buckets)
                 yield asr_batch(uids, coll)
 
         return factory
@@ -466,12 +486,25 @@ class ASRTask:
         # (weak #2 fix: multi-host wiring is real, not just mesh math).
         rank, world = jax.process_index(), jax.process_count()
         n_data = int(mesh.shape["data"]) if mesh is not None else 1
+        materializer = None
+        if cfg.data.resident_corpus:
+            if world > 1 or mesh is not None or cfg.data.multichannel \
+                    or cfg.data.feats_type != "raw":
+                raise ValueError("resident_corpus supports single-process "
+                                 "raw-audio runs")
+            from ..data.resident import ResidentCorpus
+            rc = ResidentCorpus.from_datadirs(
+                [cfg.data.train_dir, cfg.data.valid_dir],
+                workers=cfg.data.resident_workers)
+            materializer = rc.materializer()
         train_if = cls.build_iter_factory(cfg, train_ds, shuffle=True,
                                           rank=rank, world=world,
-                                          batch_divisor=n_data)
+                                          batch_divisor=n_data,
+                                          speech_materializer=materializer)
         valid_if = cls.build_iter_factory(cfg, valid_ds, shuffle=False,
                                           rank=rank, world=world,
-                                          batch_divisor=n_data)
+                                          batch_divisor=n_data,
+                                          speech_materializer=materializer)
 
         mvn_stats = cls.load_mvn_stats(cfg)
         ckpt = CheckpointManager(exp, cfg.keep_nbest)
