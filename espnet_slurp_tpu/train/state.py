@@ -62,6 +62,7 @@ def make_train_step(
     aux_loss_fn: Optional[Callable] = None,
     apply_fn: Optional[Callable] = None,
     spike_factor: float = 0.0,
+    compile: bool = True,
 ) -> Callable:
     """Build the jitted train step: (state, batch) -> (state, stats).
 
@@ -165,6 +166,11 @@ def make_train_step(
                              ema_params=new_ema,
                              gnorm_ema=new_gnorm_ema), stats
 
+    if not compile:
+        # Raw traceable step for callers that fuse several steps into one
+        # device program (e.g. bench.py lax.scan chaining, which amortizes
+        # per-step dispatch on remote transports).
+        return step_fn
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
