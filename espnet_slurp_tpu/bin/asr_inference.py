@@ -32,6 +32,10 @@ def get_parser():
     p.add_argument("--ngram_weight", type=float, default=0.0)
     p.add_argument("--ctc_timesync", action="store_true",
                    help="frame-synchronous CTC prefix beam search")
+    p.add_argument("--lattice", action="store_true",
+                   help="CTC n-best lattice decode + LM rescoring "
+                        "(asr_inference_k2.py analogue)")
+    p.add_argument("--lattice_att_weight", type=float, default=0.3)
     return p
 
 
@@ -49,7 +53,9 @@ def main(argv=None):
                       lm_exp_dir=args.lm_exp_dir, lm_weight=args.lm_weight,
                       ngram_file=args.ngram_file,
                       ngram_weight=args.ngram_weight,
-                      ctc_timesync=args.ctc_timesync)
+                      ctc_timesync=args.ctc_timesync,
+                      lattice=args.lattice,
+                      lattice_att_weight=args.lattice_att_weight)
     hyps = {}
     audio_sec = 0.0
     decode_sec = 0.0

@@ -39,13 +39,15 @@ def _lse(a, b):
     return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
 
 
-def ctc_timesync_beam_search(
+def ctc_prefix_beam_full(
     model, params, hs: jnp.ndarray, h_lengths: jnp.ndarray,
     cfg: TimeSyncConfig,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Frame-synchronous CTC prefix beam over the model's CTC posteriors.
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Frame-synchronous CTC prefix beam returning the FULL final beam.
 
-    Returns (tokens [B, max_len] blank-padded, lengths [B]).
+    Returns (tokens [B, K, max_len], lengths [B, K], ctc_scores [B, K]) —
+    the n-best lattice-path extraction consumed by decode/lattice.py (the
+    asr_inference_k2.py n-best analogue) and by ctc_timesync_beam_search.
     """
     mcfg = model.cfg
     blank = mcfg.blank_id
@@ -131,7 +133,19 @@ def ctc_timesync_beam_search(
     tokens, n_emit, p_b, p_nb = lax.fori_loop(
         0, t_max, frame, (tokens0, n0, p_b0, p_nb0))
     total = _lse(p_b, p_nb)
+    return tokens, n_emit, total
 
+
+def ctc_timesync_beam_search(
+    model, params, hs: jnp.ndarray, h_lengths: jnp.ndarray,
+    cfg: TimeSyncConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Frame-synchronous CTC prefix beam over the model's CTC posteriors.
+
+    Returns (tokens [B, max_len] blank-padded, lengths [B]).
+    """
+    tokens, n_emit, total = ctc_prefix_beam_full(model, params, hs,
+                                                 h_lengths, cfg)
     if cfg.att_weight > 0.0:
         # n-best attention rescoring (deviation from interleaved scoring).
         from ..train.mbr import hyp_scores

@@ -654,7 +654,8 @@ class Speech2Text:
                  tcpgen_force_p_gen: Optional[float] = None,
                  lm_exp_dir: Optional[str] = None, lm_weight: float = 0.0,
                  ngram_file: Optional[str] = None,
-                 ngram_weight: float = 0.0, ctc_timesync: bool = False):
+                 ngram_weight: float = 0.0, ctc_timesync: bool = False,
+                 lattice: bool = False, lattice_att_weight: float = 0.3):
         exp = Path(exp_dir)
         self.cfg = load_task_config(exp / "config.yaml")
         tokenizer, converter, model_cfg = ASRTask.prepare_vocab(self.cfg)
@@ -685,6 +686,8 @@ class Speech2Text:
             self.lm_params = lm_mgr.load_params(
                 f"{lm_mgr.latest_epoch()}epoch")
         self.ctc_timesync = ctc_timesync
+        self.lattice = lattice
+        self.lattice_att_weight = lattice_att_weight
         self.ngram = None
         self.ngram_weight = ngram_weight
         if ngram_file and ngram_weight > 0:
@@ -744,6 +747,27 @@ class Speech2Text:
                     model, params, hs, h_lengths,
                     TimeSyncConfig(beam_size=self.beam_size,
                                    max_len=self.max_len))
+            if self.lattice:
+                # k2-analogue decode: CTC n-best lattice + composed
+                # rescoring (decode/lattice.py).
+                from ..decode.lattice import (LatticeConfig,
+                                              lattice_rescore_decode)
+                ngram_si = None
+                if self.ngram is not None:
+                    from ..decode.ngram import make_ngram_fusion
+                    ngram_si = make_ngram_fusion(self.ngram,
+                                                 model.cfg.sos_id)
+                out, out_len, _ = lattice_rescore_decode(
+                    model, params, hs, h_lengths,
+                    LatticeConfig(beam_size=self.beam_size,
+                                  max_len=self.max_len,
+                                  att_weight=self.lattice_att_weight,
+                                  lm_weight=self.lm_weight,
+                                  ngram_weight=self.ngram_weight),
+                    lm_model=self.lm,
+                    lm_params=getattr(self, "lm_params", None),
+                    ngram_step_init=ngram_si)
+                return out, out_len
             if self.beam_size <= 1:
                 return attention_greedy_decode(model, params, hs, h_lengths,
                                                self.max_len)
