@@ -39,7 +39,7 @@ class ResidentCorpus:
     ROW = 128  # samples per buffer row (utt alignment; lane-width friendly)
 
     def __init__(self, wav_scp: Dict[str, str], workers: int = 16,
-                 upload_chunk: int = 64 << 20):
+                 upload_chunk: int = 32 << 20):
         import jax
         import jax.numpy as jnp
         from .fileio import load_wav
@@ -73,11 +73,16 @@ class ResidentCorpus:
         self.index = {u: (int(r), int(n))
                       for u, r, n in zip(uids, row_off, lengths)}
         t1 = time.time()
-        # chunked upload: bounded RPC sizes survive flaky tunnels better
-        # than one multi-GB put, and the device-side concat is free.
+        # chunked upload with a PER-CHUNK sync: bounded RPC sizes survive
+        # flaky tunnels, and bounding in-flight bytes avoids the observed
+        # pathologies of queueing hundreds of MB of unacknowledged puts on
+        # a remote transport (uploads measured 25x under the link rate).
         rows_per_chunk = max(upload_chunk // (2 * self.ROW), 1)
-        chunks = [jax.device_put(buf[i:i + rows_per_chunk])
-                  for i in range(0, total_rows, rows_per_chunk)]
+        chunks = []
+        for i in range(0, total_rows, rows_per_chunk):
+            d = jax.device_put(buf[i:i + rows_per_chunk])
+            _ = np.asarray(d[:1, :1])  # value-fetch sync (see below)
+            chunks.append(d)
         self.buffer = (chunks[0] if len(chunks) == 1
                        else jnp.concatenate(chunks, axis=0))
         # sync (block_until_ready is a no-op on the axon transport)
