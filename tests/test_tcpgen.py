@@ -202,6 +202,18 @@ def test_beam_search_with_biasing_runs():
     assert tokens.shape == (1, 6)
     assert 0 <= int(lengths[0]) <= 6
 
+    # Diagnostic override: forcing p_gen ~ 1 must steer the first emitted
+    # token into the trie's root children (pointer mass concentrates on
+    # {3, 5} + OOKB; the untrained model distribution is ~uniform/20 and
+    # scaled by (1 - p_gen + p_gen * w_ookb) << ptr mass).
+    tokens_f, lengths_f = batch_beam_search(
+        model, params, hs, h_lengths,
+        BeamSearchConfig(beam_size=3, pre_beam_size=8, max_len=6,
+                         ctc_weight=0.0),
+        biasing={**biasing, "force_p_gen": 0.95})
+    assert int(lengths_f[0]) >= 1
+    assert int(tokens_f[0, 0]) in (3, 5)
+
 
 def test_tree_encoder_family():
     """GAT/GraphSAGE/TreeLSTM tree encoders: config-switchable, finite,
