@@ -155,6 +155,7 @@ def _ensure_lm_text(root: Path, words, n_common: int, seed: int,
     zipf = 1.0 / np.arange(1, n_common + 1)
     zipf /= zipf.sum()
     gen = np.random.RandomState(seed + 1)
+    rare = words[n_common:]
     lines = []
     for i in range(n_sent):
         n_words = int(gen.randint(4, 10))
@@ -163,6 +164,13 @@ def _ensure_lm_text(root: Path, words, n_common: int, seed: int,
         for _ in range(n_words - 1):
             w = int(succ[w][gen.randint(20)])
             sent.append(words[w])
+        # Rare words occur in real LM corpora too — rarely. Without them
+        # fusion VETOES every rare word (observed: rare WER 97 -> 100%
+        # with fusion on a rare-free LM text). ~5% of sentences carry one,
+        # giving each rare word ~15 occurrences in 100k sentences: alive
+        # but still 300x rarer than the common head.
+        if rare and gen.rand() < 0.05:
+            sent[gen.randint(len(sent))] = rare[gen.randint(len(rare))]
         # kaldi text format (uid first column) so LMTask/train_arpa read it
         lines.append(f"lm_{i:06d} " + " ".join(sent))
     out.write_text("\n".join(lines) + "\n")
