@@ -38,6 +38,13 @@ class BeamSearchConfig:
     ctc_weight: float = 0.3
     lm_weight: float = 0.0
     length_bonus: float = 0.0
+    # Internal-LM subtraction for density-ratio fusion (HAT/ILME-style):
+    # score = log p_att - ilm_weight * log p_ilm + lm_weight * log p_ext,
+    # where p_ilm is the decoder run against a ZEROED encoder memory.
+    # Plain shallow fusion double-counts the grammar the decoder already
+    # internalized; subtracting the internal LM makes room for the
+    # external one. Ignored in the TCPGen-biasing branch.
+    ilm_weight: float = 0.0
 
 
 class _BeamState(NamedTuple):
@@ -107,6 +114,15 @@ def batch_beam_search(
     mem_kv = jax.tree.map(
         lambda x: jnp.repeat(x, k, axis=0), mem_kv)
     h_lengths_beam = jnp.repeat(h_lengths, k, axis=0)
+    use_ilm = cfg.ilm_weight > 0.0 and biasing is None
+    if use_ilm:
+        # Internal-LM pass: the same decoder against zeroed encoder states
+        # (cross-attention sees only the memory projections' biases).
+        mem_kv_zero = model.apply(
+            {"params": params}, jnp.zeros_like(hs),
+            method=lambda m, x: m.decoder.precompute_memory(x))
+        mem_kv_zero = jax.tree.map(
+            lambda x: jnp.repeat(x, k, axis=0), mem_kv_zero)
 
     use_ctc = w_ctc > 0.0
     if use_ctc:
@@ -119,6 +135,12 @@ def batch_beam_search(
 
     cache0 = init_decoder_cache(mcfg, n, l, t_enc=t_enc,
                                 memory_lengths=h_lengths_beam)
+    if use_ilm:
+        # the ILM pass keeps its own self-attn cache (its layer inputs
+        # diverge from the main pass after the first cross-attention)
+        cache0 = {"main": cache0,
+                  "ilm": init_decoder_cache(mcfg, n, l, t_enc=t_enc,
+                                            memory_lengths=h_lengths_beam)}
     lm_state0 = lm_init(n) if lm_init is not None else None
 
     use_bias = biasing is not None
@@ -190,6 +212,19 @@ def batch_beam_search(
                 p_gen = jnp.where(st.pmask.reshape(n) > 0, 0.0,
                                   jnp.float32(force))
             att_lp = tcpgen_final_logprobs(logits, ptr_dist, p_gen)
+        elif use_ilm:
+            logits, mcache = model.apply(
+                {"params": params}, st.y_prev.reshape(n), st.i,
+                st.cache["main"], method=dec_step)
+            ilm_logits, icache = model.apply(
+                {"params": params}, st.y_prev.reshape(n), st.i,
+                st.cache["ilm"],
+                method=lambda mdl, y_t, idx, c: mdl.decoder.step(
+                    y_t, idx, c, mem_kv_zero, h_lengths_beam, l))
+            cache = {"main": mcache, "ilm": icache}
+            att_lp = (jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                      - cfg.ilm_weight * jax.nn.log_softmax(
+                          ilm_logits.astype(jnp.float32), -1))
         else:
             logits, cache = model.apply(
                 {"params": params}, st.y_prev.reshape(n), st.i, st.cache,

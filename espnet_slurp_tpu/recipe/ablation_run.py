@@ -324,19 +324,28 @@ def main(argv=None):
         # Tune the fusion weight on DEV (standard recipe practice), report
         # the TEST decode at the selected weight.
         if "lm_weight" not in results:
-            best_w, best_wer = 0.0, None
-            for w in (0.05, 0.1, 0.2, 0.3, 0.5):
+            # Joint sweep of fusion weight x internal-LM subtraction
+            # (density-ratio fusion, decode/beam.py ilm_weight): plain
+            # shallow fusion double-counts the grammar the decoder already
+            # internalized; subtracting the zero-memory decoder's internal
+            # LM is what makes the external LM pay.
+            best, best_wer = (0.0, 0.0), None
+            for w, ilm in ((0.1, 0.0), (0.2, 0.0), (0.2, 0.1), (0.3, 0.15),
+                           (0.3, 0.3), (0.4, 0.2), (0.5, 0.4)):
                 dev_hyps = decode(base_exp, beam=10, _loaded=dev_loaded,
-                                  lm_exp_dir=str(lm_exp), lm_weight=w)
+                                  lm_exp_dir=str(lm_exp), lm_weight=w,
+                                  ilm_weight=ilm)
                 dev_wer, _ = error_rate(dev_refs, dev_hyps, "word")
-                log.info("lm sweep w=%.2f dev WER %.2f%%", w, dev_wer * 100)
+                log.info("lm sweep w=%.2f ilm=%.2f dev WER %.2f%%",
+                         w, ilm, dev_wer * 100)
                 if best_wer is None or dev_wer < best_wer:
-                    best_w, best_wer = w, dev_wer
-            results["lm_weight"] = best_w
+                    best, best_wer = (w, ilm), dev_wer
+            results["lm_weight"], results["lm_ilm_weight"] = best
             results_json.write_text(json.dumps(results, indent=1))
-        arm("beam10_lm", lambda: decode(base_exp, beam=10,
-                                        lm_exp_dir=str(lm_exp),
-                                        lm_weight=results["lm_weight"]))
+        arm("beam10_lm",
+            lambda: decode(base_exp, beam=10, lm_exp_dir=str(lm_exp),
+                           lm_weight=results["lm_weight"],
+                           ilm_weight=results.get("lm_ilm_weight", 0.0)))
 
     if "ngram" not in args.skip:
         # Count-based BPE-token 3-gram via the in-framework lmplz analogue

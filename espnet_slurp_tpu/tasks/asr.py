@@ -655,7 +655,8 @@ class Speech2Text:
                  lm_exp_dir: Optional[str] = None, lm_weight: float = 0.0,
                  ngram_file: Optional[str] = None,
                  ngram_weight: float = 0.0, ctc_timesync: bool = False,
-                 lattice: bool = False, lattice_att_weight: float = 0.3):
+                 lattice: bool = False, lattice_att_weight: float = 0.3,
+                 ilm_weight: float = 0.0):
         exp = Path(exp_dir)
         self.cfg = load_task_config(exp / "config.yaml")
         tokenizer, converter, model_cfg = ASRTask.prepare_vocab(self.cfg)
@@ -686,6 +687,7 @@ class Speech2Text:
             self.lm_params = lm_mgr.load_params(
                 f"{lm_mgr.latest_epoch()}epoch")
         self.ctc_timesync = ctc_timesync
+        self.ilm_weight = ilm_weight
         self.lattice = lattice
         self.lattice_att_weight = lattice_att_weight
         self.ngram = None
@@ -800,7 +802,8 @@ class Speech2Text:
             bs_cfg = BeamSearchConfig(beam_size=self.beam_size,
                                       max_len=self.max_len,
                                       ctc_weight=self.ctc_weight,
-                                      lm_weight=w_lm)
+                                      lm_weight=w_lm,
+                                      ilm_weight=self.ilm_weight)
             return batch_beam_search(model, params, hs, h_lengths, bs_cfg,
                                      lm_step=lm_step, lm_init=lm_init,
                                      biasing=self.biasing)

@@ -1,4 +1,5 @@
 """Decoding tests: CTC prefix scorer vs brute force, beam search sanity."""
+import dataclasses
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -192,3 +193,40 @@ def test_ctc_viterbi_align():
     assert c1 > 0.5 and c2 > 0.5
     words = align_words(out, ["he▁", "yo▁"])
     assert [w for _, _, _, w in words] == ["he", "yo"]
+
+
+def test_ilm_subtraction_decode():
+    """Density-ratio fusion (BeamSearchConfig.ilm_weight): epsilon weight
+    reproduces the plain beam exactly; an extreme weight changes it (the
+    zero-memory internal-LM pass is live)."""
+    import jax
+    from espnet_slurp_tpu.decode.beam import (BeamSearchConfig,
+                                              batch_beam_search)
+    from espnet_slurp_tpu.models.asr_model import ASRConfig, ASRModel
+    from espnet_slurp_tpu.ops.frontend import FrontendConfig
+    cfg = ASRConfig(
+        vocab_size=12, d_model=32, n_head=2, d_ff=64, num_encoder_blocks=1,
+        num_decoder_blocks=1, decoder_d_ff=64, kernel_size=7,
+        dropout_rate=0.0, ctc_weight=0.0,
+        frontend=FrontendConfig(n_fft=128, hop_length=64, n_mels=16),
+        specaug=None)
+    model = ASRModel(cfg)
+    rng = np.random.RandomState(0)
+    batch = {"speech": jnp.asarray(rng.randn(1, 1600).astype(np.float32)),
+             "speech_lengths": jnp.asarray([1600]),
+             "text": jnp.asarray([[1, 2, 3]]),
+             "text_lengths": jnp.asarray([3])}
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+    hs, hl, _ = model.apply(
+        {"params": params}, batch["speech"], batch["speech_lengths"],
+        method=lambda m, s, sl: m.encode(s, sl))
+    base_cfg = BeamSearchConfig(beam_size=3, max_len=6, ctc_weight=0.0)
+    t0, l0 = batch_beam_search(model, params, hs, hl, base_cfg)
+    t_eps, l_eps = batch_beam_search(
+        model, params, hs, hl,
+        dataclasses.replace(base_cfg, ilm_weight=1e-8))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t_eps))
+    t_big, _ = batch_beam_search(
+        model, params, hs, hl,
+        dataclasses.replace(base_cfg, ilm_weight=5.0))
+    assert not np.array_equal(np.asarray(t0), np.asarray(t_big))
