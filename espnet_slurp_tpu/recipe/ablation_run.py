@@ -365,20 +365,23 @@ def main(argv=None):
             train_arpa_from_file(lm_text, arpa, order=3,
                                  tokenizer=tok.text2tokens)
         if "ngram_weight" not in results:
-            best_w, best_wer = 0.1, None
-            for w in (0.1, 0.2, 0.3, 0.5):
+            best, best_wer = (0.1, 0.0), None
+            for w, ilm in ((0.1, 0.0), (0.2, 0.0), (0.2, 0.1), (0.3, 0.15),
+                           (0.3, 0.3), (0.5, 0.3)):
                 dev_hyps = decode(base_exp, beam=10, _loaded=dev_loaded,
-                                  ngram_file=str(arpa), ngram_weight=w)
+                                  ngram_file=str(arpa), ngram_weight=w,
+                                  ilm_weight=ilm)
                 dev_wer, _ = error_rate(dev_refs, dev_hyps, "word")
-                log.info("ngram sweep w=%.2f dev WER %.2f%%",
-                         w, dev_wer * 100)
+                log.info("ngram sweep w=%.2f ilm=%.2f dev WER %.2f%%",
+                         w, ilm, dev_wer * 100)
                 if best_wer is None or dev_wer < best_wer:
-                    best_w, best_wer = w, dev_wer
-            results["ngram_weight"] = best_w
+                    best, best_wer = (w, ilm), dev_wer
+            results["ngram_weight"], results["ngram_ilm_weight"] = best
             results_json.write_text(json.dumps(results, indent=1))
         arm("beam10_ngram",
             lambda: decode(base_exp, beam=10, ngram_file=str(arpa),
-                           ngram_weight=results["ngram_weight"]))
+                           ngram_weight=results["ngram_weight"],
+                           ilm_weight=results.get("ngram_ilm_weight", 0.0)))
 
     if "tcpgen" not in args.skip:
         log.info("=== TCPGen training ===")
