@@ -35,8 +35,11 @@ def export_speech2text(exp_dir: str, out_dir: str, batch: int,
     params = s2t.params
     decode = s2t._build_decode()  # jitted (params, speech, lengths) fn
 
+    fusion = jnp.asarray([s2t.lm_weight, s2t.ngram_weight,
+                          s2t.ilm_weight], jnp.float32)
+
     def serve(speech, speech_lengths):
-        return decode(params, speech, speech_lengths)
+        return decode(params, speech, speech_lengths, fusion)
 
     exp = jexport.export(jax.jit(serve))(
         jax.ShapeDtypeStruct((batch, num_samples), jnp.float32),

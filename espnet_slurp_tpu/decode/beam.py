@@ -79,6 +79,7 @@ def batch_beam_search(
     lm_step=None, lm_init=None, lm_weight: Optional[float] = None,
     biasing: Optional[dict] = None,
     return_nbest: bool = False,
+    ilm_weight=None,
 ) -> Tuple[jnp.ndarray, ...]:
     """Returns (tokens [B, max_len] eos-padded, lengths [B]) of best hyps.
 
@@ -114,7 +115,12 @@ def batch_beam_search(
     mem_kv = jax.tree.map(
         lambda x: jnp.repeat(x, k, axis=0), mem_kv)
     h_lengths_beam = jnp.repeat(h_lengths, k, axis=0)
-    use_ilm = cfg.ilm_weight > 0.0 and biasing is None
+    # ilm_weight may be a traced scalar (fusion-weight sweeps reuse ONE
+    # compiled program; a Python-float weight would be baked into the HLO
+    # and recompile every sweep point over the remote-TPU transport).
+    use_ilm = biasing is None and (
+        ilm_weight is not None or cfg.ilm_weight > 0.0)
+    w_ilm = cfg.ilm_weight if ilm_weight is None else ilm_weight
     if use_ilm:
         # Internal-LM pass: the same decoder against zeroed encoder states
         # (cross-attention sees only the memory projections' biases).
@@ -223,7 +229,7 @@ def batch_beam_search(
                     y_t, idx, c, mem_kv_zero, h_lengths_beam, l))
             cache = {"main": mcache, "ilm": icache}
             att_lp = (jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-                      - cfg.ilm_weight * jax.nn.log_softmax(
+                      - w_ilm * jax.nn.log_softmax(
                           ilm_logits.astype(jnp.float32), -1))
         else:
             logits, cache = model.apply(

@@ -221,12 +221,16 @@ def main(argv=None):
                    # word ends are past-observable, so the biasing walk's
                    # pointer mask is identical in training and beam search.
                    bpe_marker="suffix",
-                   batch_type="numel", batch_bins=1_500_000,
-                   speech_bucket_multiple=8192, text_bucket_multiple=8,
-                   # B bucketed to multiples of 8: bounds remote-compile
-                   # count to O(length buckets) — the axon tunnel pays
-                   # ~30-60 s per XLA compile
-                   batch_size_multiple=8,
+                   # Fixed-B sorted batching + coarse buckets: the r4/r5
+                   # numel config produced ~100 distinct (B, T, U) train
+                   # shapes, and over the axon tunnel every shape costs a
+                   # remote compile PLUS a ~50 MB executable fetch
+                   # (~1/min observed) — epoch 1 alone ran for an hour.
+                   # Constant B x 5 speech buckets x 2 text buckets
+                   # compiles ~10 programs total; the padding waste is
+                   # noise next to that.
+                   batch_type="sorted", batch_size=48,
+                   speech_bucket_multiple=16384, text_bucket_multiple=32,
                    # waveforms live in HBM; the tunnel ships only tokens
                    resident_corpus=True)
     cfg = ASRTaskConfig(
@@ -248,6 +252,30 @@ def main(argv=None):
                          for u, pth in dev_wavs.items()),
                         key=lambda x: len(x[1]))
 
+    # One decode shape per model family: every chunk is exactly 16 utts
+    # (tail padded with repeats) and every waveform pads to the corpus
+    # max bucket — each distinct shape costs a remote compile + ~50 MB
+    # executable fetch over the tunnel, so fewer shapes beats tighter
+    # padding here.
+    max_t = max(len(x) for _, x in loaded + dev_loaded)
+    decode_bucket = -(-max_t // 16384) * 16384
+
+    def run_decode(s2t, utts):
+        hyps = {}
+        for i in range(0, len(utts), 16):
+            chunk = utts[i:i + 16]
+            while len(chunk) < 16:  # pad: duplicate uids overwrite
+                chunk = chunk + [chunk[-1]]
+            for (u, _), txt in zip(
+                    chunk, s2t.decode_batch([x for _, x in chunk])):
+                hyps[u] = txt
+        return hyps
+
+    def make_s2t(exp_dir, beam, **kw):
+        return Speech2Text(str(exp_dir), beam_size=beam, ctc_weight=0.3,
+                           max_len=24, decode_bucket_multiple=decode_bucket,
+                           **kw)
+
     def decode(exp_dir, beam, _loaded=None, **kw):
         # The remote-TPU transport (axon tunnel) occasionally drops a
         # compile RPC mid-campaign; retry the arm from scratch rather than
@@ -255,16 +283,7 @@ def main(argv=None):
         utts = loaded if _loaded is None else _loaded
         for attempt in range(3):
             try:
-                s2t = Speech2Text(str(exp_dir), beam_size=beam,
-                                  ctc_weight=0.3, max_len=24, **kw)
-                hyps = {}
-                for i in range(0, len(utts), 16):
-                    chunk = utts[i:i + 16]
-                    for (u, _), txt in zip(
-                            chunk,
-                            s2t.decode_batch([x for _, x in chunk])):
-                        hyps[u] = txt
-                return hyps
+                return run_decode(make_s2t(exp_dir, beam, **kw), utts)
             except Exception as e:  # noqa: BLE001 - transport flake
                 if attempt == 2:
                     raise
@@ -328,13 +347,16 @@ def main(argv=None):
             # (density-ratio fusion, decode/beam.py ilm_weight): plain
             # shallow fusion double-counts the grammar the decoder already
             # internalized; subtracting the zero-memory decoder's internal
-            # LM is what makes the external LM pay.
+            # LM is what makes the external LM pay. ONE Speech2Text with
+            # sweep_fusion=True: the weights are traced inputs, so the
+            # whole sweep costs a single compile.
+            s2t = make_s2t(base_exp, beam=10, lm_exp_dir=str(lm_exp),
+                           lm_weight=0.1, sweep_fusion=True)
             best, best_wer = (0.0, 0.0), None
             for w, ilm in ((0.1, 0.0), (0.2, 0.0), (0.2, 0.1), (0.3, 0.15),
                            (0.3, 0.3), (0.4, 0.2), (0.5, 0.4)):
-                dev_hyps = decode(base_exp, beam=10, _loaded=dev_loaded,
-                                  lm_exp_dir=str(lm_exp), lm_weight=w,
-                                  ilm_weight=ilm)
+                s2t.set_fusion_weights(lm_weight=w, ilm_weight=ilm)
+                dev_hyps = run_decode(s2t, dev_loaded)
                 dev_wer, _ = error_rate(dev_refs, dev_hyps, "word")
                 log.info("lm sweep w=%.2f ilm=%.2f dev WER %.2f%%",
                          w, ilm, dev_wer * 100)
@@ -345,6 +367,7 @@ def main(argv=None):
         arm("beam10_lm",
             lambda: decode(base_exp, beam=10, lm_exp_dir=str(lm_exp),
                            lm_weight=results["lm_weight"],
+                           sweep_fusion=True,
                            ilm_weight=results.get("lm_ilm_weight", 0.0)))
 
     if "ngram" not in args.skip:
@@ -365,12 +388,13 @@ def main(argv=None):
             train_arpa_from_file(lm_text, arpa, order=3,
                                  tokenizer=tok.text2tokens)
         if "ngram_weight" not in results:
+            s2t = make_s2t(base_exp, beam=10, ngram_file=str(arpa),
+                           ngram_weight=0.1, sweep_fusion=True)
             best, best_wer = (0.1, 0.0), None
             for w, ilm in ((0.1, 0.0), (0.2, 0.0), (0.2, 0.1), (0.3, 0.15),
                            (0.3, 0.3), (0.5, 0.3)):
-                dev_hyps = decode(base_exp, beam=10, _loaded=dev_loaded,
-                                  ngram_file=str(arpa), ngram_weight=w,
-                                  ilm_weight=ilm)
+                s2t.set_fusion_weights(ngram_weight=w, ilm_weight=ilm)
+                dev_hyps = run_decode(s2t, dev_loaded)
                 dev_wer, _ = error_rate(dev_refs, dev_hyps, "word")
                 log.info("ngram sweep w=%.2f ilm=%.2f dev WER %.2f%%",
                          w, ilm, dev_wer * 100)
@@ -381,6 +405,7 @@ def main(argv=None):
         arm("beam10_ngram",
             lambda: decode(base_exp, beam=10, ngram_file=str(arpa),
                            ngram_weight=results["ngram_weight"],
+                           sweep_fusion=True,
                            ilm_weight=results.get("ngram_ilm_weight", 0.0)))
 
     if "tcpgen" not in args.skip:

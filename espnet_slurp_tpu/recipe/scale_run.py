@@ -68,9 +68,12 @@ def main(argv=None):
         data=DataConfig(
             train_dir=str(train_dir), valid_dir=str(dev_dir),
             token_type="bpe", bpe_vocab_size=5000,
-            batch_type="numel", batch_bins=6_000_000,
-            speech_bucket_multiple=8192, text_bucket_multiple=8,
-            batch_size_multiple=8,
+            # Fixed-B sorted batching + coarse buckets (see
+            # ablation_run.py): each distinct (B, T, U) shape costs a
+            # remote compile + ~50 MB executable fetch over the tunnel;
+            # the r4 numel config's ~100 shapes made epoch 1 cost 4285 s.
+            batch_type="sorted", batch_size=64,
+            speech_bucket_multiple=16384, text_bucket_multiple=32,
             # 50k utts ~ 5 GB int16 in HBM: the whole corpus rides the
             # tunnel once instead of 12 MB per step (the r4 run's 5:1
             # iter:step ratio and 20 s/step degraded-tunnel stalls).
@@ -90,20 +93,32 @@ def main(argv=None):
                          for u, pth in dev_wavs.items()),
                         key=lambda x: len(x[1]))
 
+    # One decode shape per model family (see ablation_run.py): 16-utt
+    # chunks padded with repeats, waveforms padded to the corpus max.
+    max_t = max(len(x) for _, x in loaded + dev_loaded)
+    decode_bucket = -(-max_t // 16384) * 16384
+
+    def run_decode(s2t, utts):
+        hyps = {}
+        for i in range(0, len(utts), 16):
+            chunk = utts[i:i + 16]
+            while len(chunk) < 16:
+                chunk = chunk + [chunk[-1]]
+            for (u, _), txt in zip(
+                    chunk, s2t.decode_batch([x for _, x in chunk])):
+                hyps[u] = txt
+        return hyps
+
+    def make_s2t(exp_dir, beam, **kw):
+        return Speech2Text(str(exp_dir), beam_size=beam, ctc_weight=0.3,
+                           max_len=32, decode_bucket_multiple=decode_bucket,
+                           **kw)
+
     def decode(exp_dir, beam, _loaded=None, **kw):
         utts = loaded if _loaded is None else _loaded
         for attempt in range(3):
             try:
-                s2t = Speech2Text(str(exp_dir), beam_size=beam,
-                                  ctc_weight=0.3, max_len=32, **kw)
-                hyps = {}
-                for i in range(0, len(utts), 16):
-                    chunk = utts[i:i + 16]
-                    for (u, _), txt in zip(
-                            chunk,
-                            s2t.decode_batch([x for _, x in chunk])):
-                        hyps[u] = txt
-                return hyps
+                return run_decode(make_s2t(exp_dir, beam, **kw), utts)
             except Exception as e:  # noqa: BLE001 - transport flake
                 if attempt == 2:
                     raise
@@ -153,19 +168,24 @@ def main(argv=None):
         log.info("=== LM training ===")
         LMTask.train(lm_cfg)
         if "lm_weight" not in results:
-            best_w, best_wer = 0.0, None
-            for w in (0.05, 0.1, 0.2, 0.3):
-                dev_hyps = decode(base_exp, beam=10, _loaded=dev_loaded,
-                                  lm_exp_dir=str(lm_exp), lm_weight=w)
+            s2t = make_s2t(base_exp, beam=10, lm_exp_dir=str(lm_exp),
+                           lm_weight=0.05, sweep_fusion=True)
+            best, best_wer = (0.0, 0.0), None
+            for w, ilm in ((0.05, 0.0), (0.1, 0.0), (0.2, 0.0),
+                           (0.2, 0.1), (0.3, 0.15)):
+                s2t.set_fusion_weights(lm_weight=w, ilm_weight=ilm)
+                dev_hyps = run_decode(s2t, dev_loaded)
                 dev_wer, _ = error_rate(dev_refs, dev_hyps, "word")
-                log.info("lm sweep w=%.2f dev WER %.2f%%", w, dev_wer * 100)
+                log.info("lm sweep w=%.2f ilm=%.2f dev WER %.2f%%",
+                         w, ilm, dev_wer * 100)
                 if best_wer is None or dev_wer < best_wer:
-                    best_w, best_wer = w, dev_wer
-            results["lm_weight"] = best_w
+                    best, best_wer = (w, ilm), dev_wer
+            results["lm_weight"], results["lm_ilm_weight"] = best
             results_json.write_text(json.dumps(results, indent=1))
-        arm("beam10_lm", lambda: decode(base_exp, beam=10,
-                                        lm_exp_dir=str(lm_exp),
-                                        lm_weight=results["lm_weight"]))
+        arm("beam10_lm", lambda: decode(
+            base_exp, beam=10, lm_exp_dir=str(lm_exp),
+            lm_weight=results["lm_weight"], sweep_fusion=True,
+            ilm_weight=results.get("lm_ilm_weight", 0.0)))
 
     lines = [
         "# RESULTS — scaled run (50k utts, 6000-word vocab, BPE-5000)",

@@ -656,7 +656,8 @@ class Speech2Text:
                  ngram_file: Optional[str] = None,
                  ngram_weight: float = 0.0, ctc_timesync: bool = False,
                  lattice: bool = False, lattice_att_weight: float = 0.3,
-                 ilm_weight: float = 0.0):
+                 ilm_weight: float = 0.0, sweep_fusion: bool = False,
+                 decode_bucket_multiple: Optional[int] = None):
         exp = Path(exp_dir)
         self.cfg = load_task_config(exp / "config.yaml")
         tokenizer, converter, model_cfg = ASRTask.prepare_vocab(self.cfg)
@@ -688,6 +689,14 @@ class Speech2Text:
                 f"{lm_mgr.latest_epoch()}epoch")
         self.ctc_timesync = ctc_timesync
         self.ilm_weight = ilm_weight
+        # Fusion weights ride the jitted decode as a traced [3] vector
+        # (lm, ngram, ilm): sweeping them via set_fusion_weights reuses
+        # the SAME compiled program — a Python-float weight would bake
+        # into the HLO and recompile every bucket shape per sweep point
+        # (~1 min/compile over the remote-TPU tunnel).
+        self.sweep_fusion = sweep_fusion
+        self._ilm_traced = sweep_fusion or ilm_weight > 0.0
+        self.decode_bucket_multiple = decode_bucket_multiple
         self.lattice = lattice
         self.lattice_att_weight = lattice_att_weight
         self.ngram = None
@@ -735,7 +744,7 @@ class Speech2Text:
 
         mvn_stats = self.mvn_stats
 
-        def decode(params, speech, speech_lengths):
+        def decode(params, speech, speech_lengths, fusion):
             hs, h_lengths, _ = model.apply(
                 {"params": params}, speech, speech_lengths,
                 method=lambda m, s, sl: m.encode(s, sl, train=False,
@@ -775,14 +784,17 @@ class Speech2Text:
                                                self.max_len)
             # Compose shallow-fusion scorers (NN LM and/or ARPA n-gram),
             # each pre-scaled by its own weight; beam applies w_lm=1.
+            # Scorer weights come from the traced ``fusion`` vector
+            # ([lm, ngram, ilm]) so set_fusion_weights sweeps reuse the
+            # compiled program.
             scorers = []
             if self.lm is not None:
                 from ..tasks.lm import make_lm_fusion
-                scorers.append((self.lm_weight,) + make_lm_fusion(
+                scorers.append((0,) + make_lm_fusion(
                     self.lm, self.lm_params, 0, self.max_len))
             if self.ngram is not None:
                 from ..decode.ngram import make_ngram_fusion
-                scorers.append((self.ngram_weight,) + make_ngram_fusion(
+                scorers.append((1,) + make_ngram_fusion(
                     self.ngram, model.cfg.sos_id))
             lm_step = lm_init = None
             w_lm = 0.0
@@ -794,9 +806,9 @@ class Speech2Text:
 
                 def lm_step(y_prev, states):
                     rows, new_states = [], []
-                    for (w, step, _), st in zip(scorers, states):
+                    for (fi, step, _), st in zip(scorers, states):
                         row, st2 = step(y_prev, st)
-                        rows.append(w * row)
+                        rows.append(fusion[fi] * row)
                         new_states.append(st2)
                     return sum(rows), new_states
             bs_cfg = BeamSearchConfig(beam_size=self.beam_size,
@@ -804,11 +816,32 @@ class Speech2Text:
                                       ctc_weight=self.ctc_weight,
                                       lm_weight=w_lm,
                                       ilm_weight=self.ilm_weight)
-            return batch_beam_search(model, params, hs, h_lengths, bs_cfg,
-                                     lm_step=lm_step, lm_init=lm_init,
-                                     biasing=self.biasing)
+            return batch_beam_search(
+                model, params, hs, h_lengths, bs_cfg,
+                lm_step=lm_step, lm_init=lm_init, biasing=self.biasing,
+                ilm_weight=fusion[2] if self._ilm_traced else None)
 
         return jax.jit(decode)
+
+    def set_fusion_weights(self, lm_weight=None, ngram_weight=None,
+                           ilm_weight=None):
+        """Update shallow-fusion weights WITHOUT recompiling the decode.
+
+        The weights are traced inputs of the jitted decode (see
+        _build_decode), so a dev-set sweep costs one compile total.
+        ilm_weight sweeps additionally need sweep_fusion=True at
+        construction (the internal-LM pass changes the graph).
+        """
+        if lm_weight is not None:
+            self.lm_weight = float(lm_weight)
+        if ngram_weight is not None:
+            self.ngram_weight = float(ngram_weight)
+        if ilm_weight is not None:
+            if not self._ilm_traced:
+                raise ValueError(
+                    "construct Speech2Text(sweep_fusion=True) to sweep "
+                    "ilm_weight")
+            self.ilm_weight = float(ilm_weight)
 
     def __call__(self, speech: np.ndarray) -> str:
         """Single-utterance decode: [N] float waveform -> text."""
@@ -863,7 +896,8 @@ class Speech2Text:
         while bb < b:
             bb *= 2
         n = bucket_length(max(len(s) for s in speeches),
-                          self.cfg.data.speech_bucket_multiple)
+                          self.decode_bucket_multiple
+                          or self.cfg.data.speech_bucket_multiple)
         tail = speeches[0].shape[1:]
         buf = np.zeros((bb, n) + tail, np.float32)
         lens = np.zeros((bb,), np.int32)
@@ -871,7 +905,10 @@ class Speech2Text:
             buf[i, :len(s)] = s
             lens[i] = len(s)
         lens[b:] = 1
-        tokens, lengths = self._decode_jit(self.params, buf, lens)
+        fusion = np.asarray(
+            [self.lm_weight, self.ngram_weight, self.ilm_weight],
+            np.float32)
+        tokens, lengths = self._decode_jit(self.params, buf, lens, fusion)
         out = []
         for i in range(b):
             ids = np.asarray(tokens)[i][: int(lengths[i])]
