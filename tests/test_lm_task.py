@@ -181,3 +181,72 @@ def test_attention_harvest(tmp_path):
     assert len(atts) >= 1  # transformer encoder sows attention
     paths = plot_attentions(atts, tmp_path / "plots")
     assert len(paths) >= 1
+
+
+@pytest.mark.slow
+def test_fusion_weight_sweep_no_retrace(tmp_path):
+    """set_fusion_weights sweeps reuse ONE compiled decode program and
+    match a fresh Speech2Text constructed at the same weights.
+
+    The weights are traced inputs of the jitted decode (tasks/asr.py
+    _build_decode): a Python-float weight would recompile every bucket
+    shape per sweep point over the remote-TPU transport."""
+    from espnet_slurp_tpu.data.mini_corpus import make_mini_corpus
+    from espnet_slurp_tpu.data.fileio import load_wav, read_2column_text
+    from espnet_slurp_tpu.models.asr_model import ASRConfig
+    from espnet_slurp_tpu.models.lm import LMConfig
+    from espnet_slurp_tpu.ops.frontend import FrontendConfig
+    from espnet_slurp_tpu.tasks.asr import (ASRTask, ASRTaskConfig,
+                                            DataConfig, Speech2Text)
+    from espnet_slurp_tpu.tasks.lm import LMDataConfig, LMTask, LMTaskConfig
+    from espnet_slurp_tpu.train.optim import OptimConfig
+
+    train_dir, dev_dir = make_mini_corpus(tmp_path / "c", n_train=6, n_dev=2)
+    asr_cfg = ASRTaskConfig(
+        exp_dir=str(tmp_path / "asr"),
+        model=ASRConfig(d_model=32, n_head=2, d_ff=64,
+                        num_encoder_blocks=1, num_decoder_blocks=1,
+                        decoder_d_ff=64, kernel_size=7, dropout_rate=0.0,
+                        ctc_weight=0.3,
+                        frontend=FrontendConfig(n_fft=128, hop_length=64,
+                                                n_mels=16),
+                        specaug=None),
+        optim=OptimConfig(lr=1e-3, scheduler="constant"),
+        data=DataConfig(train_dir=str(train_dir), valid_dir=str(dev_dir),
+                        token_type="word", batch_type="sorted", batch_size=6,
+                        speech_bucket_multiple=2048, text_bucket_multiple=4),
+        max_epoch=1, keep_nbest=1, nbest_average=1)
+    ASRTask.train(asr_cfg)
+    lm_dir = tmp_path / "lm"
+    lm_dir.mkdir()
+    (lm_dir / "tokens.txt").write_text(
+        (tmp_path / "asr" / "tokens.txt").read_text())
+    lm_cfg = LMTaskConfig(
+        exp_dir=str(lm_dir),
+        model=LMConfig(d_model=16, n_head=2, d_ff=32, num_blocks=1),
+        optim=OptimConfig(lr=1e-2, scheduler="constant"),
+        data=LMDataConfig(train_text=str(train_dir / "text"),
+                          valid_text=str(dev_dir / "text"),
+                          token_type="word", batch_size=4),
+        max_epoch=1, keep_nbest=1)
+    LMTask.train(lm_cfg)
+
+    wavs = read_2column_text(dev_dir / "wav.scp")
+    wav, _ = load_wav(next(iter(wavs.values())))
+
+    sweep = Speech2Text(str(tmp_path / "asr"), beam_size=3, ctc_weight=0.3,
+                        max_len=8, lm_exp_dir=str(lm_dir), lm_weight=0.1,
+                        sweep_fusion=True)
+    outs = {}
+    for w, ilm in ((0.1, 0.0), (0.5, 0.0), (0.5, 0.2)):
+        sweep.set_fusion_weights(lm_weight=w, ilm_weight=ilm)
+        outs[(w, ilm)] = sweep(wav)
+    # one trace for the whole sweep
+    assert sweep._decode_jit._cache_size() == 1
+
+    for (w, ilm), txt in outs.items():
+        fresh = Speech2Text(str(tmp_path / "asr"), beam_size=3,
+                            ctc_weight=0.3, max_len=8,
+                            lm_exp_dir=str(lm_dir), lm_weight=w,
+                            sweep_fusion=True, ilm_weight=ilm)
+        assert fresh(wav) == txt, (w, ilm)
