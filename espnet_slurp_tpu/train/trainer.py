@@ -47,6 +47,9 @@ class TrainerOptions:
     guard_factor: Optional[float] = 5.0
     guard_backoff: float = 0.5
     guard_max: int = 3
+    # |best| floor for the guard's additive margin (see _guard): bounds
+    # the trigger sensitivity when the criterion sits near zero.
+    guard_margin_floor: float = 1.0
 
 
 class Trainer:
@@ -90,10 +93,19 @@ class Trainer:
             return state, False
         best_epoch, best = (min if mode == "min" else max)(
             prev, key=lambda t: t[1])
+        # Additive margins scaled by |best| — equivalent to the
+        # multiplicative factor for positive criteria, but a NEGATIVE best
+        # must not invert the threshold (observed: KA2G's CTC criterion
+        # goes negative; best=-0.17 x factor 5 flagged -0.12, a
+        # fluctuation, and the guard rolled back every epoch until the
+        # abort). The floor keeps near-zero criteria from hair-triggering.
+        ref = max(abs(best), o.guard_margin_floor)
         if mode == "min":
-            diverged = (not math.isfinite(cur)) or cur > best * o.guard_factor
+            diverged = (not math.isfinite(cur)) \
+                or cur > best + (o.guard_factor - 1.0) * ref
         else:
-            diverged = (not math.isfinite(cur)) or cur < best / o.guard_factor
+            diverged = (not math.isfinite(cur)) \
+                or cur < best - (1.0 - 1.0 / o.guard_factor) * ref
         if not diverged:
             return state, False
         state = self.ckpt.restore(best_epoch, state)

@@ -144,3 +144,53 @@ def test_checkpoint_roundtrips_guard_fields(tmp_path):
     restored = ckpt.restore(1, fresh)
     assert float(restored.lr_scale) == pytest.approx(0.25)
     assert float(restored.gnorm_ema) == pytest.approx(3.5)
+
+
+def test_guard_negative_valid_loss(tmp_path):
+    """Negative valid criteria must not invert the threshold.
+
+    Observed (KA2G campaign, exp_nokb): the CTC criterion went negative;
+    with best=-0.17 the old multiplicative test ``cur > best * factor``
+    compared against -0.85, so every later fluctuation "diverged" and the
+    guard rolled back until the abort. The additive-margin guard must (a)
+    pass small fluctuations around a negative best, (b) still fire on a
+    real explosion from a negative best."""
+    ckpt = CheckpointManager(tmp_path, keep_nbest=8)
+
+    valid_loss = {1: -0.07, 2: -0.17, 3: -0.12, 4: -0.18,
+                  5: -0.16, 6: 40.0}
+    rolled_epochs = []
+
+    def train_step(st, batch):
+        return st.replace(step=st.step + 1,
+                          params={"w": st.params["w"] + 1.0}), {"loss": 1.0}
+
+    def eval_step(st, batch):
+        return {"loss": batch["loss"]}
+
+    def train_factory(epoch):
+        yield {"x": np.ones((2,), np.float32)}
+
+    def valid_factory(epoch):
+        yield {"loss": valid_loss[epoch]}
+
+    state, tx = _mk_state()
+    trainer = Trainer(train_step, eval_step, ckpt,
+                      TrainerOptions(max_epoch=6, keep_nbest=8,
+                                     nbest_average=1, tensorboard=False,
+                                     plot_curves=False,
+                                     guard_factor=5.0, guard_backoff=0.5,
+                                     guard_max=3))
+    orig_guard = trainer._guard
+
+    def spy(state_, reporter, epoch, phase, key, mode):
+        out, rolled = orig_guard(state_, reporter, epoch, phase, key, mode)
+        if rolled:
+            rolled_epochs.append(epoch)
+        return out, rolled
+
+    trainer._guard = spy
+    final = trainer.run(state, train_factory, valid_factory)
+    # only the real explosion (epoch 6: -0.18 best -> +40) rolls back
+    assert rolled_epochs == [6]
+    assert float(final.lr_scale) == pytest.approx(0.5)
