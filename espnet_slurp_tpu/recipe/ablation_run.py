@@ -44,7 +44,8 @@ log = logging.getLogger("espnet_slurp_tpu")
 
 
 def make_hard_corpus(root, n_train=10000, n_dev=200, n_test=400,
-                     vocab_size=1000, n_rare=300, fs=16000, seed=23):
+                     vocab_size=1000, n_rare=300, fs=16000, seed=23,
+                     compositional=False):
     """Zipf vocabulary + sparse bigram grammar + rare-word tail.
 
     Common words (vocab_size - n_rare) follow a Zipf draw through a sparse
@@ -52,6 +53,18 @@ def make_hard_corpus(root, n_train=10000, n_dev=200, n_test=400,
     Rare words appear 1-3 times in training and >= 1 per test utterance
     (the biasing split). Writes {root}/{train,dev,test} + rare_words.txt.
     Returns (train, dev, test, rare_words).
+
+    compositional=True maps each CHARACTER to a fixed acoustic unit
+    (grapheme acoustics, like real speech) instead of giving every word a
+    random unit sequence. With random lexicons a rare word's sound->text
+    mapping is word-specific and 1-3 training examples can never teach
+    it — rare WER pins near 100% no matter how the decoder is biased
+    (observed: forced-p_gen decode recovers nothing). Compositional
+    acoustics make rare words acoustically decodable; what suppresses
+    them is the decoder/beam prior over unseen piece sequences — exactly
+    the failure mode TCPGen contextual biasing exists to fix
+    (reference: KB_utils/KB.py biasing lists target proper nouns, which
+    are rare in text but phonetically regular).
     """
     root = Path(root)
     words = [f"w{i:04d}" for i in range(vocab_size)]
@@ -60,8 +73,20 @@ def make_hard_corpus(root, n_train=10000, n_dev=200, n_test=400,
         _ensure_lm_text(root, words, vocab_size - n_rare, seed)
         return (root / "train", root / "dev", root / "test", rare)
     rng = np.random.RandomState(seed)
-    lexicon = {w: rng.randint(0, N_UNITS, size=rng.randint(2, 6)).tolist()
-               for w in words}
+    if compositional:
+        alphabet = sorted({c for w in words for c in w})
+        char_unit = {c: int(round(i * (N_UNITS - 1)
+                                  / max(len(alphabet) - 1, 1)))
+                     for i, c in enumerate(alphabet)}
+        lexicon = {w: [char_unit[c] for c in w] for w in words}
+        # keep the rng call sequence aligned with the random-lexicon
+        # branch so downstream draws (succ/rare budgets) match _ensure_lm_text
+        for w in words:
+            rng.randint(0, N_UNITS, size=rng.randint(2, 6))
+    else:
+        lexicon = {w: rng.randint(0, N_UNITS,
+                                  size=rng.randint(2, 6)).tolist()
+                   for w in words}
     n_common = vocab_size - n_rare
     # Zipf over common words; sparse bigram successors (grammar).
     zipf = 1.0 / np.arange(1, n_common + 1)
@@ -190,6 +215,9 @@ def main(argv=None):
     p.add_argument("--mbr_epochs", type=int, default=3)
     p.add_argument("--skip", nargs="*", default=[],
                    help="subset of {lm,ngram,tcpgen,mbr} to skip")
+    p.add_argument("--compositional", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="grapheme-acoustic lexicon (see make_hard_corpus)")
     args = p.parse_args(argv)
 
     import jax
@@ -202,7 +230,8 @@ def main(argv=None):
 
     t0 = time.time()
     train_dir, dev_dir, test_dir, rare = make_hard_corpus(
-        args.corpus, n_train=args.n_train)
+        args.corpus, n_train=args.n_train,
+        compositional=args.compositional)
     log.info("corpus ready (%.1fs)", time.time() - t0)
 
     out = Path(args.out)

@@ -39,6 +39,10 @@ def main(argv=None):
     # steps and fewer epochs are the transport-friendly shape.
     p.add_argument("--max_epoch", type=int, default=8)
     p.add_argument("--skip_lm", action="store_true")
+    p.add_argument("--compositional", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="grapheme-acoustic lexicon (see "
+                        "ablation_run.make_hard_corpus)")
     args = p.parse_args(argv)
 
     from ..models.asr_model import ASRConfig
@@ -51,7 +55,8 @@ def main(argv=None):
     out = Path(args.out)
     train_dir, dev_dir, test_dir, rare = make_hard_corpus(
         out / "corpus", n_train=args.n_train, n_dev=400, n_test=800,
-        vocab_size=6000, n_rare=1000, seed=31)
+        vocab_size=6000, n_rare=1000, seed=31,
+        compositional=args.compositional)
     log.info("corpus ready (%.1fs)", time.time() - t0)
 
     base_exp = out / "exp_base"
