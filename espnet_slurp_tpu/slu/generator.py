@@ -46,6 +46,15 @@ class SlotGenConfig:
     use_tcpgen: bool = True
     gcn_layers: int = 2
     tree_encoder: str = "gcn"  # gcn | gat | sage | treelstm
+    # Oracle pointer/gate supervision on live walk steps. In slot-value
+    # generation every training value IS in the ontology, so "point at
+    # the target child and open the gate wherever the walk is live" is
+    # the exact oracle — without it the gate has no gradient pressure to
+    # open and the interpolated NLL alone lets it collapse (observed:
+    # the KB arm decoded WORSE than no-KB; same failure mode as the ASR
+    # TCPGen arm before its oracle-gate BCE, asr_model.py:597-614).
+    ptr_loss_weight: float = 0.5
+    gate_loss_weight: float = 0.2
     dtype: str = "float32"
 
     @property
@@ -238,8 +247,27 @@ class SlotGenerator(nn.Module):
         loss_gen = jnp.sum(jnp.where(valid, nll, 0.0)) / denom
         loss = loss_cls + loss_gen
         acc = jnp.sum((jnp.argmax(logp, -1) == tgt) & valid) / denom
-        return loss, {"loss_slot_cls": loss_cls, "loss_slot_gen": loss_gen,
-                      "slot_acc": acc, "loss": loss}
+        stats = {"loss_slot_cls": loss_cls, "loss_slot_gen": loss_gen,
+                 "slot_acc": acc}
+        if c.use_tcpgen and trie is not None:
+            # oracle pointer CE + open-gate BCE on live walk steps (every
+            # training value is in-ontology, so live steps ARE oracle
+            # pointer steps — see SlotGenConfig.ptr_loss_weight).
+            live = ((p_gen_mask.reshape(n, l) > 0) & valid).astype(
+                jnp.float32)
+            nlive = jnp.maximum(live.sum(), 1.0)
+            p_child = jnp.take_along_axis(
+                ptr[..., :c.value_vocab_size],
+                jnp.maximum(tgt, 0)[..., None], axis=-1)[..., 0]
+            loss_ptr = (-jnp.log(p_child + 1e-9) * live).sum() / nlive
+            loss_gate = (-jnp.log(p_gen + 1e-6) * live).sum() / nlive
+            loss = loss + c.ptr_loss_weight * loss_ptr \
+                + c.gate_loss_weight * loss_gate
+            stats["loss_ptr"] = loss_ptr
+            stats["loss_gate"] = loss_gate
+            stats["p_gen_live"] = (p_gen * live).sum() / nlive
+        stats["loss"] = loss
+        return loss, stats
 
     def generate(self, memory, memory_mask, *, trie=None, roots=None,
                  boundary_mask=None, dead=None, threshold: float = 0.0):
